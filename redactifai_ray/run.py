@@ -1,0 +1,88 @@
+"""CLI entry: the ``ray job submit`` target (reference entry-point analog:
+``deidentify_from_path``, src/services/deidentification_service.py:417-458).
+
+    python -m redactifai_ray.run --input DIR --output DIR [--resume]
+        [--masking-level safe_harbor] [--mask-style token]
+        [--files-per-partition 8] [--no-dedup]
+
+Owns its Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="redactifai_ray deidentify pipeline")
+    ap.add_argument("--input", required=True, help="pages parquet dir or file")
+    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument(
+        "--masking-level",
+        default="safe_harbor",
+        choices=["safe_harbor", "limited_dataset", "custom"],
+    )
+    ap.add_argument("--mask-style", default="token", choices=["token", "block"])
+    ap.add_argument("--confidence-threshold", type=float, default=0.0)
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--files-per-partition", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    try:
+        from .pipelines.deidentify import (
+            build_deidentify_pipeline,
+            finalize_output,
+            spans_table,
+        )
+        from .state.lineage import run_resumable
+
+        if os.path.isdir(args.input):
+            files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        elif os.path.exists(args.input):
+            files = [args.input]
+        else:
+            print(f"error: input not found: {args.input}", file=sys.stderr)
+            return 2
+        if not files:
+            print(f"error: no parquet files under {args.input}", file=sys.stderr)
+            return 2
+
+        def build(part_files):
+            return build_deidentify_pipeline(
+                part_files,
+                masking_level=args.masking_level,
+                confidence_threshold=args.confidence_threshold,
+                mask_style=args.mask_style,
+                dedup=not args.no_dedup,
+            )
+
+        summary = run_resumable(
+            files,
+            args.output,
+            build,
+            spans_fn=spans_table,
+            pages_fn=finalize_output,
+            files_per_partition=args.files_per_partition,
+        )
+        print(json.dumps(summary))
+        return 0 if summary["failed"] == 0 else 1
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

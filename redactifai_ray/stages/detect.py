@@ -1,0 +1,194 @@
+"""PII span detection: regex table + heuristic NER, as a warm actor stage.
+
+Re-expresses the reference's detection providers as *local* stateful
+actors (the north-star replacement for its Azure/AWS cloud calls):
+
+  * regex category table — same seven-category pattern vocabulary as the
+    reference's mock detector (src/services/mock_phi_detection_service.py:29-55),
+    confidence 0.95, case-insensitive finditer over the text (:66-75);
+  * heuristic NER — capitalized-bigram person names with a stop-phrase
+    anti-filter and a "Dr./Doctor/Physician within the preceding 10 chars"
+    provider-context check routing to HealthcareProfessional vs Person,
+    confidence 0.90, subcategory PersonName (:88-140);
+  * masking-level predicate applied at detection time (:77, :131) —
+    see ``redactifai_ray.policy``;
+  * spans sorted by offset (:84);
+  * long texts are chunked at ``max_chunk_chars`` (reference limit: 20,000,
+    src/services/aws_comprehend_medical_service.py:41,125-162) with offset
+    re-basing; unlike the reference's hard cuts, chunks overlap by
+    ``chunk_overlap`` chars and seam-duplicate spans are deduped, so
+    entities straddling a cut are never split (SURVEY §7.5.2).
+
+Custom patterns: pass ``extra_patterns={category: [regex, ...]}`` — the
+extension surface documented for the reference's (empty) phi_patterns.yaml
+(docs/Engineering Specification.md:850-871).
+
+This class is an actor-pool stage: patterns compile once per actor in
+``__init__`` (ST2 analog); ``__call__`` handles one Arrow batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Optional
+
+import pyarrow as pa
+
+from ..functions.spans import (
+    chunk_text,
+    clamp_spans,
+    dedupe_spans,
+    make_span,
+    rebase_spans,
+    sort_spans,
+)
+from ..policy import MaskingLevel, should_mask
+
+# Category → regex list. Same PII vocabulary as the reference's mock
+# detector (mock_phi_detection_service.py:29-55), re-written for webtext
+# (Id generalizes MedicalRecordNumber/InsuranceID).
+DEFAULT_PATTERNS: dict[str, list[str]] = {
+    "Date": [
+        r"\b\d{1,2}/\d{1,2}/\d{4}\b",
+        r"\b\d{1,2}-\d{1,2}-\d{4}\b",
+    ],
+    "PhoneNumber": [
+        r"\(\d{3}\)\s*\d{3}-\d{4}",
+        r"\b\d{3}-\d{3}-\d{4}\b",
+    ],
+    "Email": [
+        r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
+    ],
+    "SSN": [
+        r"\b\d{3}-\d{2}-\d{4}\b",
+    ],
+    "Id": [
+        r"\bMRN:\s*\d+\b",
+        r"\bMember ID:\s*[A-Z0-9]+\b",
+    ],
+    "Address": [
+        r"\b\d+\s+[A-Z][a-z]+\s+(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd)[,\s]+[A-Z][a-z]+[,\s]+[A-Z]{2}\s+\d{5}\b",
+    ],
+}
+
+REGEX_CONFIDENCE = 0.95   # reference :74
+NAME_CONFIDENCE = 0.90    # reference :137
+
+NAME_PATTERN = r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\b"  # capitalized n-gram, n>=2
+
+# stop-phrase anti-filter (reference :108-119), webtext-flavored additions
+SKIP_PHRASES = (
+    "Chief Complaint",
+    "History Of",
+    "Present Illness",
+    "Past Medical",
+    "Social History",
+    "Blue Cross",
+    "Blue Shield",
+    "New England",
+    "Privacy Policy",
+    "Terms Of",
+    "All Rights",
+    "Cookie Policy",
+)
+
+PROVIDER_TITLES = ("Dr.", "Dr ", "Doctor", "Physician")  # reference :124-127
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("category", pa.string()),
+        ("subcategory", pa.string()),
+        ("confidence", pa.float32()),
+        ("text", pa.string()),
+    ]
+)
+
+
+class SpanDetector:
+    """Warm regex+NER PII detector. Use via
+    ``ds.map_batches(SpanDetector, fn_constructor_kwargs=..., concurrency=N)``.
+    """
+
+    def __init__(
+        self,
+        masking_level: MaskingLevel | str = MaskingLevel.SAFE_HARBOR,
+        custom_categories: Optional[Iterable[str]] = None,
+        extra_patterns: Optional[dict[str, list[str]]] = None,
+        detect_names: bool = True,
+        max_chunk_chars: int = 20000,
+        chunk_overlap: int = 200,
+        text_col: str = "extracted_text",
+        patterns: Optional[dict[str, list[str]]] = None,
+    ):
+        self.masking_level = MaskingLevel(masking_level)
+        self.custom_categories = (
+            frozenset(custom_categories) if custom_categories is not None else None
+        )
+        table = dict(patterns if patterns is not None else DEFAULT_PATTERNS)
+        for cat, pats in (extra_patterns or {}).items():
+            table.setdefault(cat, []).extend(pats)
+        # compile once per actor (ST2 analog — the "warm detector")
+        self.compiled: list[tuple[str, re.Pattern]] = [
+            (cat, re.compile(p, re.IGNORECASE))
+            for cat in table
+            for p in table[cat]
+        ]
+        self.name_re = re.compile(NAME_PATTERN) if detect_names else None
+        self.max_chunk_chars = max_chunk_chars
+        self.chunk_overlap = chunk_overlap
+        self.text_col = text_col
+
+    # -- per-text detection ----------------------------------------------
+
+    def detect(self, text: str) -> list[dict]:
+        """All spans in ``text``, policy-filtered, sorted by offset."""
+        if len(text) > self.max_chunk_chars:
+            spans: list[dict] = []
+            for base, chunk in chunk_text(
+                text, self.max_chunk_chars, self.chunk_overlap
+            ):
+                spans.extend(rebase_spans(self._detect_chunk(chunk), base))
+            return clamp_spans(dedupe_spans(spans), len(text))
+        return sort_spans(self._detect_chunk(text))
+
+    def _detect_chunk(self, text: str) -> list[dict]:
+        spans: list[dict] = []
+        for category, pattern in self.compiled:
+            if not should_mask(category, self.masking_level, self.custom_categories):
+                continue
+            for m in pattern.finditer(text):
+                spans.append(
+                    make_span(m.start(), m.end(), category, REGEX_CONFIDENCE, m.group())
+                )
+        if self.name_re is not None:
+            spans.extend(self._detect_names(text))
+        return spans
+
+    def _detect_names(self, text: str) -> list[dict]:
+        names: list[dict] = []
+        for m in self.name_re.finditer(text):
+            surface = m.group()
+            if any(skip in surface for skip in SKIP_PHRASES):
+                continue
+            context = text[max(0, m.start() - 10) : m.start()]
+            is_provider = any(t in context for t in PROVIDER_TITLES)
+            category = "HealthcareProfessional" if is_provider else "Person"
+            if should_mask(category, self.masking_level, self.custom_categories):
+                names.append(
+                    make_span(
+                        m.start(), m.end(), category, NAME_CONFIDENCE,
+                        surface, subcategory="PersonName",
+                    )
+                )
+        return names
+
+    # -- batch stage ------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        spans_col = [self.detect(t or "") for t in texts]
+        return batch.append_column(
+            "spans", pa.array(spans_col, pa.list_(SPAN_STRUCT))
+        )

@@ -1,0 +1,289 @@
+"""Main-content extraction: HTML bytes → extracted_text + offset blocks.
+
+The structure-recovery stage — the webtext analog of the reference's OCR
+step (``MockOCRService.analyze_document`` → per-word positions +
+``full_text``, src/services/mock_ocr_service.py:48-184): instead of pixel
+word boxes we emit *blocks* with character offsets into the canonical
+``extracted_text``.
+
+Algorithm (jusText/trafilatura-style, expressed over the stdlib HTML
+parser — lxml is not available in this environment):
+
+  1. tokenize HTML into a flat element stream (html.parser is tolerant of
+     malformed/unclosed markup — the fixture noise analog of OCR errors);
+  2. group character data into *blocks* at block-level tag boundaries,
+     tracking per block: normalized text, chars inside <a> (link chars),
+     tag of the opening block element, tag count (for text density), and
+     whether any ancestor is structural boilerplate
+     (nav/header/footer/aside/menu) or skipped content
+     (script/style/noscript/template/head/svg/iframe);
+  3. classify blocks content vs boilerplate with deterministic
+     text-density / link-density thresholds;
+  4. ``extracted_text`` = content blocks joined by "\\n\\n", NFC-normalized,
+     whitespace collapsed — a pure function of the input bytes
+     (byte-identical invariant; versioned as EXTRACTOR_VERSION).
+
+Batch stage contract: Arrow table in (``url, warc_ts, html, lang``) →
+Arrow table out (input minus ``html``, plus ``extracted_text, n_blocks,
+n_chars, status, error``). ``html`` is projected away here so downstream
+blocks are slim (SURVEY §7.5.5).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+from .. import EXTRACTOR_VERSION
+
+BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd td th tr table blockquote pre
+    article section main figure figcaption form fieldset address hr br
+    body center""".split()
+)
+SKIP_TAGS = frozenset(
+    "script style noscript template head svg iframe object embed select option".split()
+)
+BOILER_TAGS = frozenset("nav header footer aside menu".split())
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+VOID_TAGS = frozenset(
+    "br hr img meta link input area base col source track wbr".split()
+)
+
+# classification thresholds (deterministic; part of EXTRACTOR_VERSION)
+MIN_CONTENT_CHARS = 25
+MIN_HEADING_CHARS = 8
+MAX_LINK_DENSITY = 0.33
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "tag", "boiler", "n_tags")
+
+    def __init__(self, tag: str, boiler: bool):
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.tag = tag
+        self.boiler = boiler
+        self.n_tags = 0
+
+
+class _BlockParser(HTMLParser):
+    """Flatten an HTML document into text blocks with density features."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur: _Block | None = None
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._a_depth = 0
+
+    # -- tag events -------------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in BOILER_TAGS:
+            self._flush()
+            self._boiler_depth += 1
+            return
+        if tag == "a":
+            self._a_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag not in ("br", "hr"):
+                self._cur = _Block(tag, self._boiler_depth > 0)
+        elif self._cur is not None:
+            self._cur.n_tags += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS or self._skip_depth:
+            return
+        if tag in ("br", "hr"):
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag in BOILER_TAGS:
+            self._flush()
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+            return
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        if self._cur is None:
+            if not data.strip():
+                return
+            self._cur = _Block("", self._boiler_depth > 0)
+        self._cur.parts.append(data)
+        if self._a_depth > 0:
+            self._cur.link_chars += len(" ".join(data.split()))
+
+    def _flush(self) -> None:
+        if self._cur is not None and self._cur.parts:
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def close(self) -> None:  # final flush
+        super().close()
+        self._flush()
+
+
+def _normalize(text: str) -> str:
+    """Whitespace-collapse + NFC — the single normalization chosen for the
+    byte-identical contract (SURVEY §7.5.1)."""
+    return unicodedata.normalize("NFC", " ".join(text.split()))
+
+
+def extract_blocks(html: bytes | str) -> list[dict]:
+    """Parse HTML and return all text blocks with density features.
+
+    Returns dicts ``{text, tag, link_density, text_density, is_content}``
+    in document order; offsets are assigned later by ``assemble_text``.
+    """
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    parser = _BlockParser()
+    parser.feed(html)
+    parser.close()
+
+    out: list[dict] = []
+    for b in parser.blocks:
+        text = _normalize("".join(b.parts))
+        if not text:
+            continue
+        chars = len(text)
+        link_density = min(1.0, b.link_chars / chars) if chars else 0.0
+        text_density = chars / (1.0 + b.n_tags)
+        if b.boiler:
+            is_content = False
+        elif link_density > MAX_LINK_DENSITY:
+            is_content = False
+        elif b.tag in HEADING_TAGS:
+            is_content = chars >= MIN_HEADING_CHARS and b.link_chars == 0
+        else:
+            is_content = chars >= MIN_CONTENT_CHARS
+        out.append(
+            {
+                "text": text,
+                "tag": b.tag,
+                "link_density": link_density,
+                "text_density": text_density,
+                "is_content": is_content,
+            }
+        )
+    return out
+
+
+def assemble_text(blocks: list[dict]) -> tuple[str, list[dict]]:
+    """Join content blocks with "\\n\\n" and assign [start, end) offsets into
+    the result. Non-content blocks get offsets (-1, -1)."""
+    pieces: list[str] = []
+    pos = 0
+    enriched: list[dict] = []
+    for blk in blocks:
+        b = dict(blk)
+        if b["is_content"]:
+            if pieces:
+                pos += 2  # "\n\n"
+            b["start"], b["end"] = pos, pos + len(b["text"])
+            pos += len(b["text"])
+            pieces.append(b["text"])
+        else:
+            b["start"], b["end"] = -1, -1
+        enriched.append(b)
+    return "\n\n".join(pieces), enriched
+
+
+def extract_main_content(html: bytes | str) -> tuple[str, list[dict]]:
+    """bytes → (extracted_text, blocks). Deterministic; pure."""
+    return assemble_text(extract_blocks(html))
+
+
+BLOCK_STRUCT = pa.struct(
+    [
+        ("text", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("tag", pa.string()),
+        ("link_density", pa.float32()),
+        ("text_density", pa.float32()),
+        ("is_content", pa.bool_()),
+    ]
+)
+
+
+def make_extract_batch(emit_blocks: bool = False, html_col: str = "html"):
+    """Build the extraction batch fn for ``map_batches(batch_format="pyarrow")``.
+
+    Stateless (pure CPU) → runs as elastic Ray tasks, not actors. Failure
+    isolation is per row: a parse error yields ``status="failed"`` with an
+    empty ``extracted_text`` — never raw html (deviation from the
+    reference's write-unmasked-on-failure fallback,
+    src/services/deidentification_service.py:334-347; see SURVEY §7.5.4).
+    """
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        htmls = batch[html_col].to_pylist()
+        texts: list[str] = []
+        n_blocks: list[int] = []
+        statuses: list[str] = []
+        errors: list[str | None] = []
+        blocks_col: list[list[dict]] = []
+        for raw in htmls:
+            try:
+                text, blocks = extract_main_content(raw or b"")
+                texts.append(text)
+                n_blocks.append(sum(1 for b in blocks if b["is_content"]))
+                statuses.append("ok")
+                errors.append(None)
+                if emit_blocks:
+                    blocks_col.append(
+                        [{k: b[k] for k in (
+                            "text", "start", "end", "tag",
+                            "link_density", "text_density", "is_content")}
+                         for b in blocks]
+                    )
+            except Exception as exc:  # per-row failure isolation
+                texts.append("")
+                n_blocks.append(0)
+                statuses.append("failed")
+                errors.append(f"{type(exc).__name__}: {exc}")
+                if emit_blocks:
+                    blocks_col.append([])
+
+        drop = [html_col]
+        cols = [c for c in batch.column_names if c not in drop]
+        out = batch.select(cols)
+        out = out.append_column("extracted_text", pa.array(texts, pa.string()))
+        out = out.append_column(
+            "n_chars", pa.array([len(t) for t in texts], pa.int64())
+        )
+        out = out.append_column("n_blocks", pa.array(n_blocks, pa.int32()))
+        out = out.append_column("status", pa.array(statuses, pa.string()))
+        out = out.append_column("error", pa.array(errors, pa.string()))
+        out = out.append_column(
+            "extractor_version",
+            pa.array([EXTRACTOR_VERSION] * len(texts), pa.string()),
+        )
+        if emit_blocks:
+            out = out.append_column(
+                "blocks", pa.array(blocks_col, pa.list_(BLOCK_STRUCT))
+            )
+        return out
+
+    return extract_batch
