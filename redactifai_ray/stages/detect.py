@@ -143,14 +143,31 @@ class SpanDetector:
     # -- per-text detection ----------------------------------------------
 
     def detect(self, text: str) -> list[dict]:
-        """All spans in ``text``, policy-filtered, sorted by offset."""
+        """All spans in ``text``, policy-filtered, sorted by offset.
+
+        Long texts detect per overlap-windowed chunk with *ownership
+        regions*: chunk i keeps only spans whose start falls in
+        ``[base + overlap/2, base + step + overlap/2)`` (unbounded at the
+        first/last chunk). The regions partition the text, so every true
+        span is emitted exactly once, and edge-truncated partial matches
+        (which necessarily start outside the owned region) are dropped.
+        Partitioning assumption: entity surface forms are shorter than
+        ``chunk_overlap / 2`` chars (default 100 — documented contract;
+        the reference's hard cuts can split entities instead,
+        aws_comprehend_medical_service.py:144-147).
+        """
         if len(text) > self.max_chunk_chars:
+            chunks = chunk_text(text, self.max_chunk_chars, self.chunk_overlap)
+            step = self.max_chunk_chars - self.chunk_overlap
+            half = self.chunk_overlap // 2
             spans: list[dict] = []
-            for base, chunk in chunk_text(
-                text, self.max_chunk_chars, self.chunk_overlap
-            ):
-                spans.extend(rebase_spans(self._detect_chunk(chunk), base))
-            return clamp_spans(dedupe_spans(spans), len(text))
+            for idx, (base, chunk) in enumerate(chunks):
+                lo = 0 if idx == 0 else base + half
+                hi = len(text) if idx == len(chunks) - 1 else base + step + half
+                for s in rebase_spans(self._detect_chunk(chunk), base):
+                    if lo <= s["start"] < hi:
+                        spans.append(s)
+            return clamp_spans(sort_spans(spans), len(text))
         return sort_spans(self._detect_chunk(text))
 
     def _detect_chunk(self, text: str) -> list[dict]:

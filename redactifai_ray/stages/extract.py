@@ -169,7 +169,10 @@ def extract_blocks(html: bytes | str) -> list[dict]:
         chars = len(text)
         link_density = min(1.0, b.link_chars / chars) if chars else 0.0
         text_density = chars / (1.0 + b.n_tags)
-        if b.boiler:
+        if b.boiler and b.tag not in HEADING_TAGS:
+            # headings are exempt from the boiler-ancestor rule: real page
+            # headlines commonly live inside <header> (link density still
+            # applies below, so nav headings full of links stay excluded)
             is_content = False
         elif link_density > MAX_LINK_DENSITY:
             is_content = False

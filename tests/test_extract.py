@@ -1,0 +1,116 @@
+"""Extractor unit tests: boilerplate stripping, density classification,
+offset integrity, malformed-input tolerance, determinism."""
+
+from redactifai_ray.stages.extract import (
+    extract_blocks,
+    extract_main_content,
+)
+
+ARTICLE = b"""
+<html><head><title>T</title><script>var x = "ignore me";</script>
+<style>.c{color:red}</style></head>
+<body>
+<nav><ul><li><a href="/a">Home</a></li><li><a href="/b">About</a></li></ul></nav>
+<header><h1>A Clear Headline Here</h1></header>
+<article>
+<p>This is the first real paragraph with enough characters to count as content.</p>
+<p>Second paragraph also long enough to be kept by the density classifier rules.</p>
+</article>
+<aside><ul><li><a href="/t">tag one</a></li><li><a href="/u">tag two</a></li></ul></aside>
+<footer><p>(c) 2024 Example Inc. All rights reserved.</p></footer>
+</body></html>
+"""
+
+
+class TestContentSelection:
+    def test_main_paragraphs_kept(self):
+        text, _ = extract_main_content(ARTICLE)
+        assert "first real paragraph" in text
+        assert "Second paragraph" in text
+
+    def test_boilerplate_stripped(self):
+        text, _ = extract_main_content(ARTICLE)
+        assert "Home" not in text
+        assert "tag one" not in text
+        assert "All rights reserved" not in text
+
+    def test_script_style_never_leak(self):
+        text, _ = extract_main_content(ARTICLE)
+        assert "ignore me" not in text
+        assert "color:red" not in text
+
+    def test_heading_kept(self):
+        text, _ = extract_main_content(ARTICLE)
+        assert "A Clear Headline Here" in text
+
+    def test_link_density_rejects_link_lists(self):
+        html = (
+            b"<body><div>"
+            b'<a href="/1">one link text</a> <a href="/2">two link text</a> '
+            b'<a href="/3">three link text</a></div></body>'
+        )
+        blocks = extract_blocks(html)
+        assert all(not b["is_content"] for b in blocks)
+
+    def test_short_block_rejected(self):
+        blocks = extract_blocks(b"<body><p>too short</p></body>")
+        assert not blocks[0]["is_content"]
+
+
+class TestOffsets:
+    def test_block_offsets_point_into_text(self):
+        text, blocks = extract_main_content(ARTICLE)
+        for b in blocks:
+            if b["is_content"]:
+                assert text[b["start"] : b["end"]] == b["text"]
+
+    def test_blocks_joined_by_blank_line(self):
+        text, blocks = extract_main_content(ARTICLE)
+        content = [b for b in blocks if b["is_content"]]
+        assert text == "\n\n".join(b["text"] for b in content)
+
+
+class TestRobustness:
+    def test_empty_input(self):
+        assert extract_main_content(b"") == ("", [])
+
+    def test_plain_text_no_tags(self):
+        text, _ = extract_main_content(
+            b"Just a plain text file with enough words to count as real content here."
+        )
+        assert "plain text file" in text
+
+    def test_unclosed_tags(self):
+        html = b"<body><div><p>An unclosed paragraph with plenty of content to keep here<p>And another trailing one with enough length to be kept too</div>"
+        text, _ = extract_main_content(html)
+        assert "unclosed paragraph" in text
+
+    def test_entities_decoded(self):
+        html = b"<body><p>Tom &amp; Jerry&#8217;s adventures continue with plenty of text here.</p></body>"
+        text, _ = extract_main_content(html)
+        assert "Tom & Jerry’s" in text
+
+    def test_non_utf8_bytes_tolerated(self):
+        html = "<body><p>Valid leading content that is long enough to keep around.</p></body>".encode() + b"\xff\xfe"
+        text, _ = extract_main_content(html)
+        assert "Valid leading content" in text
+
+    def test_whitespace_collapsed(self):
+        html = b"<body><p>spaced     out\n\n\ttext with     enough length to be content</p></body>"
+        text, _ = extract_main_content(html)
+        assert "spaced out text" in text
+
+
+class TestDeterminism:
+    def test_byte_identical_across_calls(self):
+        a, _ = extract_main_content(ARTICLE)
+        b, _ = extract_main_content(ARTICLE)
+        assert a.encode() == b.encode()
+
+    def test_nfc_normalization(self):
+        # e + combining acute (NFD input) normalizes to single codepoint
+        nfd = "cafe\u0301"
+        html = ("<body><p>" + (nfd + " ") * 10 + "long enough content</p></body>").encode()
+        text, _ = extract_main_content(html)
+        assert "caf\u00e9" in text
+        assert "\u0301" not in text
