@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in redactifai_ray library code) calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,221 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke: PII detect→merge→mask over the sf0.001
+    documents table (the engine's detect/mask chain on driver data), plus
+    schema-stable output."""
+    import pyarrow as pa
+    import ray.data
+
+    from redactifai_ray.functions.mask import mask_text
+    from redactifai_ray.stages.detect import SpanDetector
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    class Deidentify:
+        def __init__(self):
+            self.det = SpanDetector()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            masked, counts = [], []
+            for t in texts:
+                m, merged = mask_text(t or "", self.det.detect(t or ""))
+                masked.append(m)
+                counts.append(len(merged))
+            out = batch.append_column("masked_text", pa.array(masked, pa.string()))
+            return out.append_column("span_count", pa.array(counts, pa.int32()))
+
+    return docs.map_batches(
+        Deidentify, batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from redactifai_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # detection / masking / dedup / analysis over documents
+        "regex_counts": q.q_regex_counts,
+        "mask_words": q.q_mask_words,
+        "dedup_exact": q.q_dedup_exact,
+        "lang_counts": q.q_lang_counts,
+        "token_stats": q.q_token_stats,
+        "quality": q.q_quality,
+        "docs_top_longest": q.q_docs_top_longest,
+        "fingerprints": q.q_fingerprints,
+        "lang_pred_counts": q.q_lang_pred_counts,
+        # near-dup families (not SQL-expressible → rows-only checks)
+        "minhash_pairs": q.q_minhash_pairs,
+        "simhash_pairs": q.q_simhash_pairs,
+        "embedding_near_dup": q.q_embedding_near_dup,
+        # similarity search
+        "knn": q.q_knn,
+        # relational / streaming-shaped
+        "tpch_q1": q.q_tpch_q1,
+        "tpch_q3": q.q_tpch_q3,
+        "sessionize": q.q_sessionize,
+        "orders_by_status": q.q_orders_by_status,
+        "top_orders": q.q_top_orders,
+        "orders_per_nation": q.q_orders_per_nation,
+        "events_window": q.q_events_window,
+        "events_type_counts": q.q_events_type_counts,
+        # webtext flagship (synthetic pages; golden-pinned in tests)
+        "extract_pages": q.q_extract_pages,
+        "deidentify_pages": q.q_deidentify_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    stop_en = (
+        "the of and to in a is that for it as with on be are this by from or "
+        "an have not at but they you we his her its was were been has had"
+    ).split()
+    stop_list = ", ".join(f"'{w}'" for w in stop_en)
+    return {
+        "regex_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{email}', 0, 'i'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text, '\\d{{3}}-\\d{{3}}-\\d{{4}}'))::BIGINT AS n_phone,
+                   len(regexp_extract_all(text, '\\btable\\b'))::BIGINT AS n_table,
+                   len(regexp_extract_all(text, '\\bkey\\b'))::BIGINT AS n_key
+            FROM documents
+        """,
+        "mask_words": """
+            SELECT doc_id,
+                   regexp_replace(text, '\\btable\\b', '[TABLE]', 'g') AS masked_text
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT doc_id, md5(text) AS text_md5
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+        "lang_counts": """
+            SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::BIGINT AS n_punct,
+                   len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_words
+            FROM documents
+        """,
+        "quality": f"""
+            WITH feats AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                       w -> list_contains([{stop_list}], w)))::BIGINT AS n_stopwords,
+                       len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_words,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::BIGINT AS n_punct,
+                       len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+                       length(text)::BIGINT AS n_chars
+                FROM documents
+            )
+            SELECT doc_id, n_stopwords,
+                   0.4 * (CASE WHEN n_words > 0 THEN n_stopwords::DOUBLE / n_words ELSE 0.0 END)
+                 + 0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+                 + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
+                   AS quality_score
+            FROM feats
+        """,
+        "docs_top_longest": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "knn": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC
+                       ) AS rank
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.qid
+            )
+            SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5
+        """,
+        "tpch_q1": """
+            -- money sums via exact fixed-point int64 so the result is
+            -- independent of accumulation order (see q_tpch_q1 docstring)
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS sum_disc_price,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey,
+                   sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey ASC
+            LIMIT 10
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tagged AS (
+                SELECT user_id, ts, event_id,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       )::BIGINT AS session_id
+                FROM gaps
+            )
+            SELECT user_id, session_id,
+                   count(*)::BIGINT AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end
+            FROM tagged
+            GROUP BY user_id, session_id
+        """,
+        "orders_by_status": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n,
+                   max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "orders_per_nation": """
+            SELECT n.n_name, count(*)::BIGINT AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_window": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   max(value) AS max_value, min(value) AS min_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_type_counts": """
+            SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type
+        """,
+        # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
+        # embedding_near_dup / extract_pages / deidentify_pages:
+        # non-SQL-expressible (stateful sketches, custom hashing, HTML DOM
+        # walk) → rows-only driver checks; correctness pinned in tests/.
+    }

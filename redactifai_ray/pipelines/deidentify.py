@@ -31,11 +31,13 @@ from typing import Optional, Sequence, Union
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
+from ..cluster import default_partitions, default_pool
 from ..policy import MaskingLevel
 from ..sources.pages import read_pages
-from ..stages.detect import SpanDetector
+from ..stages.detect import SpanDetector, make_detect_batch
 from ..stages.extract import make_extract_batch
 from ..stages.mask import make_explode_spans, make_mask_batch
 
@@ -56,15 +58,19 @@ def add_size_bucket(batch: pa.Table) -> pa.Table:
 
 
 def dedup_latest(
-    ds: ray.data.Dataset, key: str = "url", order_col: str = "warc_ts"
+    ds: ray.data.Dataset,
+    key: str = "url",
+    order_col: str = "warc_ts",
+    num_partitions: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Exact key dedup keeping the newest row per key (hash shuffle on
     ``key``; reference analog: repeated crawl URLs, SURVEY §2.5/§2.7).
 
-    Deterministic: within a group rows sort by (order_col desc, then all
-    remaining columns via stable sort on order only — fixture duplicates
-    share identical payloads, and at scale ties on (url, warc_ts) are
-    crawl-identical rows by construction)."""
+    This is the full-shuffle path — correct at any key cardinality and
+    deterministic on exact (key, order) ties (group sort). The flagship
+    pipeline prefers ``compute_dup_winners`` + a broadcast filter, which
+    avoids shuffling the 98% of rows whose key is unique; use this one
+    when the duplicate-key set cannot fit in driver/object-store memory."""
 
     def keep_newest(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -72,7 +78,92 @@ def dedup_latest(
         )
         return group.take(idx[:1])
 
-    return ds.groupby(key).map_groups(keep_newest, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    return ds.groupby(key, num_partitions=num_partitions).map_groups(
+        keep_newest, batch_format="pyarrow"
+    )
+
+
+def compute_dup_winners(
+    input_path: Union[str, Sequence[str]],
+    key: str = "url",
+    order_col: str = "warc_ts",
+    max_dup_keys: int = 5_000_000,
+) -> Optional[dict]:
+    """Scan ONLY (key, order) columns of the input (Parquet column pruning
+    → a few bytes/row even when rows carry megabyte html blobs) and return
+    ``{key: max_order}`` for keys appearing more than once.
+
+    This is the broadcast side of the shuffle-free dedup: the main pass
+    keeps a row iff its key is absent from this map or its order equals
+    the max. Returns None when the duplicate-key set exceeds
+    ``max_dup_keys`` — the caller then falls back to the full-shuffle
+    ``dedup_latest`` (at 10^12-doc scale with percent-level dup rates the
+    winner map stops fitting; the slim pre-scan stays cheap either way).
+
+    Tie caveat: two rows with identical (key, order) both survive —
+    crawl-identical rows by construction; the full-shuffle path breaks
+    such ties deterministically instead."""
+    from ray.data.aggregate import Count, Max
+
+    from ..cluster import cluster_cpus
+
+    # coalesce the slim read into ~2 blocks/CPU: per-file read tasks on a
+    # many-small-files layout cost more than the 2-column scan itself.
+    # (At 100 TB the slim projection is ~0.1% of input — size blocks so
+    # each stays well under worker heap, e.g. bytes-derived count.)
+    slim = ray.data.read_parquet(
+        input_path, columns=[key, order_col],
+        override_num_blocks=cluster_cpus() * 2,
+    )
+
+    def partial_agg(batch: pa.Table) -> pa.Table:
+        # vectorized C++ combine per block (pyarrow group_by)
+        g = batch.group_by(key).aggregate([(order_col, "max"), (key, "count")])
+        return g.rename_columns([key, "max_order", "n"])
+
+    n_rows = slim.count()  # parquet metadata — no data read
+    if n_rows <= 50_000_000:
+        # tree combine: per-block partials → one vectorized final combine.
+        # The final task sees <= one row per distinct key — fine up to
+        # ~50M keys; beyond that fall through to the distributed groupby.
+        partials = slim.map_batches(partial_agg, batch_format="pyarrow")
+
+        def final_combine(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(key).aggregate([("max_order", "max"), ("n", "sum")])
+            g = g.rename_columns([key, "max_order", "n"])
+            return g.filter(pc.greater(g["n"], 1))
+
+        dups = partials.repartition(1).map_batches(
+            final_combine, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        agg = slim.groupby(key, num_partitions=cluster_cpus() * 4).aggregate(
+            Count(alias_name="n"), Max(order_col, alias_name="max_order")
+        )
+        dups = agg.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+        )
+    rows = dups.take(max_dup_keys + 1)
+    if len(rows) > max_dup_keys:
+        return None
+    return {r[key]: r["max_order"] for r in rows}
+
+
+def make_winner_filter(winners_ref, key: str = "url", order_col: str = "warc_ts"):
+    """Batch filter keeping non-duplicate rows and duplicate winners."""
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        winners = ray.get(winners_ref)
+        keys = batch[key].to_pylist()
+        orders = batch[order_col].to_pylist()
+        mask = [
+            (k not in winners) or (o == winners[k]) for k, o in zip(keys, orders)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return keep_winners
 
 
 def build_deidentify_pipeline(
@@ -87,40 +178,79 @@ def build_deidentify_pipeline(
     emit_blocks: bool = False,
     extract_batch_size: int = 64,
     detect_batch_size: int = 256,
-    detect_concurrency=(2, 8),
+    detect_concurrency=None,
+    detector_mode: str = "tasks",
     extra_patterns: Optional[dict] = None,
 ) -> ray.data.Dataset:
     """Build (lazily) the flagship Dataset. Consume with write_parquet /
-    iter_batches; nothing materializes here."""
+    iter_batches; nothing materializes here.
+
+    ``detector_mode``: "tasks" (default) runs detection as elastic tasks
+    with per-worker-process cached regex state — fastest for the built-in
+    cheap-state detector; "actors" runs the SpanDetector as an
+    autoscaling actor pool — required when the detector carries heavy
+    state (NER model / gazetteer; SURVEY §2.3 ST2)."""
+    if detect_concurrency is None:
+        # pool floor at half the cluster so a short job ramps fast; cap at
+        # cluster CPUs (only used in detector_mode="actors")
+        lo, hi = default_pool(min_actors=2)
+        detect_concurrency = (max(2, hi // 2), hi)
+
+    # dedup strategy: "broadcast" pre-scans (url, warc_ts) and filters
+    # stale duplicates BEFORE extraction — no shuffle of content rows and
+    # no wasted extraction of losers; falls back to the full-shuffle path
+    # when the winner map would not fit or the input is an opaque Dataset.
+    winners = None
+    shuffle_dedup = False
+    if dedup:
+        if isinstance(input_path, ray.data.Dataset) or dedup == "shuffle":
+            shuffle_dedup = True
+        else:
+            winners = compute_dup_winners(input_path)
+            if winners is None:
+                shuffle_dedup = True
+
     if isinstance(input_path, ray.data.Dataset):
         ds = input_path
     else:
         ds = read_pages(input_path)
 
+    if winners is not None:
+        ds = ds.map_batches(
+            make_winner_filter(ray.put(winners)), batch_format="pyarrow"
+        )
     ds = ds.map_batches(
         make_extract_batch(emit_blocks=emit_blocks),
         batch_format="pyarrow",
         batch_size=extract_batch_size,
     )
-    if dedup:
+    if shuffle_dedup:
         ds = dedup_latest(ds)
     ds = ds.map_batches(add_size_bucket, batch_format="pyarrow")
     if size_bucket_shuffle:
         # co-locate similar-size rows so giant pages don't straggle inside
         # mixed blocks; at cluster scale use this before the actor stage.
         ds = ds.repartition(200, shuffle=True)
-    ds = ds.map_batches(
-        SpanDetector,
-        fn_constructor_kwargs={
-            "masking_level": masking_level,
-            "custom_categories": custom_categories,
-            "extra_patterns": extra_patterns,
-        },
-        batch_format="pyarrow",
-        batch_size=detect_batch_size,
-        concurrency=detect_concurrency,
-        num_cpus=1,
-    )
+    detector_kwargs = {
+        "masking_level": masking_level,
+        "custom_categories": custom_categories,
+        "extra_patterns": extra_patterns,
+    }
+    if detector_mode == "tasks":
+        ds = ds.map_batches(
+            make_detect_batch(**detector_kwargs),
+            batch_format="pyarrow",
+            batch_size=detect_batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            SpanDetector,
+            fn_constructor_kwargs=detector_kwargs,
+            batch_format="pyarrow",
+            batch_size=detect_batch_size,
+            concurrency=detect_concurrency,
+            num_cpus=1,
+        )
     ds = ds.map_batches(
         make_mask_batch(confidence_threshold=confidence_threshold, style=mask_style),
         batch_format="pyarrow",
@@ -138,8 +268,9 @@ def spans_table(out_ds: ray.data.Dataset, include_text: bool = False) -> ray.dat
 
 
 OUTPUT_COLUMNS = [
-    "url", "warc_ts", "lang", "extracted_text", "masked_text", "span_count",
-    "size_bucket", "status", "error", "processing_ms", "extractor_version",
+    "url", "warc_ts", "lang", "content_type", "extracted_text", "masked_text",
+    "span_count", "size_bucket", "status", "error", "processing_ms",
+    "extractor_version",
 ]
 
 

@@ -1,0 +1,530 @@
+"""Driver-checkable query implementations over the testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame whose
+row-set matches the paired ANSI-SQL oracle in ``__ray_entry__.oracle_sql``
+(column names included — the driver hashes values after sorting columns by
+name). Design rules applied throughout:
+
+  * prune columns at ``read_parquet`` — only what the query touches;
+  * vectorized per-batch kernels (pyarrow.compute / numpy / pandas);
+  * pre-aggregate inside ``map_batches`` before any ``groupby`` so the
+    shuffle moves partial rows, not raw rows;
+  * broadcast small join sides via ``ray.put`` — no shuffle joins for
+    dimension tables;
+  * oracled outputs avoid order-dependent float accumulations where
+    feasible (counts / min / max / raw values); the TPC-H-style sums are
+    the documented exception (last-ulp nondeterminism only).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.analyze import BPE_RE, PUNCT_RE, STOPWORDS, WORD_RE
+
+# --------------------------------------------------------------- helpers --
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=list(columns) if columns else None
+    )
+
+
+# ---------------------------------------------------------- documents ops --
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+TABLE_WORD_RE = r"\btable\b"
+KEY_WORD_RE = r"\bkey\b"
+
+
+def q_regex_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-document regex hit counts (the vectorizable prefilter side of
+    the detector, M6 analog on the generic corpus)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    email = re.compile(EMAIL_RE, re.IGNORECASE)
+    phone = re.compile(PHONE_RE)
+    word_table = re.compile(TABLE_WORD_RE)
+    word_key = re.compile(KEY_WORD_RE)
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_email": pa.array([len(email.findall(t)) for t in texts], pa.int64()),
+                "n_phone": pa.array([len(phone.findall(t)) for t in texts], pa.int64()),
+                "n_table": pa.array(
+                    [len(word_table.findall(t)) for t in texts], pa.int64()
+                ),
+                "n_key": pa.array([len(word_key.findall(t)) for t in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(count_batch, batch_format="pyarrow")
+
+
+def q_mask_words(sf_dir: str) -> ray.data.Dataset:
+    """Single-category masking over documents — detect('table') → merge →
+    substitute. SQL-equivalent to a global regexp_replace, which makes the
+    whole detect→merge→mask chain oracle-checkable byte-for-byte."""
+    from ..functions.mask import mask_text
+    from ..stages.detect import SpanDetector
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class MaskTable:
+        def __init__(self):
+            self.det = SpanDetector(
+                patterns={"Table": [TABLE_WORD_RE]}, detect_names=False
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            masked = [mask_text(t, self.det.detect(t))[0] for t in texts]
+            return pa.table(
+                {"doc_id": batch["doc_id"], "masked_text": pa.array(masked, pa.string())}
+            )
+
+    return docs.map_batches(MaskTable, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(docs)
+    return out.select_columns(["doc_id", "text_md5"])
+
+
+def q_lang_counts(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["lang"])
+    out = docs.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    return out
+
+
+def q_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Integer token/char features per document (oracle-exact: no floats)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word = re.compile(WORD_RE)
+    punct = re.compile(PUNCT_RE)
+    bpe = re.compile(BPE_RE)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array([len(t.split()) for t in texts], pa.int64()),
+                "n_bpe_tokens": pa.array(
+                    [len(bpe.findall(t)) for t in texts], pa.int64()
+                ),
+                "n_punct": pa.array([len(punct.findall(t)) for t in texts], pa.int64()),
+                "n_words": pa.array(
+                    [len(word.findall(t.lower())) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str) -> ray.data.Dataset:
+    """Stopword counts + fixed-order quality score (float; same expression
+    order as the SQL oracle)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    word = re.compile(WORD_RE)
+    punct = re.compile(PUNCT_RE)
+    stop_en = STOPWORDS["en"]
+
+    def quality(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ns_col, score_col = [], []
+        for t in texts:
+            words = word.findall(t.lower())
+            ns = sum(1 for w in words if w in stop_en)
+            np_ = len(punct.findall(t))
+            stop_ratio = ns / len(words) if words else 0.0
+            punct_ratio = np_ / len(t) if t else 0.0
+            tok_term = min(1.0, len(t.split()) / 100.0)
+            ns_col.append(ns)
+            score_col.append(
+                0.4 * stop_ratio + 0.3 * tok_term + 0.3 * (1.0 - punct_ratio)
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_stopwords": pa.array(ns_col, pa.int64()),
+                "quality_score": pa.array(score_col, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(quality, batch_format="pyarrow")
+
+
+def q_docs_top_longest(sf_dir: str) -> pd.DataFrame:
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    # top-k: sort is a shuffle but over a 2-column projection
+    out = docs.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+    return out.to_pandas()
+
+
+# ------------------------------------------------------- dedup (no SQL) --
+
+
+def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64"),
+                            "est_jaccard": pd.Series(dtype="float64")})
+    return out
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import simhash_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_pairs(docs, max_hamming=3).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64"),
+                            "hamming": pd.Series(dtype="int64")})
+    return out
+
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import embedding_near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.95).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64"),
+                            "cosine": pd.Series(dtype="float64")})
+    return out
+
+
+def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.analyze import add_fingerprint
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return add_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def q_lang_pred_counts(sf_dir: str) -> pd.DataFrame:
+    from ..stages.analyze import add_lang_pred
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        add_lang_pred(docs)
+        .groupby("lang_pred")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out
+
+
+# ------------------------------------------------------------ similarity --
+
+
+def q_knn(sf_dir: str) -> pd.DataFrame:
+    """Top-5 cosine neighbors for queries vec_id < 10 (ints only in the
+    output so the oracle hash is float-free)."""
+    from ..stages.similarity import knn_topk_from_dataset
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_topk_from_dataset(emb, n_queries=10, k=5).to_pandas()
+    return out[["query_id", "vec_id", "rank"]]
+
+
+# ------------------------------------------------------------ relational --
+
+
+def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary with per-batch partial aggregation
+    before the (tiny) groupby shuffle.
+
+    Money sums accumulate as exact fixed-point int64 (each term is the
+    same IEEE expression ``floor(x * scale + 0.5)`` the oracle uses, so
+    terms are bit-identical and integer summation is order-independent —
+    a float sum re-associated across batches would flip the last rounded
+    digit nondeterministically)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff)))
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return pa.table(
+                {c: pa.array([], t) for c, t in [
+                    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                    ("qty_c", pa.int64()), ("base_c", pa.int64()),
+                    ("disc_c", pa.int64()), ("n_rows", pa.int64()),
+                ]}
+            )
+        df["qty_c"] = np.floor(df["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df["base_c"] = np.floor(df["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df["disc_c"] = np.floor(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()) * 10000.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                qty_c=("qty_c", "sum"),
+                base_c=("base_c", "sum"),
+                disc_c=("disc_c", "sum"),
+                n_rows=("qty_c", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out.pop("qty_c") / 100.0
+    out["sum_base_price"] = out.pop("base_c") / 100.0
+    out["sum_disc_price"] = out.pop("disc_c") / 10000.0
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "n_rows"]
+    ]
+
+
+def q_orders_by_status(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    return (
+        orders.groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n"),
+            Max("o_totalprice", alias_name="max_price"),
+            Min("o_totalprice", alias_name="min_price"),
+        )
+        .to_pandas()
+    )
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return (
+        orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+
+
+def q_orders_per_nation(sf_dir: str) -> pd.DataFrame:
+    """Orders per customer nation — broadcast join (customer+nation are
+    small dimension tables; ship them once via ray.put, no shuffle join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"].to_numpy(),
+            cust["c_nationkey"].map(
+                dict(zip(nation["n_nationkey"], nation["n_name"]))
+            ).to_numpy(),
+        )
+    )
+    lookup_ref = ray.put(cust_to_nation)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        custkeys = batch["o_custkey"].to_pylist()
+        names = [lookup.get(k) for k in custkeys]
+        t = pa.table({"n_name": pa.array(names, pa.string())})
+        # per-batch partial count before the groupby shuffle
+        return pa.Table.from_pandas(
+            t.to_pandas().groupby("n_name", as_index=False).agg(n_orders=("n_name", "size")),
+            preserve_index=False,
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per user (order-independent aggregates only:
+    count / max / min — float-sum-free so the oracle hash is exact)."""
+    events = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("value", "size"),
+            max_value=("value", "max"),
+            min_value=("value", "min"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.map_batches(windowed, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"], num_partitions=32)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Max("max_value", alias_name="max_value"),
+            Min("min_value", alias_name="min_value"),
+        )
+        .to_pandas()
+    )
+
+
+def q_events_type_counts(sf_dir: str) -> pd.DataFrame:
+    events = _read(sf_dir, "events", ["event_type"])
+    return events.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+
+
+# ------------------------------------------------------- pages (no SQL) --
+
+_PAGES_CACHE: dict[str, str] = {}
+
+
+def _pages_dir_for(sf_dir: str) -> str:
+    """Deterministic synthetic pages corpus sized to the sf tier (cached
+    under /tmp keyed by size+seed; regeneration is reproducible)."""
+    import glob
+    import os
+
+    from ..fixtures import write_pages_parquet
+
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    n_pages = max(200, n_docs)
+    out = f"/tmp/rrx_pages_n{n_pages}_seed42"
+    if not glob.glob(os.path.join(out, "*.parquet")):
+        write_pages_parquet(out, n_pages, rows_per_file=500)
+    return out
+
+
+def q_extract_pages(sf_dir: str) -> ray.data.Dataset:
+    """Main-content extraction over the synthetic pages corpus (rows-only
+    driver check; byte-identity is pinned by the golden tests)."""
+    from ..sources.pages import read_pages
+    from ..stages.extract import make_extract_batch
+
+    ds = read_pages(_pages_dir_for(sf_dir))
+    ds = ds.map_batches(make_extract_batch(), batch_format="pyarrow", batch_size=64)
+    return ds.select_columns(["url", "extracted_text", "n_chars", "n_blocks", "status"])
+
+
+def q_deidentify_pages(sf_dir: str) -> ray.data.Dataset:
+    """Flagship end-to-end pipeline over the synthetic pages corpus."""
+    from .deidentify import build_deidentify_pipeline, finalize_output
+
+    ds = build_deidentify_pipeline(_pages_dir_for(sf_dir))
+    return finalize_output(ds).drop_columns(["processing_ms"])
+
+
+def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-style: top-10 open orders by revenue in one segment.
+
+    Join strategy: customer and orders are dimension-sized next to
+    lineitem → both broadcast once via ``ray.put`` (no shuffle join);
+    lineitem streams through one map_batches with per-batch partial
+    revenue aggregation; the final groupby shuffles only order-level
+    partials. Revenue uses the same fixed-point trick as q_tpch_q1."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_cust = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    cutoff = pd.Timestamp("1995-03-15")
+    keep = orders[
+        orders["o_custkey"].isin(seg_cust) & (orders["o_orderdate"] < cutoff)
+    ]
+    order_date = dict(zip(keep["o_orderkey"], keep["o_orderdate"]))
+    lookup_ref = ray.put(order_date)
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] > cutoff]
+        df = df[df["l_orderkey"].isin(lookup)]
+        if len(df) == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "rev_c": pa.array([], pa.int64()),
+            })
+        df["rev_c"] = np.floor(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy()) * 10000.0 + 0.5
+        ).astype(np.int64)
+        g = df.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()
+    )
+    out["revenue"] = out.pop("rev_c") / 10000.0
+    out["o_orderdate"] = out["l_orderkey"].map(order_date)
+    out = out.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (streaming-shaped op, SURVEY §2.9): events per user
+    split into sessions at >30-minute gaps. Ray: groupby(user).map_groups
+    over ts-sorted groups (the ordered-log pattern from the Ray guide);
+    the session id is the cumulative gap count — deterministic ints."""
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        g["session_id"] = gaps.cumsum().astype("int64")
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    return (
+        events.groupby("user_id", num_partitions=32)
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+    )

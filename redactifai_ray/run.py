@@ -19,8 +19,10 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="redactifai_ray deidentify pipeline")
-    ap.add_argument("--input", required=True, help="pages parquet dir or file")
-    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument("--status", metavar="OUT_ROOT",
+                    help="print the lineage/job report for a prior run and exit")
+    ap.add_argument("--input", help="pages parquet dir or file")
+    ap.add_argument("--output", help="output root")
     ap.add_argument(
         "--masking-level",
         default="safe_harbor",
@@ -32,6 +34,20 @@ def main(argv=None) -> int:
     ap.add_argument("--files-per-partition", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.status:
+        from .pipelines.reports import lineage_report
+
+        df = lineage_report(args.status)
+        if df.empty:
+            print(f"no lineage under {args.status}", file=sys.stderr)
+            return 1
+        cols = [c for c in ("partition_id", "status", "n_rows", "n_spans",
+                            "wall_s", "extractor_version") if c in df.columns]
+        print(df[cols].to_string(index=False))
+        return 0
+    if not args.input or not args.output:
+        ap.error("--input and --output are required (or use --status)")
 
     import ray
 

@@ -34,6 +34,36 @@ def read_pages(
     return ray.data.read_parquet(path, columns=list(columns), **kwargs)
 
 
+def read_pages_from_html_files(
+    dir_path: str, lang: str = "unknown", **kwargs
+) -> ray.data.Dataset:
+    """Raw-blob variant (SURVEY §2.1 S1): a directory of raw .html files →
+    the pages schema via ``read_binary_files`` + a per-batch projection.
+    ``url`` is derived from the file path; ``warc_ts`` from file mtime is
+    deliberately NOT used (non-deterministic across copies) — epoch 0."""
+    import datetime
+
+    import pyarrow as pa
+
+    ds = ray.data.read_binary_files(dir_path, include_paths=True, **kwargs)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"file://{p}" for p in paths], pa.string()),
+                "warc_ts": pa.array(
+                    [datetime.datetime(1970, 1, 1)] * len(paths), pa.timestamp("us")
+                ),
+                "html": batch["bytes"],
+                "text": pa.array([None] * len(paths), pa.string()),
+                "lang": pa.array([lang] * len(paths), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
 def read_documents(
     sf_dir: str, columns: Optional[Sequence[str]] = None, **kwargs
 ) -> ray.data.Dataset:

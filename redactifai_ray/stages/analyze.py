@@ -1,0 +1,169 @@
+"""Text-analysis stages for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+These extend the engine beyond the reference's operator set (SURVEY §2
+notes the reference has no corpus analytics) — they are the operations a
+100 TB webtext pipeline needs between extraction and training. All are
+stateful-lite (compiled regexes / stopword tables) → callable classes for
+``map_batches``; all arithmetic is fixed-order double math so results are
+reproducible and oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..functions.hashing import rolling_fingerprint
+
+# ASCII-explicit classes so DuckDB's RE2 oracle regexes match Python exactly
+TOKEN_RE = r"\S+"
+WORD_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[^A-Za-z0-9_\s]"
+UPPER_RE = r"[A-Z]"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": frozenset(
+        "the of and to in a is that for it as with on be are this by from or "
+        "an have not at but they you we his her its was were been has had".split()
+    ),
+    "de": frozenset(
+        "der die das und ist von mit auf für ein eine nicht als auch werden "
+        "bei einem durch über nach wird sind oder zur".split()
+    ),
+    "fr": frozenset(
+        "le la les de des et un une est dans pour que qui sur avec pas plus "
+        "par mais comme tout nous vous leur bien sans".split()
+    ),
+}
+
+LANG_PRIORITY = ("en", "de", "fr")  # deterministic tie-break order
+
+
+class TextStats:
+    """Per-document quality features + score.
+
+    quality_score = 0.4*stop_ratio + 0.3*min(1, n_tokens/100) + 0.3*(1-punct_ratio)
+    (fixed-order double arithmetic — matches the SQL oracle exactly).
+    """
+
+    def __init__(self, text_col: str = "text", lang_col: str | None = None):
+        self.text_col = text_col
+        self.lang_col = lang_col
+        self.word_re = re.compile(WORD_RE)
+        self.punct_re = re.compile(PUNCT_RE)
+        self.upper_re = re.compile(UPPER_RE)
+        self.bpe_re = re.compile(BPE_RE)
+        self.stop_en = STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n_tokens, n_bpe, punct_n, upper_n, stop_n, word_n, scores = (
+            [], [], [], [], [], [], []
+        )
+        for t in texts:
+            t = t or ""
+            toks = t.split()
+            words = self.word_re.findall(t.lower())
+            np_ = len(self.punct_re.findall(t))
+            nu = len(self.upper_re.findall(t))
+            ns = sum(1 for w in words if w in self.stop_en)
+            n_tokens.append(len(toks))
+            n_bpe.append(len(self.bpe_re.findall(t)))
+            punct_n.append(np_)
+            upper_n.append(nu)
+            stop_n.append(ns)
+            word_n.append(len(words))
+            stop_ratio = ns / len(words) if words else 0.0
+            punct_ratio = np_ / len(t) if t else 0.0
+            tok_term = min(1.0, len(toks) / 100.0)
+            scores.append(0.4 * stop_ratio + 0.3 * tok_term + 0.3 * (1.0 - punct_ratio))
+        out = batch
+        for name, vals, typ in (
+            ("n_tokens", n_tokens, pa.int64()),
+            ("n_bpe_tokens", n_bpe, pa.int64()),
+            ("n_punct", punct_n, pa.int64()),
+            ("n_upper", upper_n, pa.int64()),
+            ("n_stopwords", stop_n, pa.int64()),
+            ("n_words", word_n, pa.int64()),
+            ("quality_score", scores, pa.float64()),
+        ):
+            out = out.append_column(name, pa.array(vals, typ))
+        return out
+
+
+def add_text_stats(ds, text_col: str = "text", concurrency=(1, 8)):
+    """documents → + n_tokens/n_bpe_tokens/n_punct/n_upper/n_stopwords/
+    n_words/quality_score columns (actor pool; regexes compile per actor)."""
+    return ds.map_batches(
+        TextStats,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class LangId:
+    """N-gram-free stopword-voting language ID (en/de/fr/unknown).
+
+    Deterministic: argmax of stopword hits with priority-order tie-break;
+    zero hits → "unknown"."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.word_re = re.compile(r"[a-zäöüéèêàçûô']+")
+        self.tables = [(lang, STOPWORDS[lang]) for lang in LANG_PRIORITY]
+
+    def predict(self, text: str) -> str:
+        words = self.word_re.findall((text or "").lower())
+        best_lang, best_hits = "unknown", 0
+        for lang, table in self.tables:
+            hits = sum(1 for w in words if w in table)
+            if hits > best_hits:  # strict > keeps priority order on ties
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(self.out_col, pa.array(preds, pa.string()))
+
+
+def add_lang_pred(ds, text_col: str = "text", concurrency=(1, 8)):
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class Fingerprint:
+    """Rolling word-5-gram min-hash document fingerprint (hex)."""
+
+    def __init__(self, text_col: str = "text", k: int = 5, out_col: str = "fingerprint"):
+        self.text_col = text_col
+        self.k = k
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [
+            rolling_fingerprint(t or "", self.k)
+            for t in batch[self.text_col].to_pylist()
+        ]
+        return batch.append_column(self.out_col, pa.array(fps, pa.string()))
+
+
+def add_fingerprint(ds, text_col: str = "text", k: int = 5, concurrency=(1, 8)):
+    return ds.map_batches(
+        Fingerprint,
+        fn_constructor_kwargs={"text_col": text_col, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -209,3 +209,39 @@ class SpanDetector:
         return batch.append_column(
             "spans", pa.array(spans_col, pa.list_(SPAN_STRUCT))
         )
+
+
+# process-level detector cache for the task-based stage (see
+# make_detect_batch): Ray worker processes persist across tasks within a
+# session, so state warms once per worker — the same amortization as an
+# actor pool without pool-scheduling rigidity.
+_DETECTOR_CACHE: dict[str, SpanDetector] = {}
+
+
+def make_detect_batch(**detector_kwargs):
+    """Task-based detection stage: a plain function for ``map_batches``.
+
+    The detector's state here is compiled regexes (microseconds to build),
+    so elastic tasks with a per-worker-process cache outperform an actor
+    pool: the scheduler packs every free CPU with no pool ramp-up and no
+    CPU reservations starving neighboring stages (measured 1.7x faster at
+    both 8 and 32 CPUs on the flagship). Use the ``SpanDetector`` class
+    with ``map_batches(..., concurrency=...)`` instead when the detector
+    carries genuinely expensive state (an NER model, a big gazetteer) —
+    that path is what the actor-pool doctrine (SURVEY §2.3 ST2) is for.
+    """
+    key = repr(sorted(
+        (k, repr(sorted(v.items())) if isinstance(v, dict) else repr(v))
+        for k, v in detector_kwargs.items()
+    ))
+
+    def detect_batch(batch: pa.Table) -> pa.Table:
+        det = _DETECTOR_CACHE.get(key)
+        if det is None:
+            det = SpanDetector(**{
+                k: v for k, v in detector_kwargs.items() if v is not None
+            })
+            _DETECTOR_CACHE[key] = det
+        return det(batch)
+
+    return detect_batch

@@ -230,7 +230,15 @@ BLOCK_STRUCT = pa.struct(
 )
 
 
-def make_extract_batch(emit_blocks: bool = False, html_col: str = "html"):
+MAX_HTML_BYTES = 16 * 1024 * 1024  # oversize guard (reference analog:
+# DocumentProcessor.optimize_for_ocr size gate, document_processor.py:187-222)
+
+
+def make_extract_batch(
+    emit_blocks: bool = False,
+    html_col: str = "html",
+    max_html_bytes: int = MAX_HTML_BYTES,
+):
     """Build the extraction batch fn for ``map_batches(batch_format="pyarrow")``.
 
     Stateless (pure CPU) → runs as elastic Ray tasks, not actors. Failure
@@ -240,20 +248,46 @@ def make_extract_batch(emit_blocks: bool = False, html_col: str = "html"):
     src/services/deidentification_service.py:334-347; see SURVEY §7.5.4).
     """
 
+    from .content import sniff_content_type
+
     def extract_batch(batch: pa.Table) -> pa.Table:
         htmls = batch[html_col].to_pylist()
         texts: list[str] = []
         n_blocks: list[int] = []
         statuses: list[str] = []
         errors: list[str | None] = []
+        ctypes: list[str] = []
         blocks_col: list[list[dict]] = []
         for raw in htmls:
+            raw = raw or b""
+            if len(raw) > max_html_bytes:
+                # oversize payloads truncate at a boundary-safe cut rather
+                # than OOM-ing a worker; recorded in the error column
+                raw = raw[:max_html_bytes]
+                oversize = True
+            else:
+                oversize = False
+            ctype = sniff_content_type(raw)
+            ctypes.append(ctype)
             try:
-                text, blocks = extract_main_content(raw or b"")
+                if ctype == "text":
+                    # plain-text payload: no DOM walk, same normalization
+                    text = _normalize(raw.decode("utf-8", errors="replace"))
+                    blocks = (
+                        [{"text": text, "start": 0, "end": len(text),
+                          "tag": "", "link_density": 0.0,
+                          "text_density": float(len(text)),
+                          "is_content": True}]
+                        if text else []
+                    )
+                elif ctype in ("binary", "empty"):
+                    text, blocks = "", []
+                else:
+                    text, blocks = extract_main_content(raw)
                 texts.append(text)
                 n_blocks.append(sum(1 for b in blocks if b["is_content"]))
                 statuses.append("ok")
-                errors.append(None)
+                errors.append("truncated_oversize_html" if oversize else None)
                 if emit_blocks:
                     blocks_col.append(
                         [{k: b[k] for k in (
@@ -279,6 +313,7 @@ def make_extract_batch(emit_blocks: bool = False, html_col: str = "html"):
         out = out.append_column("n_blocks", pa.array(n_blocks, pa.int32()))
         out = out.append_column("status", pa.array(statuses, pa.string()))
         out = out.append_column("error", pa.array(errors, pa.string()))
+        out = out.append_column("content_type", pa.array(ctypes, pa.string()))
         out = out.append_column(
             "extractor_version",
             pa.array([EXTRACTOR_VERSION] * len(texts), pa.string()),

@@ -114,3 +114,16 @@ class TestDeterminism:
         text, _ = extract_main_content(html)
         assert "caf\u00e9" in text
         assert "\u0301" not in text
+
+
+class TestOversizeGuard:
+    def test_oversize_truncated_not_failed(self):
+        from redactifai_ray.stages.extract import make_extract_batch
+        import pyarrow as pa
+
+        big = (b"<html><body><p>" + b"word " * 100 + b"</p>" ) * 50
+        ex = make_extract_batch(max_html_bytes=1024)
+        out = ex(pa.table({"url": ["u"], "html": [big]}))
+        assert out["status"][0].as_py() == "ok"
+        assert out["error"][0].as_py() == "truncated_oversize_html"
+        assert 0 < out["n_chars"][0].as_py() < 2000

@@ -1,0 +1,256 @@
+"""Training-data operator tests: analysis, dedup families, similarity
+search, multimodal plumbing. Run over /root/testdata/sf0.001 plus small
+synthetic corners."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+class TestTextStats:
+    def test_token_counts_match_split(self, docs):
+        from redactifai_ray.stages.analyze import add_text_stats
+
+        out = add_text_stats(docs).to_pandas()
+        sample = out.head(20)
+        for _, r in sample.iterrows():
+            assert r["n_tokens"] == len(r["text"].split())
+        assert (out["quality_score"] >= 0).all() and (out["quality_score"] <= 1).all()
+
+    def test_quality_monotone_in_stopwords(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import add_text_stats
+
+        t_good = "the cat and the dog are in the house with a bird " * 5
+        t_bad = "zxqv wkrp fjord glyph " * 5
+        ds = ray.data.from_items(
+            [{"doc_id": 1, "text": t_good}, {"doc_id": 2, "text": t_bad}]
+        )
+        out = add_text_stats(ds).to_pandas()
+        out = out.set_index("doc_id")
+        assert out.loc[1, "quality_score"] > out.loc[2, "quality_score"]
+
+
+class TestLangId:
+    def test_known_languages(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import add_lang_pred
+
+        rows = [
+            {"doc_id": 1, "text": "the cat is in the house and it is happy with the dog"},
+            {"doc_id": 2, "text": "der hund ist mit der katze in einem haus und das ist gut"},
+            {"doc_id": 3, "text": "le chat est dans la maison avec les chiens et pour nous"},
+            {"doc_id": 4, "text": "zxqv wkrp fjord"},
+        ]
+        out = (
+            add_lang_pred(ray.data.from_items(rows))
+            .to_pandas()
+            .set_index("doc_id")["lang_pred"]
+        )
+        assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "unknown"
+
+
+class TestFingerprint:
+    def test_stable_and_distinct(self, docs):
+        from redactifai_ray.stages.analyze import add_fingerprint
+
+        out = add_fingerprint(docs.limit(50)).to_pandas()
+        assert out["fingerprint"].str.len().eq(16).all()
+        assert out["fingerprint"].nunique() > 40  # random texts → near-unique
+
+
+class TestExactDedup:
+    def test_synthetic_dups_collapse(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import exact_dedup
+
+        rows = [
+            {"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "alpha beta gamma"},
+            {"doc_id": 3, "text": "something else entirely"},
+            {"doc_id": 4, "text": "alpha beta gamma"},
+        ]
+        out = exact_dedup(ray.data.from_items(rows)).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3]  # min id kept per text
+
+    def test_no_dups_identity(self, docs):
+        from redactifai_ray.stages.dedup import exact_dedup
+
+        assert exact_dedup(docs).count() == docs.count()
+
+
+class TestMinHash:
+    def test_near_dups_found_far_pairs_not(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import minhash_lsh_pairs
+
+        base = " ".join(f"tok{i}" for i in range(120))
+        near = base.replace("tok5 ", "tok5x ").replace("tok80 ", "changed ")
+        far = " ".join(f"other{i}" for i in range(120))
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": far},
+        ]
+        out = minhash_lsh_pairs(
+            ray.data.from_items(rows), threshold=0.5
+        ).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_verify_exact_jaccard(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import verify_pairs_jaccard
+
+        a = "one two three four five six seven eight"
+        b = "one two three four five six seven different"
+        ds = ray.data.from_items(
+            [{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b}]
+        )
+        out = verify_pairs_jaccard(ds, [(1, 2)], shingle_k=1)
+        # token sets: 8 each, 7 shared → 7/9
+        assert out.iloc[0]["jaccard"] == pytest.approx(7 / 9)
+
+
+class TestSimHash:
+    def test_near_dup_detected(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import simhash_pairs
+
+        base = " ".join(f"word{i}" for i in range(300))
+        near = base.replace("word7 ", "w7 ")
+        far = " ".join(f"zz{i}" for i in range(300))
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": far},
+        ]
+        out = simhash_pairs(ray.data.from_items(rows), max_hamming=6).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert (1, 2) in got and (1, 3) not in got
+
+
+class TestEmbeddingDedup:
+    def test_identical_vectors_pair(self, emb, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import embedding_near_dup_pairs
+
+        # plant an exact duplicate vector pair
+        two = emb.take(2)
+        planted = ray.data.from_items(
+            [
+                {"vec_id": 9001, "embedding": two[0]["embedding"], "label": 0},
+                {"vec_id": 9002, "embedding": two[0]["embedding"], "label": 0},
+            ]
+        )
+        ds = emb.union(planted)
+        out = embedding_near_dup_pairs(ds, threshold=0.999).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert (9001, 9002) in got
+
+
+class TestKnn:
+    def test_topk_matches_numpy_oracle(self, emb, ray_session):
+        from redactifai_ray.stages.similarity import knn_topk
+
+        df = emb.to_pandas()
+        mat = np.asarray(list(df["embedding"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+        ids = df["vec_id"].to_numpy()
+
+        q_ids = [int(ids[0]), int(ids[1])]
+        q_vecs = [mat[0].tolist(), mat[1].tolist()]
+        out = knn_topk(emb, q_ids, q_vecs, k=5).to_pandas()
+
+        for qi, qvec in zip(q_ids, [mat[0], mat[1]]):
+            sims = mat @ qvec
+            order = sorted(zip(-sims, ids))  # sim desc, id asc
+            expect = [int(i) for s, i in order if i != qi][:5]
+            got = (
+                out[out["query_id"] == qi]
+                .sort_values("rank")["vec_id"]
+                .astype(int)
+                .tolist()
+            )
+            assert got == expect
+
+    def test_rank_and_determinism(self, emb, ray_session):
+        from redactifai_ray.stages.similarity import knn_topk_from_dataset
+
+        a = knn_topk_from_dataset(emb, n_queries=3, k=4).to_pandas()
+        b = knn_topk_from_dataset(emb, n_queries=3, k=4).to_pandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )
+        assert set(a.groupby("query_id")["rank"].max()) == {4}
+
+
+class TestMultimodal:
+    def test_real_decoder_unavailable(self):
+        from redactifai_ray.stages.multimodal import DecodeImage
+
+        with pytest.raises(NotImplementedError):
+            DecodeImage(fake=False)
+
+    def test_fake_decode_pipeline(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.multimodal import (
+            DecodeImage,
+            ResizeStub,
+            encode_fake_image,
+        )
+
+        rows = [
+            {"img_id": i, "image": encode_fake_image(64 + i, 48, bytes(range(256)) * 2)}
+            for i in range(10)
+        ] + [{"img_id": 99, "image": b"not an image"}]
+        ds = ray.data.from_items(rows)
+        ds = ds.map_batches(
+            ResizeStub,
+            fn_constructor_kwargs=dict(fake=True, target=32),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        out = ds.map_batches(
+            DecodeImage,
+            fn_constructor_kwargs=dict(fake=True),
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+        ok = out[out["img_id"] != 99]
+        assert (ok["width"] == 32).all() and (ok["height"] == 32).all()
+        assert (ok["decode_ok"]).all()
+        feats = np.asarray(list(ok["features"]))
+        assert feats.shape == (10, 16)
+        assert np.allclose(feats.sum(axis=1), 1.0, atol=1e-5)
+        bad = out[out["img_id"] == 99].iloc[0]
+        assert not bad["decode_ok"] and bad["width"] == 0
+        assert "image" not in out.columns  # blob dropped after decode
