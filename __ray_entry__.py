@@ -66,12 +66,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_dup": q.q_embedding_near_dup,
+        "near_dedup": q.q_near_dedup,
         # similarity search
         "knn": q.q_knn,
         # relational / streaming-shaped
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
         "sessionize": q.q_sessionize,
+        "join_priority_revenue": q.q_join_priority_revenue,
+        "user_running": q.q_user_running,
         "orders_by_status": q.q_orders_by_status,
         "top_orders": q.q_top_orders,
         "orders_per_nation": q.q_orders_per_nation,
@@ -203,6 +206,20 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end
             FROM tagged
             GROUP BY user_id, session_id
+        """,
+        "join_priority_revenue": """
+            SELECT o.o_orderpriority,
+                   sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+                   count(*)::BIGINT AS n_lineitems
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "user_running": """
+            SELECT user_id, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )::BIGINT AS event_idx
+            FROM events
         """,
         "orders_by_status": """
             SELECT o_orderstatus, count(*)::BIGINT AS n,

@@ -37,6 +37,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+from .spans import sort_spans
 from .textdist import levenshtein
 
 
@@ -60,10 +61,21 @@ class SpanMatcher:
         fuzzy_match_threshold: int = 2,
         confidence_threshold: float = 0.0,
         pad_chars: int = 0,
+        resync_window: int = 200,
     ):
         self.fuzzy_match_threshold = fuzzy_match_threshold
         self.confidence_threshold = confidence_threshold
         self.pad_chars = pad_chars
+        # webtext robustness extension (not in the reference): when a word
+        # is unlocatable at the cursor, look for its next EXACT occurrence
+        # within this many chars and jump there. The reference skips the
+        # word with the cursor unchanged (entity_matcher.py:194-201) —
+        # which, after a single mis-length fuzzy match, leaves the cursor
+        # stuck mid-word and silently kills the rest of the alignment on
+        # long documents. Resync only fires where the reference would have
+        # dropped the word, so every test-pinned behavior is preserved;
+        # set 0 to disable (strict reference semantics).
+        self.resync_window = resync_window
 
     # -- offset map -------------------------------------------------------
 
@@ -82,6 +94,10 @@ class SpanMatcher:
             if cursor >= len(text):
                 break
             found = self._find_word_in_text(text, word, cursor)
+            if found is None and self.resync_window and len(word) >= 3:
+                j = text.find(word, cursor + 1, cursor + self.resync_window)
+                if j >= 0:
+                    found = (j, len(word))
             if found is not None:
                 start, length = found
                 offset_map.append(
@@ -131,10 +147,18 @@ class SpanMatcher:
             offset_map = self.build_offset_map(list(words_or_map), text)
 
         located: list[dict] = []
-        for span in spans:
+        # k-th span with an identical surface takes the k-th matching
+        # sequence in the fallback search: first-match-only per instance
+        # (reference :423-466 pins first-match for a single span; with
+        # several instances of one surface, mapping them all to occurrence
+        # #1 would leave later occurrences unmasked)
+        fallback_counts: dict[str, int] = {}
+        for span in sort_spans(spans):
             if span["confidence"] < self.confidence_threshold:
                 continue
-            matched = self._find_overlapping_words(span, offset_map, text)
+            matched = self._find_overlapping_words(
+                span, offset_map, text, fallback_counts
+            )
             if not matched:
                 continue
             by_group: dict[int, list[WordSpan]] = {}
@@ -159,7 +183,11 @@ class SpanMatcher:
         return located
 
     def _find_overlapping_words(
-        self, span: dict, offset_map: list[WordSpan], text: str
+        self,
+        span: dict,
+        offset_map: list[WordSpan],
+        text: str,
+        fallback_counts: Optional[dict] = None,
     ) -> list[WordSpan]:
         overlapping = [
             w for w in offset_map if w.overlaps_range(span["start"], span["end"])
@@ -171,15 +199,23 @@ class SpanMatcher:
             if levenshtein(combined.lower(), span_text.lower(), max_distance) > max_distance:
                 overlapping = []
         if not overlapping and span["text"].lower() in text.lower():
-            overlapping = self._fuzzy_search(span, offset_map)
+            skip = 0
+            if fallback_counts is not None:
+                key = span["text"].strip().lower()
+                skip = fallback_counts.get(key, 0)
+                fallback_counts[key] = skip + 1
+            overlapping = self._fuzzy_search(span, offset_map, skip)
         return overlapping
 
-    def _fuzzy_search(self, span: dict, offset_map: list[WordSpan]) -> list[WordSpan]:
+    def _fuzzy_search(
+        self, span: dict, offset_map: list[WordSpan], skip: int = 0
+    ) -> list[WordSpan]:
         span_text = span["text"].strip().lower()
         if len(span_text) < 3:
             return []
         span_words = span_text.split()
-        for i in range(len(offset_map)):
+        i = 0
+        while i < len(offset_map):
             matched: list[WordSpan] = []
             for j, sw in enumerate(span_words):
                 if i + j >= len(offset_map):
@@ -192,5 +228,10 @@ class SpanMatcher:
                 else:
                     break
             if len(matched) == len(span_words):
-                return matched  # first match only (reference :370)
+                if skip == 0:
+                    return matched  # first (unclaimed) match only (:370)
+                skip -= 1
+                i += len(span_words)  # jump past the claimed occurrence
+                continue
+            i += 1
         return []

@@ -180,6 +180,7 @@ def build_deidentify_pipeline(
     detect_batch_size: int = 256,
     detect_concurrency=None,
     detector_mode: str = "tasks",
+    detect_on: str = "extracted",
     extra_patterns: Optional[dict] = None,
 ) -> ray.data.Dataset:
     """Build (lazily) the flagship Dataset. Consume with write_parquet /
@@ -189,7 +190,14 @@ def build_deidentify_pipeline(
     with per-worker-process cached regex state — fastest for the built-in
     cheap-state detector; "actors" runs the SpanDetector as an
     autoscaling actor pool — required when the detector carries heavy
-    state (NER model / gazetteer; SURVEY §2.3 ST2)."""
+    state (NER model / gazetteer; SURVEY §2.3 ST2).
+
+    ``detect_on``: "extracted" (default) detects over the extractor's
+    canonical text — offsets are constructive, no alignment needed;
+    "text" detects over the crawl-provided ``text`` column and re-locates
+    spans onto ``extracted_text`` with the fuzzy SpanMatcher (the
+    reference EntityMatcher path; rows with null ``text`` fall back to
+    direct detection)."""
     if detect_concurrency is None:
         # pool floor at half the cluster so a short job ramps fast; cap at
         # cluster CPUs (only used in detector_mode="actors")
@@ -213,7 +221,7 @@ def build_deidentify_pipeline(
     if isinstance(input_path, ray.data.Dataset):
         ds = input_path
     else:
-        ds = read_pages(input_path)
+        ds = read_pages(input_path, include_text=(detect_on == "text"))
 
     if winners is not None:
         ds = ds.map_batches(
@@ -236,6 +244,16 @@ def build_deidentify_pipeline(
         "custom_categories": custom_categories,
         "extra_patterns": extra_patterns,
     }
+    if detect_on == "text":
+        # detect over crawl text (null → canonical text), then re-locate
+        detector_kwargs["text_col"] = "detect_src"
+
+        def add_detect_src(batch: pa.Table) -> pa.Table:
+            src = pc.coalesce(batch["text"], batch["extracted_text"])
+            return batch.append_column("detect_src", src)
+
+        ds = ds.map_batches(add_detect_src, batch_format="pyarrow")
+
     if detector_mode == "tasks":
         ds = ds.map_batches(
             make_detect_batch(**detector_kwargs),
@@ -250,6 +268,15 @@ def build_deidentify_pipeline(
             batch_size=detect_batch_size,
             concurrency=detect_concurrency,
             num_cpus=1,
+        )
+    if detect_on == "text":
+        from ..stages.relocate import make_relocate_batch
+
+        ds = ds.map_batches(
+            make_relocate_batch(source_col="text", target_col="extracted_text"),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda t: t.drop_columns(["detect_src"]), batch_format="pyarrow"
         )
     ds = ds.map_batches(
         make_mask_batch(confidence_threshold=confidence_threshold, style=mask_style),

@@ -528,3 +528,65 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
         .map_groups(sessionize, batch_format="pandas")
         .to_pandas()
     )
+
+
+def q_join_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large×large native hash join (Ray ``Dataset.join``, hash-partitioned
+    on the key): lineitem ⋈ orders on orderkey, then revenue per order
+    priority. Demonstrates the both-sides-large join path (vs the
+    broadcast joins elsewhere); revenue uses fixed-point int64 terms."""
+    from ..cluster import default_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        rev = np.floor(
+            np.asarray(batch["l_extendedprice"], dtype=np.float64)
+            * (1.0 - np.asarray(batch["l_discount"], dtype=np.float64))
+            * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_c": pa.array(rev, pa.int64())})
+
+    li_slim = li.map_batches(to_cents, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li_slim.join(
+        orders, "inner", num_partitions=default_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Count(alias_name="n_lineitems"))
+        .to_pandas()
+    )
+    out["revenue"] = out.pop("rev_c") / 10000.0
+    return out[["o_orderpriority", "revenue", "n_lineitems"]]
+
+
+def q_user_running(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered event index (the incremental-state / ordered-log
+    pattern, SURVEY §2.9): row_number within user by (ts, event_id)."""
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        g["event_idx"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["user_id", "event_id", "event_idx"]]
+
+    return (
+        events.groupby("user_id", num_partitions=32)
+        .map_groups(number, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_near_dedup(sf_dir: str) -> pd.DataFrame:
+    """Documents surviving MinHash-LSH near-dedup (threshold 0.9; the
+    testdata corpus plants true near-duplicates at Jaccard ~0.95+).
+    Rows-only check; correctness pinned by tests (planted-dup recovery +
+    exact-Jaccard verification)."""
+    from ..stages.dedup import near_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = near_dedup(docs, threshold=0.9).select_columns(["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

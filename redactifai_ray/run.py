@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     ap.add_argument("--mask-style", default="token", choices=["token", "block"])
     ap.add_argument("--confidence-threshold", type=float, default=0.0)
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument(
+        "--detect-on", default="extracted", choices=["extracted", "text"],
+        help="detect on canonical extracted text, or on the crawl text "
+             "column with fuzzy span relocation (EntityMatcher path)",
+    )
     ap.add_argument("--files-per-partition", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -84,6 +89,7 @@ def main(argv=None) -> int:
                 confidence_threshold=args.confidence_threshold,
                 mask_style=args.mask_style,
                 dedup=not args.no_dedup,
+                detect_on=args.detect_on,
             )
 
         summary = run_resumable(

@@ -433,3 +433,68 @@ def embedding_near_dup_pairs(
     return pairs.groupby(["id_a", "id_b"], num_partitions=default_partitions()).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+# ------------------------------------------------ near-dup clustering --
+
+
+def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over candidate pairs → {doc_id: cluster_root} (root =
+    minimum id in the cluster). Driver-side by design: the pair set is
+    the LSH output, orders of magnitude smaller than the corpus (the
+    same contract as verify_pairs_jaccard). For pathological corpora
+    where pairs themselves are huge, iterate min-label propagation with
+    a groupby instead (see module docstring)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def near_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_pairs: int = 5_000_000,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """Drop near-duplicate documents, keeping the minimum-id member of
+    each MinHash-LSH similarity cluster.
+
+    Pipeline: minhash_lsh_pairs (shingle→minhash→band→bucket groupby) →
+    driver union-find over the (small) pair set → broadcast loser-id set →
+    vectorized filter. The corpus itself is never shuffled."""
+    pairs_ds = minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col, threshold=threshold, **lsh_kwargs
+    )
+    pair_rows = pairs_ds.take(max_pairs + 1)
+    if len(pair_rows) > max_pairs:
+        raise ValueError(
+            f"near_dedup: >{max_pairs} candidate pairs — raise the LSH "
+            "threshold or switch to distributed label propagation"
+        )
+    roots = cluster_pairs([(r["id_a"], r["id_b"]) for r in pair_rows])
+    losers = {doc for doc, root in roots.items() if doc != root}
+    if not losers:
+        return ds
+    losers_ref = ray.put(losers)
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        drop = ray.get(losers_ref)
+        ids = batch[id_col].to_pylist()
+        mask = [int(i) not in drop for i in ids]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(drop_losers, batch_format="pyarrow")

@@ -1,0 +1,64 @@
+"""Span relocation stage — the EntityMatcher as a pipeline step.
+
+Use case (the reference's core problem re-expressed): spans were detected
+over one text variant (the crawl-provided ``text`` column — cheaper, or
+produced by an external detector) but masking must happen in the
+canonical ``extracted_text`` coordinate system. The per-row SpanMatcher
+(functions/align.py; reference: src/services/entity_matcher.py) re-locates
+each span by fuzzy word alignment — robust to whitespace differences,
+char-level noise and wrong offsets, with the reference's validation and
+first-match-only fallback semantics.
+
+Both sides of the "join" live in the same row (SURVEY §2.4: all reference
+joins are within-document) → plain ``map_batches``, no shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.align import SpanMatcher
+from .detect import SPAN_STRUCT
+
+
+def make_relocate_batch(
+    source_col: str = "text",
+    target_col: str = "extracted_text",
+    fuzzy_match_threshold: int = 2,
+    confidence_threshold: float = 0.0,
+):
+    """Relocate the ``spans`` column from ``source_col`` coordinates onto
+    ``target_col``. Rows whose source is null keep their spans unchanged
+    (they were detected on the target directly)."""
+
+    def relocate(batch: pa.Table) -> pa.Table:
+        matcher = SpanMatcher(
+            fuzzy_match_threshold=fuzzy_match_threshold,
+            confidence_threshold=confidence_threshold,
+        )
+        sources = batch[source_col].to_pylist()
+        targets = batch[target_col].to_pylist()
+        spans_lists = batch["spans"].to_pylist()
+        out_spans = []
+        for src, tgt, spans in zip(sources, targets, spans_lists):
+            if src is None or not spans:
+                out_spans.append(spans or [])
+                continue
+            located = matcher.match(src.split(), tgt or "", spans)
+            out_spans.append(
+                [
+                    {
+                        "start": s["start"],
+                        "end": s["end"],
+                        "category": s["category"],
+                        "subcategory": s.get("subcategory", ""),
+                        "confidence": s["confidence"],
+                        "text": s["text"],
+                    }
+                    for s in located
+                ]
+            )
+        idx = batch.column_names.index("spans")
+        return batch.set_column(idx, "spans", pa.array(out_spans, pa.list_(SPAN_STRUCT)))
+
+    return relocate

@@ -164,3 +164,54 @@ class TestPerformance:
         out = m.match(words, text, [span("John Smith", len(text) - 10, len(text))])
         assert len(out) == 1
         assert time.perf_counter() - t0 < 2.0
+
+
+class TestResync:
+    def test_desync_recovers(self):
+        # a word absent from the target (would stick the cursor in strict
+        # reference semantics) must not kill alignment of later words
+        m = SpanMatcher()
+        text = "alpha beta gamma delta epsilon zeta"
+        words = ["alpha", "MISSINGWORD", "gamma", "delta", "epsilon"]
+        omap = m.build_offset_map(words, text)
+        located = [w.text for w in omap]
+        assert "gamma" in located and "epsilon" in located
+
+    def test_strict_mode_matches_reference(self):
+        # resync disabled → reference behavior: cursor stuck after miss
+        m = SpanMatcher(resync_window=0)
+        text = "alpha beta gamma"
+        omap = m.build_offset_map(["alpha", "zzzz", "beta"], text)
+        # 'beta' only matches if cursor still at 'beta' position — it is,
+        # because 'zzzz' was skipped without moving the cursor
+        assert [w.text for w in omap] == ["alpha", "beta"]
+
+    def test_long_noisy_document_alignment_coverage(self):
+        from redactifai_ray.fixtures import page_record
+        from redactifai_ray.stages.extract import extract_main_content
+
+        rec = page_record(1942)  # known long noisy page
+        text, ext = rec["text"], extract_main_content(rec["html"])[0]
+        m = SpanMatcher()
+        words = text.split()
+        omap = m.build_offset_map(words, ext)
+        assert len(omap) > 0.95 * len(words)
+
+
+class TestMultiInstance:
+    def test_repeated_surface_each_instance_located(self):
+        # two spans with the same surface at two positions: the second
+        # span must claim the SECOND occurrence, not pile onto the first
+        m = SpanMatcher()
+        text = "contact a@b.co for sales and a@b.co for support today"
+        words = text.split()
+        spans = [
+            span("a@b.co", 99, 105, cat="Email"),   # wrong offsets → fallback
+            span("a@b.co", 199, 205, cat="Email"),
+        ]
+        out = m.match(words, text, spans)
+        starts = sorted(o["start"] for o in out)
+        assert len(out) == 2
+        assert starts[0] != starts[1]
+        for o in out:
+            assert text[o["start"]:o["end"]] == "a@b.co"

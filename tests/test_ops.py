@@ -254,3 +254,93 @@ class TestMultimodal:
         bad = out[out["img_id"] == 99].iloc[0]
         assert not bad["decode_ok"] and bad["width"] == 0
         assert "image" not in out.columns  # blob dropped after decode
+
+
+class TestNearDedup:
+    def test_clusters_collapse_to_min_id(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import cluster_pairs, near_dedup
+
+        base = " ".join(f"tok{i}" for i in range(150))
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("tok3 ", "tokX ")},
+            {"doc_id": 3, "text": base.replace("tok9 ", "tokY ")},
+            {"doc_id": 4, "text": " ".join(f"other{i}" for i in range(150))},
+        ]
+        out = near_dedup(ray.data.from_items(rows), threshold=0.6).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 4]
+
+    def test_union_find_transitive(self):
+        from redactifai_ray.stages.dedup import cluster_pairs
+
+        roots = cluster_pairs([(2, 3), (1, 2), (5, 6)])
+        assert roots[3] == 1 and roots[2] == 1 and roots[6] == 5
+
+    def test_no_pairs_identity(self, ray_session):
+        # note: the provided documents table contains PLANTED near-dups
+        # (true Jaccard ~0.95-0.99), so identity only holds on a corpus
+        # of genuinely distinct texts
+        import ray.data
+
+        from redactifai_ray.stages.dedup import near_dedup
+
+        rows = [
+            {"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(80))}
+            for i in range(40)
+        ]
+        ds = ray.data.from_items(rows)
+        assert near_dedup(ds, threshold=0.6).count() == 40
+
+    def test_testdata_planted_near_dups_found(self, docs, ray_session):
+        """The driver's documents table plants true near-duplicates
+        (verified Jaccard >= 0.95); near_dedup must find and drop them."""
+        from redactifai_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+        pairs = minhash_lsh_pairs(docs, threshold=0.9).to_pandas()
+        assert len(pairs) >= 10
+        ver = verify_pairs_jaccard(
+            docs, list(zip(pairs["id_a"], pairs["id_b"]))[:10], shingle_k=3
+        )
+        assert (ver["jaccard"] > 0.9).all()
+
+
+class TestRelocatePipeline:
+    def test_detect_on_text_relocates(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.pipelines.deidentify import (
+            build_deidentify_pipeline,
+            finalize_output,
+        )
+
+        html = (
+            b"<html><body><p>Customer Samuel Grummons wrote to us about the "
+            b"missing delivery and the support ticket is still open now.</p>"
+            b"</body></html>"
+        )
+        # crawl text variant: newlines + char noise, same span surface
+        text = (
+            "Customer Samuel Grummons wrote to us\nabout the missing delivery "
+            "and the support ticket is still open now."
+        )
+        import datetime
+
+        tbl = pa.table({
+            "url": pa.array(["http://a/1", "http://a/2"], pa.string()),
+            "warc_ts": pa.array([datetime.datetime(2024, 1, 1)] * 2, pa.timestamp("us")),
+            "html": pa.array([html, html], pa.binary()),
+            "text": pa.array([text, None], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        })
+        d = tmp_path / "pages"
+        d.mkdir()
+        pq.write_table(tbl, d / "p.parquet")
+        out = finalize_output(
+            build_deidentify_pipeline(str(d), dedup=False, detect_on="text")
+        ).to_pandas().set_index("url")
+        for url in ("http://a/1", "http://a/2"):
+            assert "[PERSON]" in out.loc[url, "masked_text"]
+            assert "Samuel Grummons" not in out.loc[url, "masked_text"]
