@@ -61,10 +61,9 @@ def run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from redactifai_ray.cluster import configure_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    configure_data_context()
 
     sf = _sf_of(SF_DIR)
     n_pages = _pages_count(sf)

@@ -21,3 +21,21 @@ def default_partitions(mult: int = 2, floor: int = 16) -> int:
 def default_pool(min_actors: int = 1) -> tuple[int, int]:
     """Autoscaling actor-pool bounds for a CPU-dominant stage."""
     return (min_actors, max(4, cluster_cpus()))
+
+
+def configure_data_context(
+    target_max_block_size_mb: int = 128,
+    preserve_order: bool = False,
+    progress_bars: bool = False,
+) -> None:
+    """Opt-in DataContext tuning for this engine's workloads (call from
+    entry points that own the Ray session — never from library code):
+    raise block size for wide binary rows (html blobs) so blocks aren't
+    split absurdly small, drop ordering guarantees the pipeline doesn't
+    need, and quiet progress output."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.target_max_block_size = target_max_block_size_mb * 1024 * 1024
+    ctx.execution_options.preserve_order = preserve_order
+    ctx.enable_progress_bars = progress_bars

@@ -238,7 +238,7 @@ def build_deidentify_pipeline(
     if size_bucket_shuffle:
         # co-locate similar-size rows so giant pages don't straggle inside
         # mixed blocks; at cluster scale use this before the actor stage.
-        ds = ds.repartition(200, shuffle=True)
+        ds = ds.repartition(default_partitions(mult=4), shuffle=True)
     detector_kwargs = {
         "masking_level": masking_level,
         "custom_categories": custom_categories,

@@ -63,6 +63,9 @@ def main(argv=None) -> int:
             include_dashboard=False,
             ignore_reinit_error=True,
         )
+    from .cluster import configure_data_context
+
+    configure_data_context()
     try:
         from .pipelines.deidentify import (
             build_deidentify_pipeline,

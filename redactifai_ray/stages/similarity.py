@@ -127,3 +127,66 @@ def knn_topk_from_dataset(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def knn_topk_lsh(
+    emb: ray.data.Dataset,
+    query_ids: list[int],
+    query_vectors: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 7,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Approximate top-k: the IVF/LSH scale path for the brute-force
+    baseline above. Vectors bucket by an ``n_planes``-bit random-hyperplane
+    sketch (one column added per batch, no shuffle); each query probes its
+    own bucket plus all buckets within Hamming distance ``probe_hamming``
+    of its sketch (multi-probe), and only rows in probed buckets are
+    scored. Recall is tunable via n_planes/probe_hamming; at 100 TB this
+    reduces scored candidates by ~2^n_planes / probes.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    q_mat = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    dim = q_mat.shape[1]
+    planes = rng.standard_normal((dim, n_planes))
+
+    def sketch_of(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes > 0).astype(np.int64)
+        return (bits * (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+
+    q_sketch = sketch_of(q_mat)
+    # probe set per query: own bucket + all buckets within probe_hamming
+    # bit flips (multi-probe LSH)
+    probed: set[int] = set()
+    for s in q_sketch:
+        probed.add(int(s))
+        if probe_hamming >= 1:
+            for b in range(n_planes):
+                probed.add(int(s) ^ (1 << b))
+        if probe_hamming >= 2:
+            for b1 in range(n_planes):
+                for b2 in range(b1 + 1, n_planes):
+                    probed.add(int(s) ^ (1 << b1) ^ (1 << b2))
+    probed_ref = ray.put(probed)
+    queries_ref = ray.put({"ids": list(query_ids), "vectors": q_mat.tolist()})
+
+    def filter_probed(batch: pa.Table) -> pa.Table:
+        keep = ray.get(probed_ref)
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return batch
+        sk = sketch_of(_normalize(mat))
+        mask = [int(s) in keep for s in sk]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    candidates = emb.map_batches(filter_probed, batch_format="pyarrow")
+    return knn_topk(
+        candidates, query_ids, [list(v) for v in q_mat], k=k,
+        id_col=id_col, vec_col=vec_col, exclude_self=exclude_self,
+    )

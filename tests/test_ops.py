@@ -344,3 +344,27 @@ class TestRelocatePipeline:
         for url in ("http://a/1", "http://a/2"):
             assert "[PERSON]" in out.loc[url, "masked_text"]
             assert "Samuel Grummons" not in out.loc[url, "masked_text"]
+
+
+class TestKnnLsh:
+    def test_recall_vs_brute_force(self, emb, ray_session):
+        from redactifai_ray.stages.similarity import knn_topk, knn_topk_lsh
+
+        df = emb.to_pandas()
+        ids = df["vec_id"].tolist()[:4]
+        vecs = [list(v) for v in df["embedding"].tolist()[:4]]
+        exact = knn_topk(emb, ids, vecs, k=5).to_pandas()
+        approx = knn_topk_lsh(emb, ids, vecs, k=5, n_planes=4, probe_hamming=2).to_pandas()
+        hits = 0
+        total = 0
+        for qid in ids:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            hits += len(e & a)
+            total += len(e)
+        recall = hits / total
+        # the test embeddings are near-uniform 64-dim vectors — the hardest
+        # case for LSH; with 4 planes + 2-bit probes recall is ~0.8
+        assert recall >= 0.5
+        # every query still returns k results
+        assert (approx.groupby("query_id").size() == 5).all()
