@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": q.q_orders_per_nation,
         "events_window": q.q_events_window,
         "events_type_counts": q.q_events_type_counts,
+        "distinct_langs": q.q_distinct_langs,
+        "union_sources": q.q_union_sources,
         # webtext flagship (synthetic pages; golden-pinned in tests)
         "extract_pages": q.q_extract_pages,
         "deidentify_pages": q.q_deidentify_pages,
@@ -245,6 +247,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_type_counts": """
             SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type
+        """,
+        "distinct_langs": """
+            SELECT DISTINCT lang FROM documents ORDER BY lang
+        """,
+        "union_sources": """
+            SELECT source, count(*)::BIGINT AS n FROM (
+                SELECT doc_id, source FROM documents WHERE n_chars < 200
+                UNION ALL
+                SELECT doc_id, source FROM documents WHERE n_chars >= 400
+            ) GROUP BY source
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
         # embedding_near_dup / extract_pages / deidentify_pages:

@@ -590,3 +590,30 @@ def q_near_dedup(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = near_dedup(docs, threshold=0.9).select_columns(["doc_id"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_distinct_langs(sf_dir: str) -> pd.DataFrame:
+    """Distinct values of one column (``Dataset.unique`` — a set-op
+    shuffle, SURVEY §2.7)."""
+    docs = _read(sf_dir, "documents", ["lang"])
+    vals = sorted(docs.unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+def q_union_sources(sf_dir: str) -> pd.DataFrame:
+    """Union of two filtered streams then a grouped count (``Dataset.union``
+    + groupby; oracle = UNION ALL)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    short = docs.map_batches(
+        lambda t: t.filter(pc.less(t["n_chars"], 200)), batch_format="pyarrow"
+    )
+    long_ = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], 400)), batch_format="pyarrow"
+    )
+    out = (
+        short.union(long_)
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out

@@ -1,11 +1,14 @@
 """CLI entry: the ``ray job submit`` target (reference entry-point analog:
 ``deidentify_from_path``, src/services/deidentification_service.py:417-458).
 
-    python -m redactifai_ray.run --input DIR --output DIR [--resume]
-        [--masking-level safe_harbor] [--mask-style token]
-        [--files-per-partition 8] [--no-dedup]
+    python -m redactifai_ray.run --input DIR --output DIR
+        [--masking-level safe_harbor] [--mask-style token|block]
+        [--detect-on extracted|text] [--files-per-partition 8] [--no-dedup]
+    python -m redactifai_ray.run --status OUT_ROOT
 
-Owns its Ray session (library code never calls ray.init).
+Re-running with the same --output resumes automatically: completed
+partitions (matching lineage fingerprints) are skipped. Owns its Ray
+session (library code never calls ray.init).
 """
 
 from __future__ import annotations

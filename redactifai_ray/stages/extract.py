@@ -145,8 +145,13 @@ class _BlockParser(HTMLParser):
 
 def _normalize(text: str) -> str:
     """Whitespace-collapse + NFC — the single normalization chosen for the
-    byte-identical contract (SURVEY §7.5.1)."""
-    return unicodedata.normalize("NFC", " ".join(text.split()))
+    byte-identical contract (SURVEY §7.5.1). ASCII fast path: NFC is the
+    identity on ASCII, so the (C-level) isascii check skips the unicodedata
+    call for the common case without changing any output byte."""
+    collapsed = " ".join(text.split())
+    if collapsed.isascii():
+        return collapsed
+    return unicodedata.normalize("NFC", collapsed)
 
 
 def extract_blocks(html: bytes | str) -> list[dict]:
