@@ -14,4 +14,4 @@ batches; no code is ported from the reference.
 
 __version__ = "0.1.0"
 
-EXTRACTOR_VERSION = "rrx-2"
+EXTRACTOR_VERSION = "rrx-3"

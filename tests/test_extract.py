@@ -127,3 +127,24 @@ class TestOversizeGuard:
         assert out["status"][0].as_py() == "ok"
         assert out["error"][0].as_py() == "truncated_oversize_html"
         assert 0 < out["n_chars"][0].as_py() < 2000
+
+
+class TestFastParser:
+    def test_fast_equals_stdlib_on_fixture_corpus(self):
+        from redactifai_ray.fixtures import page_record
+        from redactifai_ray.stages.extract import extract_blocks
+
+        for i in range(0, 300, 3):
+            rec = page_record(i)
+            assert extract_blocks(rec["html"], "fast") == extract_blocks(
+                rec["html"], "stdlib"
+            ), f"page {i}"
+
+    def test_textarea_rawtext_divergence(self):
+        # the one intentional divergence: textarea content is rawtext
+        from redactifai_ray.stages.extract import extract_blocks
+
+        html = b"<textarea><p>form draft</p></textarea><p>real body content long enough here</p>"
+        fast = extract_blocks(html, "fast")
+        assert all("form draft" not in b["text"] for b in fast)
+        assert any("real body" in b["text"] for b in fast)

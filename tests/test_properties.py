@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis) for the span/mask/chunk algebra —
+invariants that hold for ALL inputs, beyond the reference's example-based
+strategy (SURVEY §5 notes it has no property tests)."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redactifai_ray.functions.mask import BLOCK_STYLE, apply_spans, mask_text
+from redactifai_ray.functions.spans import (
+    chunk_text,
+    clamp_spans,
+    make_span,
+    merge_spans,
+    sort_spans,
+    spans_overlap,
+)
+
+CATS = ("Email", "Person", "Date", "SSN")
+
+
+@st.composite
+def raw_spans(draw, max_end=200):
+    n = draw(st.integers(0, 12))
+    out = []
+    for _ in range(n):
+        start = draw(st.integers(0, max_end - 1))
+        end = draw(st.integers(start + 1, max_end))
+        out.append(
+            make_span(
+                start, end,
+                draw(st.sampled_from(CATS)),
+                draw(st.floats(0.1, 1.0, allow_nan=False)),
+            )
+        )
+    return out
+
+
+class TestMergeProperties:
+    @given(raw_spans())
+    @settings(max_examples=200, deadline=None)
+    def test_merged_never_overlap(self, spans):
+        merged = merge_spans(spans)
+        for a, b in zip(merged, merged[1:]):
+            assert not spans_overlap(a, b)
+            assert a["end"] <= b["start"]
+
+    @given(raw_spans())
+    @settings(max_examples=200, deadline=None)
+    def test_merge_idempotent(self, spans):
+        once = merge_spans(spans)
+        twice = merge_spans(once)
+        assert [(m["start"], m["end"]) for m in once] == [
+            (m["start"], m["end"]) for m in twice
+        ]
+
+    @given(raw_spans())
+    @settings(max_examples=200, deadline=None)
+    def test_merge_order_invariant(self, spans):
+        a = merge_spans(list(spans))
+        b = merge_spans(list(reversed(spans)))
+        assert a == b
+
+    @given(raw_spans())
+    @settings(max_examples=200, deadline=None)
+    def test_coverage_preserved(self, spans):
+        # every input character covered by some raw span is covered by a
+        # merged span, and vice versa
+        covered_raw = set()
+        for s in spans:
+            covered_raw.update(range(s["start"], s["end"]))
+        covered_merged = set()
+        for m in merge_spans(spans):
+            covered_merged.update(range(m["start"], m["end"]))
+        assert covered_raw == covered_merged
+
+
+class TestMaskProperties:
+    @given(st.text(min_size=0, max_size=300), raw_spans())
+    @settings(max_examples=200, deadline=None)
+    def test_block_style_length_preserving(self, text, spans):
+        spans = clamp_spans(spans, len(text))
+        masked, _ = mask_text(text, spans, style=BLOCK_STYLE)
+        assert len(masked) == len(text)
+
+    @given(st.text(min_size=0, max_size=300), raw_spans())
+    @settings(max_examples=200, deadline=None)
+    def test_unmasked_regions_unchanged(self, text, spans):
+        spans = clamp_spans(spans, len(text))
+        merged = merge_spans(spans)
+        masked = apply_spans(text, merged, style=BLOCK_STYLE)
+        cursor = 0
+        for m in merged:
+            assert masked[cursor : m["start"]] == text[cursor : m["start"]]
+            cursor = m["end"]
+        assert masked[cursor:] == text[cursor:]
+
+    @given(st.text(min_size=0, max_size=300), raw_spans())
+    @settings(max_examples=100, deadline=None)
+    def test_deterministic(self, text, spans):
+        spans = clamp_spans(spans, len(text))
+        a, _ = mask_text(text, list(spans))
+        b, _ = mask_text(text, list(reversed(spans)))
+        assert a == b
+
+
+class TestChunkProperties:
+    @given(st.text(max_size=500), st.integers(5, 60), st.integers(0, 4))
+    @settings(max_examples=200, deadline=None)
+    def test_chunks_reassemble(self, text, size, overlap):
+        chunks = chunk_text(text, size, overlap)
+        # reconstruct: each chunk's non-overlapping suffix concatenates to text
+        step = size - overlap
+        rebuilt = ""
+        for i, (base, chunk) in enumerate(chunks):
+            if i == 0:
+                rebuilt = chunk
+            else:
+                rebuilt += chunk[len(rebuilt) - base:]
+        assert rebuilt == text
+
+    @given(st.text(min_size=1, max_size=500), st.integers(5, 60), st.integers(0, 4))
+    @settings(max_examples=200, deadline=None)
+    def test_offsets_index_original(self, text, size, overlap):
+        for base, chunk in chunk_text(text, size, overlap):
+            assert text[base : base + len(chunk)] == chunk
+
+
+class TestDetectorProperties:
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400))
+    @settings(max_examples=100, deadline=None)
+    def test_spans_within_bounds_and_sorted(self, text):
+        from redactifai_ray.stages.detect import SpanDetector
+
+        det = SpanDetector()
+        spans = det.detect(text)
+        starts = [s["start"] for s in spans]
+        assert starts == sorted(starts)
+        for s in spans:
+            assert 0 <= s["start"] < s["end"] <= len(text)
+            assert text[s["start"] : s["end"]] == s["text"]
+
+    @given(st.text(alphabet="ab@.x- 0123456789", max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_masking_removes_all_detector_matches(self, text):
+        from redactifai_ray.stages.detect import SpanDetector
+
+        det = SpanDetector(detect_names=False)
+        masked, _ = mask_text(text, det.detect(text))
+        assert det.detect(masked.replace("[", " ").replace("]", " ")) == [] or all(
+            s["text"] not in masked for s in det.detect(text)
+        )
