@@ -37,7 +37,9 @@ def _pages_count(sf: float) -> int:
     # sized so fixed per-execution overheads (~1-2 s: winners pre-scan,
     # executor startup, pool ramp) amortize the way they would at real
     # data volumes: at sf0.1 the corpus is 200k pages ≈ 800 MB html
-    return max(500, int(2_000_000 * sf))
+    # (re-sized upward as per-page cost dropped — the overhead fraction,
+    # not the data, is what shrinks at real scale)
+    return max(500, int(int(os.environ.get("RRX_PAGES_PER_SF", "2000000")) * sf))
 
 
 def _ensure_pages(n: int) -> str:
@@ -123,7 +125,7 @@ def run_bench() -> dict:
         from redactifai_ray.stages.extract import make_extract_batch
 
         read_pages(pages_dir).map_batches(
-            make_extract_batch(), batch_format="pyarrow", batch_size=64
+            make_extract_batch(), batch_format="pyarrow"
         ).map_batches(
             lambda t: t.select(["url", "n_chars"]), batch_format="pyarrow"
         ).sum("n_chars")
@@ -214,9 +216,15 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RRX_FULL_WARMUP="1", RRX_BENCH_REPEATS="2")
+        # pin the WHOLE leg (driver + raylet + workers + arrow pools) to
+        # ncpu physical cores: without this, Ray's helper processes and
+        # driver threads run on cores outside num_cpus, inflating the
+        # low-CPU leg (an "N-node" really has only N cores of everything)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])

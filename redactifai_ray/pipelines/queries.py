@@ -436,7 +436,7 @@ def q_extract_pages(sf_dir: str) -> ray.data.Dataset:
     from ..stages.extract import make_extract_batch
 
     ds = read_pages(_pages_dir_for(sf_dir))
-    ds = ds.map_batches(make_extract_batch(), batch_format="pyarrow", batch_size=64)
+    ds = ds.map_batches(make_extract_batch(), batch_format="pyarrow")
     return ds.select_columns(["url", "extracted_text", "n_chars", "n_blocks", "status"])
 
 
