@@ -89,3 +89,55 @@ class TestFingerprint:
     def test_sensitive_to_edits_insensitive_to_padding(self):
         t = "one two three four five six seven eight nine ten"
         assert rolling_fingerprint(t) != rolling_fingerprint(t.replace("five", "5"))
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        from redactifai_ray.functions.bloom import BloomFilter
+
+        bf = BloomFilter(1000, fpr=0.01)
+        keys = [f"key-{i}" for i in range(1000)]
+        bf.update(keys)
+        assert all(k in bf for k in keys)
+
+    def test_false_positive_rate_bounded(self):
+        from redactifai_ray.functions.bloom import BloomFilter
+
+        bf = BloomFilter(1000, fpr=0.01)
+        bf.update(f"key-{i}" for i in range(1000))
+        fp = sum(1 for i in range(10000) if f"other-{i}" in bf)
+        assert fp / 10000 < 0.03  # ~3x slack on the 1% target
+
+    def test_deterministic_across_builds(self):
+        from redactifai_ray.functions.bloom import BloomFilter
+        import numpy as np
+
+        a = BloomFilter(100, 0.01); a.update(["x", "y", "z"])
+        b = BloomFilter(100, 0.01); b.update(["x", "y", "z"])
+        assert np.array_equal(a.bits, b.bits)
+
+    def test_anti_join_batch_filter(self, ray_session):
+        import ray
+        import ray.data
+
+        from redactifai_ray.functions.bloom import (
+            bloom_semi_join_filter,
+            make_bloom_filter_batch,
+        )
+
+        bf = bloom_semi_join_filter([f"u{i}" for i in range(0, 100, 2)])
+        ref = ray.put(bf)
+        ds = ray.data.from_items([{"url": f"u{i}", "v": i} for i in range(100)])
+        # anti-join: keep keys NOT in the filter — exact (no false negatives
+        # means nothing in the filter survives)
+        out = ds.map_batches(
+            make_bloom_filter_batch(ref, "url", keep_members=False),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert set(out["v"]) <= set(range(1, 100, 2))
+        # semi-join keeps all true members (+ maybe false positives)
+        out2 = ds.map_batches(
+            make_bloom_filter_batch(ref, "url", keep_members=True),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert set(range(0, 100, 2)) <= set(out2["v"])
