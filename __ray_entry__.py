@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "quality": q.q_quality,
         "docs_top_longest": q.q_docs_top_longest,
+        "quantiles": q.q_quantiles,
         "fingerprints": q.q_fingerprints,
         "lang_pred_counts": q.q_lang_pred_counts,
         # near-dup families (not SQL-expressible → rows-only checks)
@@ -146,6 +147,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_top_longest": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "quantiles": """
+            SELECT 'p50' AS q, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars_q FROM documents
+            UNION ALL
+            SELECT 'p90', CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'p99', CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
         """,
         "knn": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -617,3 +617,39 @@ def q_union_sources(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out
+
+
+def q_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles of an integer column via value
+    histogram: per-batch ``value_counts`` (vectorized) → tiny groupby on
+    distinct values → driver-side cumulative rank select. Exact and
+    shuffle-light whenever the value cardinality is bounded (here:
+    document lengths); rank semantics = DuckDB ``quantile_disc``
+    (index ceil(q*n)-1 of the sorted multiset)."""
+    docs = _read(sf_dir, "documents", ["n_chars"])
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        vc = batch["n_chars"].value_counts()
+        return pa.table(
+            {
+                "val": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("val")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("val")
+        .reset_index(drop=True)
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    rows = []
+    for label, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        rank = max(0, int(np.ceil(q * n)) - 1)  # quantile_disc semantics
+        idx = int((cum > rank).idxmax())
+        rows.append({"q": label, "n_chars_q": int(hist.loc[idx, "val"])})
+    return pd.DataFrame(rows)
