@@ -40,6 +40,10 @@ def main(argv=None) -> int:
              "column with fuzzy span relocation (EntityMatcher path)",
     )
     ap.add_argument("--files-per-partition", type=int, default=8)
+    ap.add_argument(
+        "--partition-by", default=None,
+        help="hive-partition the pages output by this column (e.g. lang)",
+    )
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
             spans_fn=spans_table,
             pages_fn=finalize_output,
             files_per_partition=args.files_per_partition,
+            partition_cols=[args.partition_by] if args.partition_by else None,
         )
         print(json.dumps(summary))
         return 0 if summary["failed"] == 0 else 1

@@ -99,6 +99,7 @@ def run_resumable(
     spans_fn: Optional[Callable[[ray.data.Dataset], ray.data.Dataset]] = None,
     pages_fn: Optional[Callable[[ray.data.Dataset], ray.data.Dataset]] = None,
     files_per_partition: int = 8,
+    partition_cols: Optional[list[str]] = None,
 ) -> dict:
     """Run ``build_fn(files)`` per partition, skipping completed ones.
 
@@ -135,7 +136,9 @@ def run_resumable(
                 # one execution feeds both sinks (partition-bounded
                 # materialize — never the whole input)
                 out_ds = ds.materialize()
-                (pages_fn(out_ds) if pages_fn else out_ds).write_parquet(pages_dir)
+                (pages_fn(out_ds) if pages_fn else out_ds).write_parquet(
+                    pages_dir, partition_cols=partition_cols
+                )
                 spans_ds = spans_fn(out_ds).materialize()
                 n_spans = spans_ds.count()
                 spans_ds.write_parquet(spans_dir)
