@@ -133,6 +133,21 @@ def run_bench() -> dict:
     timed("extract_only", extract_only)
 
     # ---- training-data ops over provided tables -------------------------
+    if os.environ.get("RRX_SKIP_QUERIES") == "1":
+        headline = timings["flagship_deidentify"]
+        result = {
+            "metric": "flagship deidentify wall time (extract+dedup+detect+mask+write)",
+            "value": headline,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "n_pages": n_pages,
+            "pages_per_sec": round(n_pages / headline, 1),
+        }
+        ray.shutdown()
+        return result
+
     import ray.data
 
     from redactifai_ray.stages.analyze import add_text_stats
@@ -215,7 +230,8 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RRX_FULL_WARMUP="1", RRX_BENCH_REPEATS="2")
+                   RRX_FULL_WARMUP="1", RRX_BENCH_REPEATS="3",
+                   RRX_SKIP_QUERIES="1")
         # pin the WHOLE leg (driver + raylet + workers + arrow pools) to
         # ncpu physical cores: without this, Ray's helper processes and
         # driver threads run on cores outside num_cpus, inflating the
