@@ -106,8 +106,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "mask_words": """
+            -- 'i' flag matches SpanDetector's default IGNORECASE compile,
+            -- so implementation and oracle agree by construction on
+            -- mixed-case corpora (ADVICE r1)
             SELECT doc_id,
-                   regexp_replace(text, '\\btable\\b', '[TABLE]', 'g') AS masked_text
+                   regexp_replace(text, '\\btable\\b', '[TABLE]', 'gi') AS masked_text
             FROM documents
         """,
         "dedup_exact": """

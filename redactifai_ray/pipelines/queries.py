@@ -205,16 +205,52 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+PLANT_OFFSET = 10_000_000  # planted-duplicate vec_id namespace
+
+
+def _plant_near_dups(batch: pa.Table, n_plant: int = 20) -> pa.Table:
+    """Deterministic jittered copies of the ``n_plant`` lowest-id vectors
+    (vec_id + PLANT_OFFSET, cosine ≈ 0.989 to the original). The provided
+    embeddings table has no true near-dups (max pairwise cosine ≈ 0.51 at
+    sf0.01 — measured), so the near-dup query plants its own ground truth
+    from the input, seeded per vec_id so the output is batch-split
+    independent."""
+    keep = batch.filter(pc.less(batch["vec_id"], n_plant))
+    ids = keep["vec_id"].to_pylist()
+    vecs = np.asarray(keep["embedding"].to_pylist(), dtype=np.float64)
+    out = []
+    for i, v in zip(ids, vecs):
+        rng = np.random.default_rng(1000 + int(i))
+        noise = rng.standard_normal(len(v))
+        u = v / (np.linalg.norm(v) or 1.0)
+        jittered = u + 0.15 * noise / np.linalg.norm(noise)
+        out.append(jittered.astype(np.float32).tolist())
+    return pa.table(
+        {
+            "vec_id": pa.array([int(i) + PLANT_OFFSET for i in ids], pa.int64()),
+            "embedding": pa.array(out, pa.list_(pa.float32())),
+        }
+    )
+
+
 def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup over the input ∪ planted jittered copies.
+
+    Every planted copy should pair with its source at cosine ≈ 0.989
+    (recall ≈ 1 - (1-0.58)^10 ≈ 0.9998 with the multi-table LSH union);
+    the pinned test asserts ≥ 0.9 planted-pair recall."""
     from ..stages.dedup import embedding_near_dup_pairs
 
-    emb = _read(sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(emb, threshold=0.95).to_pandas()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    planted = emb.map_batches(_plant_near_dups, batch_format="pyarrow")
+    out = embedding_near_dup_pairs(
+        emb.union(planted), threshold=0.95
+    ).to_pandas()
     if out.empty:
         out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                             "id_b": pd.Series(dtype="int64"),
                             "cosine": pd.Series(dtype="float64")})
-    return out
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def q_fingerprints(sf_dir: str) -> ray.data.Dataset:

@@ -44,7 +44,6 @@ import pyarrow as pa
 from ..functions.spans import (
     chunk_text,
     clamp_spans,
-    dedupe_spans,
     make_span,
     rebase_spans,
     sort_spans,
@@ -128,6 +127,7 @@ class SpanDetector:
         chunk_overlap: int = 200,
         text_col: str = "extracted_text",
         patterns: Optional[dict[str, list[str]]] = None,
+        ignore_case: bool = True,
     ):
         self.masking_level = MaskingLevel(masking_level)
         self.custom_categories = (
@@ -136,9 +136,13 @@ class SpanDetector:
         table = dict(patterns if patterns is not None else DEFAULT_PATTERNS)
         for cat, pats in (extra_patterns or {}).items():
             table.setdefault(cat, []).extend(pats)
-        # compile once per actor (ST2 analog — the "warm detector")
+        # compile once per actor (ST2 analog — the "warm detector").
+        # ``ignore_case`` (default True, the reference's finditer semantics)
+        # is exposed so callers whose oracle/policy is case-sensitive can
+        # match it by construction (ADVICE r1).
+        flags = re.IGNORECASE if ignore_case else 0
         self.compiled: list[tuple[str, re.Pattern]] = [
-            (cat, re.compile(p, re.IGNORECASE))
+            (cat, re.compile(p, flags))
             for cat in table
             for p in table[cat]
         ]

@@ -45,7 +45,15 @@ class BruteForceTopK:
         out_q, out_id, out_s = [], [], []
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            top = np.argpartition(-row, k - 1)[:k]
+            # deterministic partial top-k: argpartition breaks exact-cosine
+            # ties arbitrarily at the k boundary, which can drop the global
+            # merge's (-cosine, id)-ordered winner (ADVICE r1). Keep every
+            # candidate tied with the k-th value, lexsort by (-cos, id),
+            # then truncate — same O(n) partition, tie-safe.
+            kth = np.partition(row, len(row) - k)[len(row) - k]
+            cand = np.flatnonzero(row >= kth)
+            order = np.lexsort((ids[cand], -row[cand]))
+            top = cand[order[:k]]
             for j in top:
                 out_q.append(int(self.q_ids[qi]))
                 out_id.append(int(ids[j]))

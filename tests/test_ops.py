@@ -368,3 +368,106 @@ class TestKnnLsh:
         assert recall >= 0.5
         # every query still returns k results
         assert (approx.groupby("query_id").size() == 5).all()
+
+
+class TestLabelPropagation:
+    def test_components_path_and_pair(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import label_propagation
+
+        pairs = ray.data.from_items(
+            [{"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 3},
+             {"id_a": 3, "id_b": 4}, {"id_a": 10, "id_b": 11}]
+        )
+        lab = label_propagation(pairs).to_pandas()
+        got = dict(zip(lab["node"], lab["label"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_matches_union_find(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import cluster_pairs, label_propagation
+
+        edges = [(1, 5), (5, 9), (2, 6), (6, 2), (100, 3), (3, 9), (40, 41)]
+        pairs = ray.data.from_items(
+            [{"id_a": a, "id_b": b} for a, b in edges]
+        )
+        lab = label_propagation(pairs).to_pandas()
+        got = dict(zip(lab["node"], lab["label"]))
+        roots = cluster_pairs(edges)
+        for node, root in roots.items():
+            assert got[node] == root
+
+    def test_near_dedup_distributed_matches_driver(self, ray_session):
+        """Forced distributed path (the round-1 hard-fail regime) must
+        keep exactly the same survivors as driver union-find."""
+        import ray.data
+
+        from redactifai_ray.stages.dedup import near_dedup
+
+        base = " ".join(f"tok{i}" for i in range(150))
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("tok3 ", "tokX ")},
+            {"doc_id": 3, "text": base.replace("tok9 ", "tokY ")},
+            {"doc_id": 4, "text": " ".join(f"other{i}" for i in range(150))},
+        ]
+        ds = ray.data.from_items(rows)
+        a = sorted(
+            r["doc_id"]
+            for r in near_dedup(ds, threshold=0.6, method="driver").take_all()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in near_dedup(ds, threshold=0.6, method="distributed").take_all()
+        )
+        assert a == b == [1, 4]
+        # auto with a tiny cap must route to distributed, not raise
+        c = sorted(
+            r["doc_id"]
+            for r in near_dedup(ds, threshold=0.6, max_pairs=0).take_all()
+        )
+        assert c == [1, 4]
+
+
+class TestMinHashScalePath:
+    def test_join_fallback_matches_fast_path(self, ray_session):
+        """max_broadcast_ids=0 forces the distributed signature semi-join
+        + join-based estimation; results must match the broadcast path."""
+        import ray.data
+
+        from redactifai_ray.stages.dedup import minhash_lsh_pairs
+
+        base = " ".join(f"tok{i}" for i in range(120))
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("tok5 ", "tok5x ")},
+            {"doc_id": 3, "text": " ".join(f"o{i}" for i in range(120))},
+        ]
+        ds = ray.data.from_items(rows)
+        fast = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        slow = minhash_lsh_pairs(
+            ds, threshold=0.5, max_broadcast_ids=0
+        ).to_pandas()
+        key = ["id_a", "id_b", "est_jaccard"]
+        assert sorted(map(tuple, fast[key].values.tolist())) == sorted(
+            map(tuple, slow[key].values.tolist())
+        )
+
+
+class TestEmbeddingPlantedRecall:
+    def test_planted_pairs_recovered(self, ray_session):
+        """q_embedding_near_dup plants jittered copies (cos ≈ 0.989);
+        multi-table LSH must recover ≥ 0.9 of the planted pairs."""
+        from redactifai_ray.pipelines.queries import PLANT_OFFSET, q_embedding_near_dup
+
+        out = q_embedding_near_dup(SF)
+        n_planted = 20
+        planted_found = {
+            int(a)
+            for a, b in zip(out["id_a"], out["id_b"])
+            if int(b) == int(a) + PLANT_OFFSET
+        }
+        assert len(planted_found) >= 0.9 * n_planted
+        assert (out["cosine"] >= 0.95).all()
