@@ -202,6 +202,8 @@ def build_deidentify_pipeline(
     detector_mode: str = "tasks",
     detect_on: str = "extracted",
     extra_patterns: Optional[dict] = None,
+    extractor: str = "dom-density",
+    dup_winners: Optional[dict] = None,
 ) -> ray.data.Dataset:
     """Build (lazily) the flagship Dataset. Consume with write_parquet /
     iter_batches; nothing materializes here.
@@ -228,10 +230,16 @@ def build_deidentify_pipeline(
     # stale duplicates BEFORE extraction — no shuffle of content rows and
     # no wasted extraction of losers; falls back to the full-shuffle path
     # when the winner map would not fit or the input is an opaque Dataset.
+    # ``dup_winners``: a caller-supplied winner map — the CLI computes it
+    # ONCE over the whole input file list so url dedup is global even when
+    # the run is split into resumable partitions (ADVICE r1: per-partition
+    # scoping let cross-partition duplicate urls survive).
     winners = None
     shuffle_dedup = False
     if dedup:
-        if isinstance(input_path, ray.data.Dataset) or dedup == "shuffle":
+        if dup_winners is not None:
+            winners = dup_winners
+        elif isinstance(input_path, ray.data.Dataset) or dedup == "shuffle":
             shuffle_dedup = True
         else:
             winners = compute_dup_winners(input_path)
@@ -243,12 +251,12 @@ def build_deidentify_pipeline(
     else:
         ds = read_pages(input_path, include_text=(detect_on == "text"))
 
-    if winners is not None:
+    if winners:  # empty map (no duplicate keys) needs no filter stage
         ds = ds.map_batches(
             make_winner_filter(ray.put(winners)), batch_format="pyarrow"
         )
     ds = ds.map_batches(
-        make_extract_batch(emit_blocks=emit_blocks),
+        make_extract_batch(emit_blocks=emit_blocks, extractor=extractor),
         batch_format="pyarrow",
         batch_size=extract_batch_size,
     )

@@ -13,10 +13,14 @@ from __future__ import annotations
 from typing import Callable
 
 from .stages.detect import SpanDetector
-from .stages.extract import extract_main_content
+from .stages.extract import extract_main_content, extract_main_content_strict
 
 EXTRACTORS: dict[str, Callable] = {
     "dom-density": extract_main_content,  # jusText/trafilatura-style default
+    # precision-leaning variant: higher block/density thresholds, its own
+    # version string + golden fixtures (reference ships two OCR providers
+    # behind one factory — service_factory.py:17-92; this is the analog)
+    "dom-density-strict": extract_main_content_strict,
 }
 
 DETECTORS: dict[str, type] = {

@@ -39,6 +39,12 @@ def main(argv=None) -> int:
         help="detect on canonical extracted text, or on the crawl text "
              "column with fuzzy span relocation (EntityMatcher path)",
     )
+    ap.add_argument(
+        "--extractor", default="dom-density",
+        choices=["dom-density", "dom-density-strict"],
+        help="extraction profile (registry.EXTRACTORS): default recall-"
+             "leaning DOM-density walk, or the strict precision variant",
+    )
     ap.add_argument("--files-per-partition", type=int, default=8)
     ap.add_argument(
         "--partition-by", default=None,
@@ -92,6 +98,18 @@ def main(argv=None) -> int:
             print(f"error: no parquet files under {args.input}", file=sys.stderr)
             return 2
 
+        # url-dedup winners computed ONCE over the FULL input (slim
+        # 2-column pre-scan — cheap) so duplicates spanning partition
+        # boundaries are caught; per-partition pipelines just apply the
+        # shared broadcast filter. Falls back to per-partition dedup when
+        # the global winner map would not fit the driver (documented:
+        # cross-partition dups can then survive).
+        from .pipelines.deidentify import compute_dup_winners
+
+        global_winners = None
+        if not args.no_dedup:
+            global_winners = compute_dup_winners(files)
+
         def build(part_files):
             return build_deidentify_pipeline(
                 part_files,
@@ -100,7 +118,11 @@ def main(argv=None) -> int:
                 mask_style=args.mask_style,
                 dedup=not args.no_dedup,
                 detect_on=args.detect_on,
+                extractor=args.extractor,
+                dup_winners=global_winners,
             )
+
+        from .stages.extract import EXTRACT_PROFILES
 
         summary = run_resumable(
             files,
@@ -110,6 +132,7 @@ def main(argv=None) -> int:
             pages_fn=finalize_output,
             files_per_partition=args.files_per_partition,
             partition_cols=[args.partition_by] if args.partition_by else None,
+            extractor_version=EXTRACT_PROFILES[args.extractor]["version"],
         )
         print(json.dumps(summary))
         return 0 if summary["failed"] == 0 else 1

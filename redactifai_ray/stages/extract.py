@@ -60,6 +60,31 @@ MIN_CONTENT_CHARS = 25
 MIN_HEADING_CHARS = 8
 MAX_LINK_DENSITY = 0.33
 
+# Named extraction profiles — the §2.10 extension surface the reference
+# demonstrates with multiple OCR providers behind one factory
+# (src/services/service_factory.py:17-92): same parse, different
+# deterministic classification thresholds, each with its own pinned
+# version string and golden fixtures. "dom-density-strict" is a
+# trafilatura-"favor_precision"-style variant: longer minimum blocks,
+# tighter link-density, and a minimum text-density (chars per inline tag)
+# so tag-fragmented junk drops out.
+EXTRACT_PROFILES: dict[str, dict] = {
+    "dom-density": dict(
+        min_content_chars=MIN_CONTENT_CHARS,
+        min_heading_chars=MIN_HEADING_CHARS,
+        max_link_density=MAX_LINK_DENSITY,
+        min_text_density=0.0,
+        version=EXTRACTOR_VERSION,
+    ),
+    "dom-density-strict": dict(
+        min_content_chars=50,
+        min_heading_chars=12,
+        max_link_density=0.20,
+        min_text_density=8.0,
+        version="rrx-strict-1",
+    ),
+}
+
 
 class _Block:
     __slots__ = ("parts", "link_chars", "tag", "boiler", "n_tags")
@@ -219,7 +244,9 @@ def _normalize(text: str) -> str:
     return unicodedata.normalize("NFC", collapsed)
 
 
-def extract_blocks(html: bytes | str, parser_impl: str = "fast") -> list[dict]:
+def extract_blocks(
+    html: bytes | str, parser_impl: str = "fast", profile: str = "dom-density"
+) -> list[dict]:
     """Parse HTML and return all text blocks with density features.
 
     Returns dicts ``{text, tag, link_density, text_density, is_content}``
@@ -227,7 +254,14 @@ def extract_blocks(html: bytes | str, parser_impl: str = "fast") -> list[dict]:
     ``parser_impl``: "fast" (regex tokenizer, default) or "stdlib"
     (html.parser) — identical output on the whole fixture corpus (test-
     pinned); stdlib kept as the cross-check reference.
+    ``profile``: an ``EXTRACT_PROFILES`` key selecting the classification
+    thresholds (parse is shared; only block classification differs).
     """
+    prof = EXTRACT_PROFILES[profile]
+    min_content = prof["min_content_chars"]
+    min_heading = prof["min_heading_chars"]
+    max_link = prof["max_link_density"]
+    min_density = prof["min_text_density"]
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
     parser = _BlockParser()
@@ -259,12 +293,12 @@ def extract_blocks(html: bytes | str, parser_impl: str = "fast") -> list[dict]:
             # headlines commonly live inside <header> (link density still
             # applies below, so nav headings full of links stay excluded)
             is_content = False
-        elif link_density > MAX_LINK_DENSITY:
+        elif link_density > max_link:
             is_content = False
         elif b.tag in HEADING_TAGS:
-            is_content = chars >= MIN_HEADING_CHARS and b.link_chars == 0
+            is_content = chars >= min_heading and b.link_chars == 0
         else:
-            is_content = chars >= MIN_CONTENT_CHARS
+            is_content = chars >= min_content and text_density >= min_density
         out.append(
             {
                 "text": text,
@@ -297,9 +331,16 @@ def assemble_text(blocks: list[dict]) -> tuple[str, list[dict]]:
     return "\n\n".join(pieces), enriched
 
 
-def extract_main_content(html: bytes | str) -> tuple[str, list[dict]]:
+def extract_main_content(
+    html: bytes | str, profile: str = "dom-density"
+) -> tuple[str, list[dict]]:
     """bytes → (extracted_text, blocks). Deterministic; pure."""
-    return assemble_text(extract_blocks(html))
+    return assemble_text(extract_blocks(html, profile=profile))
+
+
+def extract_main_content_strict(html: bytes | str) -> tuple[str, list[dict]]:
+    """Strict-density profile (see EXTRACT_PROFILES['dom-density-strict'])."""
+    return assemble_text(extract_blocks(html, profile="dom-density-strict"))
 
 
 BLOCK_STRUCT = pa.struct(
@@ -323,6 +364,7 @@ def make_extract_batch(
     emit_blocks: bool = False,
     html_col: str = "html",
     max_html_bytes: int = MAX_HTML_BYTES,
+    extractor: str = "dom-density",
 ):
     """Build the extraction batch fn for ``map_batches(batch_format="pyarrow")``.
 
@@ -334,6 +376,8 @@ def make_extract_batch(
     """
 
     from .content import sniff_content_type
+
+    profile_version = EXTRACT_PROFILES[extractor]["version"]
 
     def extract_batch(batch: pa.Table) -> pa.Table:
         htmls = batch[html_col].to_pylist()
@@ -368,7 +412,7 @@ def make_extract_batch(
                 elif ctype in ("binary", "empty"):
                     text, blocks = "", []
                 else:
-                    text, blocks = extract_main_content(raw)
+                    text, blocks = extract_main_content(raw, profile=extractor)
                 texts.append(text)
                 n_blocks.append(sum(1 for b in blocks if b["is_content"]))
                 statuses.append("ok")
@@ -401,7 +445,7 @@ def make_extract_batch(
         out = out.append_column("content_type", pa.array(ctypes, pa.string()))
         out = out.append_column(
             "extractor_version",
-            pa.array([EXTRACTOR_VERSION] * len(texts), pa.string()),
+            pa.array([profile_version] * len(texts), pa.string()),
         )
         if emit_blocks:
             out = out.append_column(

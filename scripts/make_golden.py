@@ -20,13 +20,14 @@ from redactifai_ray import EXTRACTOR_VERSION
 from redactifai_ray.fixtures import page_record
 from redactifai_ray.functions.mask import mask_text
 from redactifai_ray.stages.detect import SPAN_STRUCT, SpanDetector
-from redactifai_ray.stages.extract import extract_main_content
+from redactifai_ray.stages.extract import EXTRACT_PROFILES, extract_main_content
 
 N_GOLDEN = 200
 SEED = 42
 
 
-def main() -> None:
+def main(profile: str = "dom-density", out_name: str = "golden.parquet") -> None:
+    version = EXTRACT_PROFILES[profile]["version"]
     det = SpanDetector()
     rows = {
         "url": [], "extracted_text": [], "masked_text": [], "spans": [],
@@ -38,7 +39,7 @@ def main() -> None:
         if rec["url"] in seen:  # duplicates extract identically; keep first
             continue
         seen.add(rec["url"])
-        text, _ = extract_main_content(rec["html"])
+        text, _ = extract_main_content(rec["html"], profile=profile)
         spans = det.detect(text)
         masked, merged = mask_text(text, spans)
         rows["url"].append(rec["url"])
@@ -46,7 +47,7 @@ def main() -> None:
         rows["masked_text"].append(masked)
         rows["spans"].append(spans)
         rows["span_count"].append(len(merged))
-        rows["extractor_version"].append(EXTRACTOR_VERSION)
+        rows["extractor_version"].append(version)
 
     table = pa.table(
         {
@@ -60,9 +61,10 @@ def main() -> None:
     )
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
     os.makedirs(out, exist_ok=True)
-    pq.write_table(table, os.path.join(out, "golden.parquet"))
-    print(f"wrote {table.num_rows} golden rows (extractor {EXTRACTOR_VERSION})")
+    pq.write_table(table, os.path.join(out, out_name))
+    print(f"wrote {table.num_rows} golden rows to {out_name} (extractor {version})")
 
 
 if __name__ == "__main__":
     main()
+    main(profile="dom-density-strict", out_name="golden_strict.parquet")
