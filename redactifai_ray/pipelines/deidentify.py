@@ -126,7 +126,15 @@ def compute_dup_winners(
         g = batch.group_by(key).aggregate([(order_col, "max"), (key, "count")])
         return g.rename_columns([key, "max_order", "n"])
 
-    n_rows = slim.count()  # parquet metadata — no data read
+    # row count from parquet footers only (pyarrow dataset metadata) — a
+    # Dataset.count() here would spin a second streaming execution per
+    # pipeline build, ~2-3 s of pure orchestration latency (measured)
+    try:
+        import pyarrow.dataset as pads
+
+        n_rows = pads.dataset(input_path).count_rows()
+    except Exception:
+        n_rows = slim.count()  # non-parquet-listable inputs
     if n_rows <= 50_000_000:
         # tree combine: per-block partials → one vectorized final combine.
         # The final task sees <= one row per distinct key — fine up to

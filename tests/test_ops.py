@@ -471,3 +471,52 @@ class TestEmbeddingPlantedRecall:
         }
         assert len(planted_found) >= 0.9 * n_planted
         assert (out["cosine"] >= 0.95).all()
+
+
+class TestExactDedupSlimShuffle:
+    def test_loser_broadcast_matches_shuffle_fallback(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import exact_dedup
+
+        rows = [{"doc_id": i, "text": f"text {i % 7}"} for i in range(30)]
+        ds = ray.data.from_items(rows)
+        fast = exact_dedup(ds).to_pandas().sort_values("doc_id")
+        slow = exact_dedup(ds, max_broadcast_losers=0).to_pandas().sort_values(
+            "doc_id"
+        )
+        assert sorted(fast["doc_id"]) == sorted(slow["doc_id"]) == list(range(7))
+
+
+class TestLangIdScripts:
+    def test_script_and_latin_vote(self, ray_session):
+        """Upgraded two-stage LangId: Unicode-script routing for non-Latin
+        scripts plus a 7-language Latin stopword vote."""
+        from redactifai_ray.stages.analyze import LangId
+
+        l = LangId()
+        cases = {
+            "en": "the cat is on the mat and it was not there for a while",
+            "de": "der hund ist nicht mit der katze auf dem tisch und das gut",
+            "fr": "le chien est dans la maison avec les enfants pour une fête",
+            "es": "el perro está en la casa con los niños para una fiesta y no es más",
+            "it": "il cane è nella casa con i bambini per una festa e non è più qui",
+            "pt": "o cão está em casa com as crianças para uma festa e não é mais",
+            "zh": "这是一个中文句子，用于测试语言识别的功能。我们希望它能正确工作。",
+            "ja": "これは日本語のテスト文です。言語判定が正しく動くことを確認します。",
+            "ko": "이것은 한국어 테스트 문장입니다. 언어 감지가 잘 되는지 확인합니다.",
+            "ru": "Это тестовое предложение на русском языке для проверки языка.",
+        }
+        for want, text in cases.items():
+            assert l.predict(text) == want
+        assert l.predict("") == "unknown"
+        assert l.predict("zxqv wkrp fjord") == "unknown"
+
+    def test_testdata_predictions_stable(self, docs, ray_session):
+        """The provided documents table is English word-soup regardless of
+        its synthetic ``lang`` label — predictions must be en/unknown only
+        (guards against spurious non-Latin routing on ASCII text)."""
+        from redactifai_ray.stages.analyze import add_lang_pred
+
+        out = add_lang_pred(docs).select_columns(["lang_pred"]).to_pandas()
+        assert set(out["lang_pred"]) <= {"en", "unknown"}
