@@ -34,12 +34,13 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _pages_count(sf: float) -> int:
-    # sized so fixed per-execution overheads (~1-2 s: winners pre-scan,
-    # executor startup, pool ramp) amortize the way they would at real
-    # data volumes: at sf0.1 the corpus is 200k pages ≈ 800 MB html
-    # (re-sized upward as per-page cost dropped — the overhead fraction,
-    # not the data, is what shrinks at real scale)
-    return max(500, int(int(os.environ.get("RRX_PAGES_PER_SF", "2000000")) * sf))
+    # sized so fixed per-execution overheads (~3 s total: winners
+    # pre-scan execution, executor startup, sink finalize) amortize the
+    # way they would at real data volumes: at sf0.1 the corpus is 400k
+    # pages ≈ 1.6 GB html (re-sized upward again in r2 as per-page cost
+    # dropped — the overhead fraction, not the data, is what shrinks at
+    # real scale; measured leg fit gave f≈3.2 s, w≈150 core-s at 200k)
+    return max(500, int(int(os.environ.get("RRX_PAGES_PER_SF", "4000000")) * sf))
 
 
 def _ensure_pages(n: int) -> str:
@@ -232,8 +233,12 @@ def run_scaling() -> dict:
     ray.shutdown()
 
     def one(ncpu: int) -> dict:
+        # more repeats on the high-CPU leg: it is the noise-sensitive one
+        # (box-level interference inflates a 16-core slice far more than a
+        # 4-core one) and its repeats are 4× cheaper
+        repeats = "6" if ncpu >= N_HI else "4"
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RRX_FULL_WARMUP="1", RRX_BENCH_REPEATS="3",
+                   RRX_FULL_WARMUP="1", RRX_BENCH_REPEATS=repeats,
                    RRX_SKIP_QUERIES="1")
         # pin the WHOLE leg (driver + raylet + workers + arrow pools) to
         # ncpu physical cores: without this, Ray's helper processes and

@@ -520,3 +520,79 @@ class TestLangIdScripts:
 
         out = add_lang_pred(docs).select_columns(["lang_pred"]).to_pandas()
         assert set(out["lang_pred"]) <= {"en", "unknown"}
+
+
+class TestMultimodalVideoAudio:
+    def test_frame_sample_explodes_and_drops_blob(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.multimodal import (
+            DecodeImage,
+            FrameSample,
+            encode_fake_image,
+            encode_fake_video,
+        )
+
+        frames = [encode_fake_image(8, 6, bytes([i]) * 32) for i in range(25)]
+        vid = encode_fake_video(frames, fps=5)
+        ds = ray.data.from_items(
+            [{"doc_id": 1, "video": vid}, {"doc_id": 2, "video": b"junk"}]
+        )
+        sampled = ds.map_batches(
+            FrameSample,
+            fn_constructor_kwargs=dict(every_n=10, fake=True),
+            batch_format="pyarrow",
+            batch_size=1,  # heavy-payload contract: tiny batches
+            concurrency=(1, 2),
+        )
+        out = sampled.to_pandas()
+        assert list(out["frame_idx"]) == [0, 10, 20]  # doc 2 yields nothing
+        assert "video" not in out.columns
+        # sampled frames feed the image stage directly
+        dec = sampled.map_batches(
+            DecodeImage,
+            fn_constructor_kwargs=dict(bytes_col="image", fake=True),
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        ).to_pandas()
+        assert (dec["width"] == 8).all() and dec["decode_ok"].all()
+
+    def test_audio_features(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from redactifai_ray.stages.multimodal import AudioFeatures, encode_fake_audio
+
+        t = np.arange(16000, dtype=np.float64) / 16000.0
+        tone = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+        ds = ray.data.from_items(
+            [
+                {"aid": 1, "audio": encode_fake_audio(16000, tone)},
+                {"aid": 2, "audio": b"notaudio"},
+            ]
+        )
+        out = (
+            ds.map_batches(
+                AudioFeatures,
+                fn_constructor_kwargs=dict(fake=True),
+                batch_format="pyarrow",
+                concurrency=(1, 2),
+            )
+            .to_pandas()
+            .set_index("aid")
+        )
+        assert out.loc[1, "duration_s"] == 1.0
+        assert abs(out.loc[1, "rms"] - 20000 / 32768 / np.sqrt(2)) < 0.01
+        assert abs(out.loc[1, "zcr"] - 2 * 440 / 16000) < 0.01
+        assert out.loc[2, "n_samples"] == 0
+        assert "audio" not in out.columns
+
+    def test_real_codec_paths_guarded(self):
+        import pytest as _pytest
+
+        from redactifai_ray.stages.multimodal import AudioFeatures, FrameSample
+
+        with _pytest.raises(NotImplementedError):
+            FrameSample(fake=False)
+        with _pytest.raises(NotImplementedError):
+            AudioFeatures(fake=False)
