@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": q.q_orders_per_nation,
         "events_window": q.q_events_window,
         "events_type_counts": q.q_events_type_counts,
+        "asof_purchase": q.q_asof_purchase,
+        "quantity_bands": q.q_quantity_bands,
         "distinct_langs": q.q_distinct_langs,
         "union_sources": q.q_union_sources,
         # webtext flagship (synthetic pages; golden-pinned in tests)
@@ -258,6 +260,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_type_counts": """
             SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type
+        """,
+        "asof_purchase": """
+            -- as-of join: each click picks up the most recent prior-or-
+            -- equal purchase by the same user; the purchase side pre-
+            -- aggregates to unique (user, ts) so exact-ts ties break
+            -- identically in both engines
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+            ),
+            purch AS (
+                SELECT user_id, ts,
+                       max(value) AS purchase_value,
+                       max(event_id) AS purchase_event_id
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT c.user_id, c.event_id, p.purchase_event_id, p.purchase_value
+            FROM clicks c ASOF JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "quantity_bands": """
+            -- banded range join against a small interval table
+            WITH bands(band, lo, hi) AS (VALUES
+                ('b00_10', 0.0, 10.0), ('b10_20', 10.0, 20.0),
+                ('b20_30', 20.0, 30.0), ('b30_40', 30.0, 40.0),
+                ('b40_60', 40.0, 60.0))
+            SELECT b.band, count(*)::BIGINT AS n_items,
+                   sum(CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_qty
+            FROM lineitem l JOIN bands b
+              ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+            GROUP BY b.band
         """,
         "distinct_langs": """
             SELECT DISTINCT lang FROM documents ORDER BY lang

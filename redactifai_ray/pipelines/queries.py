@@ -716,3 +716,135 @@ def q_quantiles(sf_dir: str) -> pd.DataFrame:
         idx = int((cum > rank).idxmax())
         rows.append({"q": label, "n_chars_q": int(hist.loc[idx, "val"])})
     return pd.DataFrame(rows)
+
+
+def q_asof_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join (brief-listed operator Ray Data lacks natively): each
+    'click' event picks up the most recent prior-or-equal 'purchase' by
+    the same user.
+
+    Ray shape: both sides co-locate with ONE hash-partition groupby on
+    user_id % P (carrying a side flag), and a vectorized in-partition
+    ``pd.merge_asof(by='user_id')`` does the per-key backward scan — the
+    same join-free union+groupby pattern as label_propagation, so the
+    shuffle moves only the two slim event projections. The purchase side
+    pre-aggregates to unique (user, ts) so exact-timestamp ties are
+    deterministic in both engines."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id", "value"])
+
+    def sides(batch: pa.Table) -> pa.Table:
+        clicks = batch.filter(pc.equal(batch["event_type"], "click"))
+        purch = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        t = pa.table(
+            {
+                "user_id": pa.concat_arrays(
+                    [clicks["user_id"].combine_chunks(),
+                     purch["user_id"].combine_chunks()]
+                ),
+                "ts": pa.concat_arrays(
+                    [clicks["ts"].combine_chunks(), purch["ts"].combine_chunks()]
+                ),
+                "event_id": pa.concat_arrays(
+                    [clicks["event_id"].combine_chunks(),
+                     purch["event_id"].combine_chunks()]
+                ),
+                "value": pa.concat_arrays(
+                    [clicks["value"].combine_chunks(),
+                     purch["value"].combine_chunks()]
+                ),
+                "is_purchase": pa.array(
+                    [0] * clicks.num_rows + [1] * purch.num_rows, pa.int8()
+                ),
+            }
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(uid % P, pa.int64()))
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "purchase_event_id": pd.Series(dtype="int64"),
+                "purchase_value": pd.Series(dtype="float64"),
+            }
+        )
+        if "is_purchase" not in g.columns:
+            return empty
+        left = g[g["is_purchase"] == 0][["user_id", "ts", "event_id"]]
+        right = (
+            g[g["is_purchase"] == 1]
+            .groupby(["user_id", "ts"], as_index=False)
+            .agg(purchase_value=("value", "max"), purchase_event_id=("event_id", "max"))
+        )
+        if left.empty or right.empty:
+            return empty
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(
+            left, right, on="ts", by="user_id", direction="backward"
+        )
+        m = m.dropna(subset=["purchase_event_id"])  # inner as-of semantics
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "event_id": m["event_id"].astype("int64"),
+                "purchase_event_id": m["purchase_event_id"].astype("int64"),
+                "purchase_value": m["purchase_value"].astype("float64"),
+            }
+        )
+
+    return (
+        events.map_batches(sides, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(asof_part, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_quantity_bands(sf_dir: str) -> pd.DataFrame:
+    """Banded range join (brief-listed operator): lineitem quantities
+    against a small interval table. The band table broadcasts (it is the
+    degenerate small side of every range join); membership is one
+    vectorized ``np.digitize`` per batch with per-batch partial counts
+    before a 5-row groupby."""
+    bands = [(0.0, 10.0, "b00_10"), (10.0, 20.0, "b10_20"),
+             (20.0, 30.0, "b20_30"), (30.0, 40.0, "b30_40"),
+             (40.0, 60.0, "b40_60")]
+    edges = np.array([b[0] for b in bands] + [bands[-1][1]])
+    names = np.array([b[2] for b in bands])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch["l_quantity"], dtype=np.float64)
+        idx = np.digitize(q, edges) - 1
+        ok = (idx >= 0) & (idx < len(names))
+        idx = idx[ok]
+        qc = np.floor(q[ok] * 100.0 + 0.5).astype(np.int64)
+        if len(idx) == 0:
+            return pa.table({"band": pa.array([], pa.string()),
+                             "n_items": pa.array([], pa.int64()),
+                             "qty_c": pa.array([], pa.int64())})
+        counts = np.bincount(idx, minlength=len(names))
+        sums = np.bincount(idx, weights=qc, minlength=len(names)).astype(np.int64)
+        nz = counts > 0
+        return pa.table(
+            {
+                "band": pa.array(names[nz]),
+                "n_items": pa.array(counts[nz], pa.int64()),
+                "qty_c": pa.array(sums[nz], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_quantity"])
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("qty_c", alias_name="qty_c"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out.pop("qty_c") / 100.0
+    return out[["band", "n_items", "sum_qty"]]

@@ -596,3 +596,33 @@ class TestMultimodalVideoAudio:
             FrameSample(fake=False)
         with _pytest.raises(NotImplementedError):
             AudioFeatures(fake=False)
+
+
+class TestAsofAndRangeJoin:
+    def test_asof_deterministic_and_backward(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_asof_purchase
+
+        a = q_asof_purchase(SF).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        b = q_asof_purchase(SF).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+        # every match is a real purchase event id
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            f"{SF}/events.parquet", columns=["event_id", "event_type"]
+        ).to_pandas()
+        purch_ids = set(ev.loc[ev["event_type"] == "purchase", "event_id"])
+        assert set(a["purchase_event_id"]) <= purch_ids
+
+    def test_quantity_bands_partition_input(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_quantity_bands
+
+        out = q_quantity_bands(SF)
+        import ray.data
+
+        li = ray.data.read_parquet(
+            f"{SF}/lineitem.parquet", columns=["l_quantity"]
+        ).to_pandas()
+        in_range = ((li["l_quantity"] >= 0) & (li["l_quantity"] < 60)).sum()
+        assert out["n_items"].sum() == in_range  # bands partition [0, 60)
