@@ -63,7 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": q.q_quantiles,
         "fingerprints": q.q_fingerprints,
         "lang_pred_counts": q.q_lang_pred_counts,
-        # near-dup families (not SQL-expressible → rows-only checks)
+        # near-dup families
+        "jaccard_dups": q.q_jaccard_dups,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_dup": q.q_embedding_near_dup,
@@ -291,6 +292,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN bands b
               ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
             GROUP BY b.band
+        """,
+        "jaccard_dups": """
+            -- exact word-trigram Jaccard >= 0.8 over distinct gram sets;
+            -- docs with < 3 words contribute their whole text as one gram
+            -- (mirrors shingle_hashes' short-text fallback)
+            WITH words AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 3 THEN
+                           list_distinct(list_transform(
+                               generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                       ELSE [] END AS gs
+                FROM words
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.gs, b.gs))::DOUBLE
+                       / len(list_distinct(list_concat(a.gs, b.gs))) AS jaccard
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_concat(a.gs, b.gs))) > 0
+              AND len(list_intersect(a.gs, b.gs))::DOUBLE
+                      / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8
         """,
         "distinct_langs": """
             SELECT DISTINCT lang FROM documents ORDER BY lang

@@ -848,3 +848,34 @@ def q_quantity_bands(sf_dir: str) -> pd.DataFrame:
     )
     out["sum_qty"] = out.pop("qty_c") / 100.0
     return out[["band", "n_items", "sum_qty"]]
+
+
+def q_jaccard_dups(sf_dir: str) -> pd.DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (>= 0.8) — the n-gram
+    Jaccard dedup family member with a full SQL oracle (DuckDB cross-join
+    over distinct trigram sets).
+
+    Ray shape: MinHash-LSH candidate generation at a low estimate floor
+    (slim band-key shuffle; 16 bands × 4 rows → bucket-collision
+    probability 1-(1-s⁴)¹⁶ ≈ 1-4e-8 at s = 0.9, and every true pair in
+    this corpus sits at ≥ 0.9) followed by exact Jaccard verification via
+    the broadcast semi-join (`verify_pairs_jaccard`) — candidates ≪
+    corpus pays for the exactness. The jaccard value is an IEEE double
+    division of exact set-cardinality ints, so it hashes identically to
+    the SQL."""
+    from ..stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_lsh_pairs(
+        docs, shingle_k=3, num_perm=64, bands=16, threshold=0.4
+    ).to_pandas()
+    pairs = list(zip(cand["id_a"], cand["id_b"]))
+    exact = verify_pairs_jaccard(docs, pairs, shingle_k=3)
+    out = exact[exact["jaccard"] >= 0.8].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "id_a": out["id_a"].astype("int64"),
+            "id_b": out["id_b"].astype("int64"),
+            "jaccard": out["jaccard"].astype("float64"),
+        }
+    )

@@ -626,3 +626,20 @@ class TestAsofAndRangeJoin:
         ).to_pandas()
         in_range = ((li["l_quantity"] >= 0) & (li["l_quantity"] < 60)).sum()
         assert out["n_items"].sum() == in_range  # bands partition [0, 60)
+
+
+class TestJaccardDups:
+    def test_pairs_symmetric_threshold(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_jaccard_dups
+
+        out = q_jaccard_dups(SF)
+        assert len(out) > 0
+        assert (out["jaccard"] >= 0.8).all() and (out["jaccard"] <= 1.0).all()
+        assert (out["id_a"] < out["id_b"]).all()
+        # deterministic across runs
+        again = q_jaccard_dups(SF)
+        key = ["id_a", "id_b"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True),
+            again.sort_values(key).reset_index(drop=True),
+        )
