@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_counts": q.q_events_type_counts,
         "asof_purchase": q.q_asof_purchase,
         "quantity_bands": q.q_quantity_bands,
+        "events_sliding": q.q_events_sliding,
+        "top_events_per_user": q.q_top_events_per_user,
+        "distinct_users_per_type": q.q_distinct_users_per_type,
         "distinct_langs": q.q_distinct_langs,
         "union_sources": q.q_union_sources,
         # webtext flagship (synthetic pages; golden-pinned in tests)
@@ -280,6 +283,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.user_id, c.event_id, p.purchase_event_id, p.purchase_value
             FROM clicks c ASOF JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "events_sliding": """
+            -- sliding window: 2h window, 1h slide → every event in
+            -- exactly two windows (starts at trunc(ts) and trunc(ts)-1h)
+            SELECT date_trunc('hour', ts) - to_hours(k) AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   max(value) AS max_value, min(value) AS min_value
+            FROM events, (VALUES (0), (1)) AS s(k)
+            GROUP BY 1
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id ASC
+            ) <= 3
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
         """,
         "quantity_bands": """
             -- banded range join against a small interval table

@@ -879,3 +879,92 @@ def q_jaccard_dups(sf_dir: str) -> pd.DataFrame:
             "jaccard": out["jaccard"].astype("float64"),
         }
     )
+
+
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding window (2 h window, 1 h slide): every event lands in
+    exactly two windows. Ray shape: each batch emits the event under both
+    window starts and PARTIALLY aggregates before the slim groupby — the
+    shuffle moves one row per (window × batch), not per event."""
+    events = _read(sf_dir, "events", ["ts", "value"])
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = df["ts"].dt.floor("h")
+        frames = []
+        for k in (0, 1):
+            f = pd.DataFrame(
+                {"window_start": base - pd.Timedelta(hours=k), "value": df["value"]}
+            )
+            frames.append(f)
+        both = pd.concat(frames, ignore_index=True)
+        g = both.groupby("window_start", as_index=False).agg(
+            n_events=("value", "size"),
+            max_value=("value", "max"),
+            min_value=("value", "min"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        events.map_batches(windowed, batch_format="pyarrow")
+        .groupby("window_start", num_partitions=32)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Max("max_value", alias_name="max_value"),
+            Min("min_value", alias_name="min_value"),
+        )
+        .to_pandas()
+    )
+
+
+def q_top_events_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (top-3 events by value per user, deterministic
+    (value DESC, event_id ASC) tie-break). Ray shape: per-batch partial
+    top-3 per user (combiner) so the shuffle moves ≤ 3 rows per
+    (user × batch), then a per-user final top-3."""
+    events = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).head(3), preserve_index=False
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["value", "event_id"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        return g[["user_id", "event_id", "value"]]
+
+    return (
+        events.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=32)
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped count-distinct via two native shuffles: per-batch
+    pre-distinct (combiner) → groupby (type, user) Count (dedupe) →
+    groupby type Count. No per-group Python anywhere."""
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def predistinct(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    pairs = events.map_batches(predistinct, batch_format="pyarrow")
+    distinct = pairs.groupby(["event_type", "user_id"], num_partitions=32).aggregate(
+        Count(alias_name="_c")
+    )
+    return (
+        distinct.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
