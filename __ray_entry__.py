@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_pred_counts": q.q_lang_pred_counts,
         # near-dup families
         "jaccard_dups": q.q_jaccard_dups,
+        "hll_distinct": q.q_hll_distinct,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_dup": q.q_embedding_near_dup,

@@ -1,0 +1,106 @@
+"""HyperLogLog distinct-count sketch — the scale path for COUNT(DISTINCT)
+over 10^12-row columns where the exact two-shuffle path
+(`q_distinct_users_per_type`) would move one row per distinct value.
+
+Deterministic: hashes via the same blake2b-based ``stable_hash64`` as the
+dedup family, so sketches built from the same values are identical on any
+node and merges are order-independent (register-wise max). Standard HLL
+estimator with linear-counting small-range correction (Flajolet et al.;
+the public algorithm).
+
+Distributed shape: each block folds into one 2^p-byte register row inside
+``map_batches`` (vectorized numpy); the per-block sketches (KBs each)
+gather and merge on the driver — a tree of register-max merges, never a
+shuffle of values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import stable_hash64
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers.copy()
+            if registers is not None
+            else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Fold a uint64 hash array in, vectorized."""
+        if hashes.size == 0:
+            return
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # rank = leading zeros of the remaining 64-p bits, + 1; the low
+        # p bits are forced to 1 so the rank caps at 64-p+1 naturally
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # vectorized leading-zero count via float log2 would lose precision
+        # beyond 2^53; do a 6-step binary clz instead (exact)
+        shift = 32
+        lzc = np.zeros(h.size, dtype=np.int64)
+        v = rest.copy()
+        while shift >= 1:
+            top = v >> np.uint64(64 - shift)
+            zero_top = top == 0
+            lzc = np.where(zero_top, lzc + shift, lzc)
+            v = np.where(zero_top, v << np.uint64(shift), v)
+            shift //= 2
+        rank = np.minimum(lzc + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def update(self, values) -> None:
+        hs = np.array(
+            [stable_hash64(v if isinstance(v, (str, bytes)) else str(v), 77)
+             for v in values],
+            dtype=np.uint64,
+        )
+        self.add_hashes(hs)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge sketches of different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def count(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(2.0 ** -self.registers.astype(np.float64)))
+        if est <= 2.5 * m:  # small-range linear counting
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * np.log(m / zeros)
+        return est
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, p: int = 12) -> "HyperLogLog":
+        return cls(p, registers=np.frombuffer(raw, dtype=np.uint8).copy())
+
+
+def hll_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) over a Dataset. One map pass emits
+    a register row per block; the driver merges (register-wise max) —
+    values never shuffle. Relative error ≈ 1.04/√(2^p) (~1.6% at p=12)."""
+    import pyarrow as pa
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        h.update(batch[col].to_pylist())
+        return pa.table({"registers": pa.array([h.to_bytes()], pa.binary())})
+
+    rows = ds.map_batches(sketch_block, batch_format="pyarrow").take_all()
+    acc = HyperLogLog(p)
+    for r in rows:
+        acc.merge(HyperLogLog.from_bytes(r["registers"], p))
+    return acc.count()

@@ -968,3 +968,23 @@ def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_users"))
         .to_pandas()
     )
+
+
+def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate distinct counts (no SQL oracle by nature —
+    the estimator is approximate; accuracy vs exact is test-pinned at
+    <5% rel. error, functions/sketch.py). Deterministic: stable hashing +
+    order-independent register-max merges."""
+    from ..functions.sketch import hll_distinct
+
+    docs = _read(sf_dir, "documents", ["text"])
+    events = _read(sf_dir, "events", ["user_id"])
+    return pd.DataFrame(
+        {
+            "metric": ["distinct_texts_est", "distinct_users_est"],
+            "estimate": [
+                float(hll_distinct(docs, "text")),
+                float(hll_distinct(events, "user_id")),
+            ],
+        }
+    )

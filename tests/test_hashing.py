@@ -141,3 +141,50 @@ class TestBloom:
             batch_format="pyarrow",
         ).to_pandas()
         assert set(range(0, 100, 2)) <= set(out2["v"])
+
+
+class TestHyperLogLog:
+    def test_accuracy_and_merge(self):
+        import numpy as np
+
+        from redactifai_ray.functions.sketch import HyperLogLog
+
+        n = 50_000
+        a = HyperLogLog(12)
+        b = HyperLogLog(12)
+        a.update(f"key-{i}" for i in range(0, n, 2))
+        b.update(f"key-{i}" for i in range(1, n, 2))
+        # overlap: b also sees half of a's keys (dedup across sketches)
+        b.update(f"key-{i}" for i in range(0, n // 2, 2))
+        a.merge(b)
+        est = a.count()
+        assert abs(est - n) / n < 0.05  # 1.6% expected at p=12
+
+    def test_small_range_exactish(self):
+        from redactifai_ray.functions.sketch import HyperLogLog
+
+        h = HyperLogLog(12)
+        h.update(f"v{i}" for i in range(100))
+        assert abs(h.count() - 100) < 5  # linear counting regime
+
+    def test_deterministic_and_serializable(self):
+        from redactifai_ray.functions.sketch import HyperLogLog
+
+        x = HyperLogLog(10)
+        y = HyperLogLog(10)
+        x.update(["a", "b", "c"])
+        y.update(["c", "b", "a"])  # order-independent
+        assert x.to_bytes() == y.to_bytes()
+        z = HyperLogLog.from_bytes(x.to_bytes(), 10)
+        assert z.count() == x.count()
+
+    def test_distributed_fold(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.sketch import hll_distinct
+
+        ds = ray.data.from_items(
+            [{"k": f"user-{i % 1000}"} for i in range(20_000)]
+        )
+        est = hll_distinct(ds, "k", p=12)
+        assert abs(est - 1000) / 1000 < 0.05
