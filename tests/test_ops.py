@@ -643,3 +643,39 @@ class TestJaccardDups:
             out.sort_values(key).reset_index(drop=True),
             again.sort_values(key).reset_index(drop=True),
         )
+
+
+class TestKnnIvf:
+    def test_recall_vs_brute_force(self, emb, ray_session):
+        from redactifai_ray.stages.similarity import (
+            build_ivf_centroids,
+            knn_topk,
+            knn_topk_ivf,
+        )
+
+        df = emb.to_pandas()
+        ids = df["vec_id"].tolist()[:4]
+        vecs = [list(v) for v in df["embedding"].tolist()[:4]]
+        C = build_ivf_centroids(emb, n_centroids=16)
+        assert C.shape[0] == 16
+        exact = knn_topk(emb, ids, vecs, k=5).to_pandas()
+        approx = knn_topk_ivf(
+            emb, ids, vecs, k=5, centroids=C, nprobe=6
+        ).to_pandas()
+        hits = total = 0
+        for qid in ids:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            hits += len(e & a)
+            total += len(e)
+        assert hits / total >= 0.5  # near-uniform vectors: IVF's hard case
+        assert (approx.groupby("query_id").size() == 5).all()
+
+    def test_centroids_deterministic(self, emb, ray_session):
+        import numpy as np
+
+        from redactifai_ray.stages.similarity import build_ivf_centroids
+
+        a = build_ivf_centroids(emb, n_centroids=8)
+        b = build_ivf_centroids(emb, n_centroids=8)
+        assert np.array_equal(a, b)
