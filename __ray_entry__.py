@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_longest": q.q_docs_top_longest,
         "quantiles": q.q_quantiles,
         "fingerprints": q.q_fingerprints,
+        "bpe_token_counts": q.q_bpe_token_counts,
         "lang_pred_counts": q.q_lang_pred_counts,
         # near-dup families
         "jaccard_dups": q.q_jaccard_dups,

@@ -988,3 +988,18 @@ def q_hll_distinct(sf_dir: str) -> pd.DataFrame:
             ],
         }
     )
+
+
+def q_bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Trained-BPE token counts (rows-only: the merge table is a trained
+    model artifact, not SQL-expressible; determinism + compression bounds
+    are test-pinned in tests/test_hashing.py::TestBpe). Merges train once
+    on a bounded sample and broadcast into a warm actor pool."""
+    from ..functions.bpe import add_bpe_count, train_bpe, word_frequencies
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(word_frequencies(docs, sample_rows=2000), n_merges=200)
+    out = add_bpe_count(docs, merges).select_columns(
+        ["doc_id", "n_bpe_trained"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -188,3 +188,50 @@ class TestHyperLogLog:
         )
         est = hll_distinct(ds, "k", p=12)
         assert abs(est - 1000) / 1000 < 0.05
+
+
+class TestBpe:
+    def test_train_deterministic_and_merges_learned(self):
+        from redactifai_ray.functions.bpe import BpeTokenizer, train_bpe
+
+        freqs = {"lower": 5, "low": 7, "newest": 6, "widest": 3}
+        m1 = train_bpe(freqs, n_merges=10)
+        m2 = train_bpe(freqs, n_merges=10)
+        assert m1 == m2 and len(m1) > 0
+        tok = BpeTokenizer(m1)
+        # frequent substrings compress into fewer symbols than chars
+        assert len(tok.encode_word("lowest")) < len("lowest") + 1
+
+    def test_encoder_roundtrip_surface(self):
+        from redactifai_ray.functions.bpe import END, BpeTokenizer, train_bpe
+
+        freqs = {"aaaa": 10, "aaab": 5}
+        tok = BpeTokenizer(train_bpe(freqs, n_merges=5))
+        toks = tok.encode("aaaa aaab")
+        # concatenation restores the text (with end-of-word sentinels)
+        joined = "".join(toks).replace(END, " ").strip()
+        assert joined == "aaaa aaab"
+
+    def test_distributed_train_and_count(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.bpe import (
+            add_bpe_count,
+            train_bpe,
+            word_frequencies,
+        )
+
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        freqs = word_frequencies(docs, sample_rows=200)
+        merges = train_bpe(freqs, n_merges=100)
+        assert len(merges) > 50
+        out = add_bpe_count(docs.limit(50), merges).to_pandas()
+        assert (out["n_bpe_trained"] > 0).all()
+        # trained BPE compresses the corpus it was trained on: fewer
+        # tokens than characters, more than whitespace words
+        n_words = out["text"].str.split().str.len()
+        n_chars = out["text"].str.len()
+        assert (out["n_bpe_trained"] >= n_words).all()
+        assert (out["n_bpe_trained"] < n_chars).all()
