@@ -45,6 +45,13 @@ def main(argv=None) -> int:
         help="extraction profile (registry.EXTRACTORS): default recall-"
              "leaning DOM-density walk, or the strict precision variant",
     )
+    ap.add_argument(
+        "--patterns-file", default=None,
+        help="extra detector patterns (YAML/JSON, reference "
+             "phi_patterns.yaml schema); shipped example: "
+             "redactifai_ray/patterns/webtext_extra.json (IP, credit "
+             "card, MAC, IBAN, social handle)",
+    )
     ap.add_argument("--files-per-partition", type=int, default=8)
     ap.add_argument(
         "--partition-by", default=None,
@@ -110,6 +117,12 @@ def main(argv=None) -> int:
         if not args.no_dedup:
             global_winners = compute_dup_winners(files)
 
+        extra_patterns = None
+        if args.patterns_file:
+            from .stages.content import load_patterns_file
+
+            extra_patterns = load_patterns_file(args.patterns_file)
+
         def build(part_files):
             return build_deidentify_pipeline(
                 part_files,
@@ -120,6 +133,7 @@ def main(argv=None) -> int:
                 detect_on=args.detect_on,
                 extractor=args.extractor,
                 dup_winners=global_winners,
+                extra_patterns=extra_patterns,
             )
 
         from .stages.extract import EXTRACT_PROFILES

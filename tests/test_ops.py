@@ -679,3 +679,49 @@ class TestKnnIvf:
         a = build_ivf_centroids(emb, n_centroids=8)
         b = build_ivf_centroids(emb, n_centroids=8)
         assert np.array_equal(a, b)
+
+
+class TestShippedPatternsFile:
+    def test_webtext_extra_patterns_detect_and_mask(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq
+        import ray.data
+
+        import redactifai_ray
+        from redactifai_ray.pipelines.deidentify import (
+            build_deidentify_pipeline,
+            finalize_output,
+        )
+        from redactifai_ray.stages.content import load_patterns_file
+
+        pfile = os.path.join(
+            os.path.dirname(redactifai_ray.__file__), "patterns", "webtext_extra.json"
+        )
+        pats = load_patterns_file(pfile)
+        assert {"IPAddress", "CreditCard", "MacAddress"} <= set(pats)
+
+        html = (
+            b"<html><body><p>Server at 192.168.10.44 billed card "
+            b"4111 1111 1111 1111 for the premium plan yesterday.</p>"
+            b"</body></html>"
+        )
+        t = pa_.table(
+            {
+                "url": ["http://x/1"],
+                "warc_ts": pa_.array([pd.Timestamp("2024-01-01")], pa_.timestamp("us")),
+                "html": pa_.array([html], pa_.binary()),
+                "text": pa_.array([None], pa_.string()),
+                "lang": ["en"],
+            }
+        )
+        pq.write_table(t, str(tmp_path / "p.parquet"))
+        out = finalize_output(
+            build_deidentify_pipeline(
+                str(tmp_path / "p.parquet"), dedup=False, extra_patterns=pats
+            )
+        ).to_pandas()
+        masked = out.iloc[0]["masked_text"]
+        assert "192.168.10.44" not in masked and "[IPADDRESS]" in masked
+        assert "4111" not in masked and "[CREDITCARD]" in masked
