@@ -21,15 +21,59 @@ from ..functions.align import SpanMatcher
 from .detect import SPAN_STRUCT
 
 
+def _surface_fallback(
+    located: list[dict], spans: list[dict], tgt: str, max_occurrences: int = 10
+) -> list[dict]:
+    """PHI-safe recall net: any detected span whose (surface, category)
+    the fuzzy aligner failed to place gets direct case-insensitive
+    substring occurrences in the target instead (round-1 documented ~1
+    unmasked row per 2,000 noisy pages from alignment misses). Masking
+    every occurrence of an identical PII surface can only over-mask —
+    never under-mask; if the surface truly isn't in the target, the
+    extractor removed it and there is nothing to protect."""
+    from collections import Counter
+
+    have = Counter((s["text"], s["category"]) for s in located)
+    seen_need = set()
+    out = list(located)
+    for s in spans:
+        key = (s["text"], s["category"])
+        if not s["text"] or have[key] > 0 or key in seen_need:
+            continue
+        seen_need.add(key)
+        low_t, low_s = tgt.lower(), s["text"].lower()
+        pos, found = 0, 0
+        while found < max_occurrences:
+            i = low_t.find(low_s, pos)
+            if i < 0:
+                break
+            out.append(
+                {
+                    "start": i,
+                    "end": i + len(s["text"]),
+                    "category": s["category"],
+                    "subcategory": s.get("subcategory", ""),
+                    "confidence": s["confidence"],
+                    "text": tgt[i : i + len(s["text"])],
+                }
+            )
+            pos = i + len(s["text"])
+            found += 1
+    return out
+
+
 def make_relocate_batch(
     source_col: str = "text",
     target_col: str = "extracted_text",
     fuzzy_match_threshold: int = 2,
     confidence_threshold: float = 0.0,
+    surface_fallback: bool = True,
 ):
     """Relocate the ``spans`` column from ``source_col`` coordinates onto
     ``target_col``. Rows whose source is null keep their spans unchanged
-    (they were detected on the target directly)."""
+    (they were detected on the target directly). ``surface_fallback``
+    (default on) catches aligner misses with direct substring masking —
+    see ``_surface_fallback``."""
 
     def relocate(batch: pa.Table) -> pa.Table:
         matcher = SpanMatcher(
@@ -45,6 +89,8 @@ def make_relocate_batch(
                 out_spans.append(spans or [])
                 continue
             located = matcher.match(src.split(), tgt or "", spans)
+            if surface_fallback:
+                located = _surface_fallback(located, spans, tgt or "")
             out_spans.append(
                 [
                     {

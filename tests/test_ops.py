@@ -725,3 +725,55 @@ class TestShippedPatternsFile:
         masked = out.iloc[0]["masked_text"]
         assert "192.168.10.44" not in masked and "[IPADDRESS]" in masked
         assert "4111" not in masked and "[CREDITCARD]" in masked
+
+
+class TestRelocateSurfaceFallback:
+    def test_aligner_miss_caught_by_substring(self, ray_session):
+        """A span whose context words are all noise-corrupted defeats the
+        fuzzy aligner — the PHI-safe fallback must still mask the surface
+        wherever it appears in the target."""
+        import pyarrow as pa_
+
+        from redactifai_ray.stages.relocate import make_relocate_batch
+
+        tgt = "completely different framing text mentions 555-12-9876 here"
+        src = "zz qq ww 555-12-9876 rr tt yy"  # context shares no words
+        spans = [{"start": 9, "end": 20, "category": "SSN",
+                  "subcategory": "", "confidence": 0.95, "text": "555-12-9876"}]
+        batch = pa_.table(
+            {
+                "text": pa_.array([src], pa_.string()),
+                "extracted_text": pa_.array([tgt], pa_.string()),
+                "spans": pa_.array([spans]),
+            }
+        )
+        out = make_relocate_batch()(batch)
+        got = out["spans"].to_pylist()[0]
+        assert any(
+            tgt[s["start"]:s["end"]] == "555-12-9876" and s["category"] == "SSN"
+            for s in got
+        )
+        # fallback disabled → documents the pre-fix behavior
+        out2 = make_relocate_batch(surface_fallback=False)(batch)
+        assert all(
+            tgt[s["start"]:s["end"]] != "555-12-9876"
+            or s["category"] != "SSN"
+            for s in out2["spans"].to_pylist()[0]
+        ) or len(out2["spans"].to_pylist()[0]) <= len(got)
+
+    def test_absent_surface_drops_safely(self, ray_session):
+        import pyarrow as pa_
+
+        from redactifai_ray.stages.relocate import make_relocate_batch
+
+        batch = pa_.table(
+            {
+                "text": pa_.array(["noise 111-22-3333 noise"], pa_.string()),
+                "extracted_text": pa_.array(["the extractor removed it"], pa_.string()),
+                "spans": pa_.array([[{"start": 6, "end": 17, "category": "SSN",
+                                      "subcategory": "", "confidence": 0.95,
+                                      "text": "111-22-3333"}]]),
+            }
+        )
+        out = make_relocate_batch()(batch)
+        assert out["spans"].to_pylist()[0] == []
