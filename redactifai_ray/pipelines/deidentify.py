@@ -176,7 +176,9 @@ def make_winner_filter(winners_ref, key: str = "url", order_col: str = "warc_ts"
             winners = ray.get(winners_ref)
             state["winners"] = winners
             state["keys"] = pa.array(list(winners.keys()))
-        is_dup = pc.is_in(batch[key], value_set=state["keys"])
+        # null keys: is_in yields null, which breaks the numpy bool
+        # conversion below — a null key is never a duplicate (ADVICE r2)
+        is_dup = pc.fill_null(pc.is_in(batch[key], value_set=state["keys"]), False)
         if not pc.any(is_dup).as_py():
             return batch
         import numpy as np

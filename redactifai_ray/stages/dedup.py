@@ -100,7 +100,7 @@ def exact_dedup(
 
     def find_losers(g: pd.DataFrame) -> pd.DataFrame:
         if "text_md5" not in g.columns:  # schema-less empty partition
-            return pd.DataFrame({"loser": pd.Series(dtype="int64")})
+            return pd.DataFrame({"loser": pd.Series(dtype="object")})
         g = g.sort_values(["text_md5", id_col], kind="mergesort")
         md5s = g["text_md5"].to_numpy()
         ids = g[id_col].to_numpy()
@@ -111,10 +111,12 @@ def exact_dedup(
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], n)
         multi = (ends - starts) >= 2
-        losers: list[int] = []
+        losers: list = []
         for s, e in zip(starts[multi], ends[multi]):
-            losers.extend(int(x) for x in ids[s + 1 : e])  # keep min id
-        return pd.DataFrame({"loser": pd.Series(losers, dtype="int64")})
+            losers.extend(ids[s + 1 : e].tolist())  # keep min id
+        # ids stay in their NATIVE dtype (int or string doc ids both
+        # work — ADVICE r2; the r2 version hard-coded int64)
+        return pd.DataFrame({"loser": pd.Series(losers, dtype=g[id_col].dtype)})
 
     slim = ds.map_batches(slim_hash, batch_format="pyarrow")
     loser_rows = (
@@ -124,14 +126,14 @@ def exact_dedup(
     )
     if len(loser_rows) > max_broadcast_losers:
         return _exact_dedup_shuffle(add_content_hash(ds, text_col), id_col)
-    losers = {int(r["loser"]) for r in loser_rows}
+    losers = {r["loser"] for r in loser_rows}
     if not losers:
         return add_content_hash(ds, text_col)
     losers_ref = ray.put(losers)
 
     def drop_losers(batch: pa.Table) -> pa.Table:
         drop = ray.get(losers_ref)
-        mask = [int(i) not in drop for i in batch[id_col].to_pylist()]
+        mask = [i not in drop for i in batch[id_col].to_pylist()]
         return batch.filter(pa.array(mask, pa.bool_()))
 
     # filter BEFORE the output-column hash so losers aren't re-hashed

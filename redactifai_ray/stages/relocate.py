@@ -31,6 +31,7 @@ def _surface_fallback(
     every occurrence of an identical PII surface can only over-mask —
     never under-mask; if the surface truly isn't in the target, the
     extractor removed it and there is nothing to protect."""
+    import re
     from collections import Counter
 
     have = Counter((s["text"], s["category"]) for s in located)
@@ -41,24 +42,24 @@ def _surface_fallback(
         if not s["text"] or have[key] > 0 or key in seen_need:
             continue
         seen_need.add(key)
-        low_t, low_s = tgt.lower(), s["text"].lower()
-        pos, found = 0, 0
-        while found < max_occurrences:
-            i = low_t.find(low_s, pos)
-            if i < 0:
+        # re.finditer keeps match offsets/lengths in ORIGINAL-string
+        # coordinates; str.lower() can change length ('İ' → 2 chars) and
+        # would shift every later offset, under-masking (ADVICE r2).
+        for found, m in enumerate(
+            re.finditer(re.escape(s["text"]), tgt, re.IGNORECASE)
+        ):
+            if found >= max_occurrences:
                 break
             out.append(
                 {
-                    "start": i,
-                    "end": i + len(s["text"]),
+                    "start": m.start(),
+                    "end": m.end(),
                     "category": s["category"],
                     "subcategory": s.get("subcategory", ""),
                     "confidence": s["confidence"],
-                    "text": tgt[i : i + len(s["text"])],
+                    "text": m.group(0),
                 }
             )
-            pos = i + len(s["text"])
-            found += 1
     return out
 
 
@@ -75,11 +76,13 @@ def make_relocate_batch(
     (default on) catches aligner misses with direct substring masking —
     see ``_surface_fallback``."""
 
+    # built once in the closure, not per batch (build-once doctrine)
+    matcher = SpanMatcher(
+        fuzzy_match_threshold=fuzzy_match_threshold,
+        confidence_threshold=confidence_threshold,
+    )
+
     def relocate(batch: pa.Table) -> pa.Table:
-        matcher = SpanMatcher(
-            fuzzy_match_threshold=fuzzy_match_threshold,
-            confidence_threshold=confidence_threshold,
-        )
         sources = batch[source_col].to_pylist()
         targets = batch[target_col].to_pylist()
         spans_lists = batch["spans"].to_pylist()

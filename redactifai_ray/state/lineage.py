@@ -175,11 +175,19 @@ def run_resumable(
         prior = done.get(pid)
         pages_dir = os.path.join(out_root, "pages", f"part={pid}")
         spans_dir = os.path.join(out_root, "spans", f"part={pid}")
-        if prior and prior.get("fingerprint") == part["fingerprint"]:
+        if (
+            prior
+            and prior.get("fingerprint") == part["fingerprint"]
+            # a resume with a different extractor profile must NOT keep
+            # partitions produced by the other extractor (ADVICE r2) —
+            # the output dataset would silently mix profiles
+            and prior.get("extractor_version") == extractor_version
+        ):
             # trust-but-verify (ADVICE r1): a manifest saying "complete"
             # whose output directory was deleted/lost must rerun, not be
-            # silently skipped into an incomplete dataset
-            if _isdir(pages_dir):
+            # silently skipped into an incomplete dataset; when spans are
+            # part of the contract, BOTH sinks must survive (ADVICE r2)
+            if _isdir(pages_dir) and (spans_fn is None or _isdir(spans_dir)):
                 summary["skipped"] += 1
                 continue
         # a half-written partition from a crashed run: clear and redo

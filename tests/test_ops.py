@@ -777,3 +777,64 @@ class TestRelocateSurfaceFallback:
         )
         out = make_relocate_batch()(batch)
         assert out["spans"].to_pylist()[0] == []
+
+
+class TestAdviceR2Regressions:
+    def test_surface_fallback_length_changing_lower(self, ray_session):
+        """'İ' (U+0130) lowers to TWO chars — lowered-string offsets would
+        shift every later span and mask the wrong region (ADVICE r2).
+        The finditer fallback keeps offsets in original coordinates."""
+        from redactifai_ray.stages.relocate import make_relocate_batch
+
+        tgt = "İİİİ prefix text mentions 555-12-9876 right here"
+        src = "zz qq ww 555-12-9876 rr tt yy"  # defeats the aligner
+        spans = [{"start": 9, "end": 20, "category": "SSN",
+                  "subcategory": "", "confidence": 0.95, "text": "555-12-9876"}]
+        batch = pa.table(
+            {
+                "text": pa.array([src], pa.string()),
+                "extracted_text": pa.array([tgt], pa.string()),
+                "spans": pa.array([spans]),
+            }
+        )
+        got = make_relocate_batch()(batch)["spans"].to_pylist()[0]
+        hits = [s for s in got if s["category"] == "SSN"]
+        assert hits and all(
+            tgt[s["start"]:s["end"]] == "555-12-9876" for s in hits
+        )
+
+    def test_exact_dedup_string_ids(self, ray_session):
+        """exact_dedup must keep ids in their native dtype — string doc
+        ids crashed the r2 slim path (ADVICE r2)."""
+        import ray.data
+
+        from redactifai_ray.stages.dedup import exact_dedup
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": "d-b", "text": "same text"},
+                {"doc_id": "d-a", "text": "same text"},
+                {"doc_id": "d-c", "text": "unique one"},
+            ]
+        )
+        out = exact_dedup(ds).to_pandas()
+        assert sorted(out["doc_id"]) == ["d-a", "d-c"]
+
+    def test_winner_filter_null_keys(self, ray_session):
+        """Null keys must pass through the vectorized membership test —
+        pc.is_in yields null there and the numpy conversion broke
+        (ADVICE r2)."""
+        import ray
+
+        from redactifai_ray.pipelines.deidentify import make_winner_filter
+
+        winners_ref = ray.put({"u1": 200})
+        batch = pa.table(
+            {
+                "url": pa.array(["u1", None, "u2", "u1"], pa.string()),
+                "warc_ts": pa.array([100, 50, 60, 200], pa.int64()),
+            }
+        )
+        out = make_winner_filter(winners_ref)(batch)
+        # loser u1@100 dropped; null-key row and unique rows survive
+        assert out["warc_ts"].to_pylist() == [50, 60, 200]

@@ -192,3 +192,59 @@ class TestLineageResume:
         )
         assert s == {"total": 2, "skipped": 0, "ran": 1, "failed": 1}
         assert list(completed_partitions(out_root)) == ["000000"]
+
+
+class TestResumeVersionAndSpansGuards:
+    def test_extractor_version_change_triggers_rerun(self, ray_session, tmp_path):
+        """Resuming with a different extractor profile must NOT keep
+        partitions produced by the other profile (ADVICE r2)."""
+        import pyarrow as pa
+        import ray.data
+
+        from redactifai_ray.state.lineage import run_resumable
+
+        src = tmp_path / "in"
+        src.mkdir()
+        pq.write_table(pa.table({"a": [1, 2]}), src / "f.parquet")
+        out_root = str(tmp_path / "out")
+
+        def build(fs):
+            return ray.data.read_parquet(fs)
+
+        s1 = run_resumable([str(src / "f.parquet")], out_root, build,
+                           extractor_version="profile-a/1")
+        assert s1["ran"] == 1
+        s2 = run_resumable([str(src / "f.parquet")], out_root, build,
+                           extractor_version="profile-a/1")
+        assert s2["skipped"] == 1
+        s3 = run_resumable([str(src / "f.parquet")], out_root, build,
+                           extractor_version="profile-b/1")
+        assert s3["ran"] == 1 and s3["skipped"] == 0
+
+    def test_lost_spans_dir_triggers_rerun(self, corpus, ray_session, tmp_path):
+        """trust-but-verify must check BOTH sinks: pages surviving while
+        spans were lost previously skipped the partition, leaving the
+        spans side permanently missing (ADVICE r2)."""
+        import shutil
+
+        from redactifai_ray.pipelines.deidentify import (
+            build_deidentify_pipeline,
+            finalize_output,
+            spans_table,
+        )
+        from redactifai_ray.state.lineage import run_resumable
+
+        out_root = str(tmp_path / "out")
+        files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))[:1]
+
+        def build(fs):
+            return build_deidentify_pipeline(fs, dedup=False)
+
+        s1 = run_resumable(files, out_root, build, spans_fn=spans_table,
+                           pages_fn=finalize_output, files_per_partition=1)
+        assert s1["ran"] == 1
+        shutil.rmtree(os.path.join(out_root, "spans", "part=000000"))
+        s2 = run_resumable(files, out_root, build, spans_fn=spans_table,
+                           pages_fn=finalize_output, files_per_partition=1)
+        assert s2["ran"] == 1 and s2["skipped"] == 0
+        assert os.path.isdir(os.path.join(out_root, "spans", "part=000000"))
