@@ -868,9 +868,10 @@ def q_jaccard_dups(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cand = minhash_lsh_pairs(
         docs, shingle_k=3, num_perm=64, bands=16, threshold=0.4
-    ).to_pandas()
-    pairs = list(zip(cand["id_a"], cand["id_b"]))
-    exact = verify_pairs_jaccard(docs, pairs, shingle_k=3)
+    )
+    # candidate Dataset passes through directly — verify_pairs_jaccard
+    # owns the broadcast-vs-distributed routing (VERDICT r2 #2)
+    exact = verify_pairs_jaccard(docs, cand, shingle_k=3)
     out = exact[exact["jaccard"] >= 0.8].reset_index(drop=True)
     return pd.DataFrame(
         {

@@ -838,3 +838,79 @@ class TestAdviceR2Regressions:
         out = make_winner_filter(winners_ref)(batch)
         # loser u1@100 dropped; null-key row and unique rows survive
         assert out["warc_ts"].to_pylist() == [50, 60, 200]
+
+
+class TestDistributedVerifyFallbacks:
+    def test_embedding_fallback_matches_broadcast(self, emb, ray_session):
+        """max_broadcast_ids=0 forces the distributed unit-vector
+        semi-join verify (VERDICT r2 #1 — previously a hard ValueError);
+        the pair set and cosines must match the broadcast path."""
+        import ray.data
+
+        from redactifai_ray.stages.dedup import embedding_near_dup_pairs
+
+        two = emb.take(2)
+        planted = ray.data.from_items(
+            [
+                {"vec_id": 9001, "embedding": two[0]["embedding"], "label": 0},
+                {"vec_id": 9002, "embedding": two[0]["embedding"], "label": 0},
+                {"vec_id": 9003, "embedding": two[1]["embedding"], "label": 0},
+                {"vec_id": 9004, "embedding": two[1]["embedding"], "label": 0},
+            ]
+        )
+        ds = emb.union(planted)
+        fast = embedding_near_dup_pairs(ds, threshold=0.999).to_pandas()
+        slow = embedding_near_dup_pairs(
+            ds, threshold=0.999, max_broadcast_ids=0
+        ).to_pandas()
+        key = ["id_a", "id_b"]
+        assert sorted(map(tuple, fast[key].values.tolist())) == sorted(
+            map(tuple, slow[key].values.tolist())
+        )
+        f = fast.sort_values(key).reset_index(drop=True)
+        s = slow.sort_values(key).reset_index(drop=True)
+        assert np.allclose(f["cosine"], s["cosine"])
+        assert {(9001, 9002), (9003, 9004)} <= set(
+            map(tuple, s[key].values.tolist())
+        )
+
+    def test_jaccard_fallback_matches_broadcast(self, ray_session):
+        """max_broadcast_ids=0 forces the distributed shingle-payload
+        semi-join (VERDICT r2 #2 — previously an uncapped driver
+        gather); exact jaccard values must be bit-identical."""
+        import ray.data
+
+        from redactifai_ray.stages.dedup import verify_pairs_jaccard
+
+        base = " ".join(f"w{i}" for i in range(60))
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("w7 ", "w7x ")},
+            {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(60))},
+            {"doc_id": 4, "text": base},
+        ]
+        ds = ray.data.from_items(rows)
+        pairs = [(1, 2), (1, 3), (1, 4), (2, 4)]
+        fast = verify_pairs_jaccard(ds, pairs, shingle_k=3)
+        slow = verify_pairs_jaccard(ds, pairs, shingle_k=3, max_broadcast_ids=0)
+        key = ["id_a", "id_b"]
+        f = fast.sort_values(key).reset_index(drop=True)
+        s = slow.sort_values(key).reset_index(drop=True)
+        assert list(map(tuple, f[key].values.tolist())) == list(
+            map(tuple, s[key].values.tolist())
+        )
+        assert (f["jaccard"].to_numpy() == s["jaccard"].to_numpy()).all()
+        assert f.loc[(f["id_a"] == 1) & (f["id_b"] == 4), "jaccard"].iloc[0] == 1.0
+
+    def test_jaccard_accepts_pairs_dataset(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import verify_pairs_jaccard
+
+        base = " ".join(f"w{i}" for i in range(40))
+        ds = ray.data.from_items(
+            [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": base}]
+        )
+        pairs_ds = ray.data.from_items([{"id_a": 1, "id_b": 2, "est_jaccard": 1.0}])
+        out = verify_pairs_jaccard(ds, pairs_ds, shingle_k=3)
+        assert out["jaccard"].tolist() == [1.0]
