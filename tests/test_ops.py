@@ -914,3 +914,15 @@ class TestDistributedVerifyFallbacks:
         pairs_ds = ray.data.from_items([{"id_a": 1, "id_b": 2, "est_jaccard": 1.0}])
         out = verify_pairs_jaccard(ds, pairs_ds, shingle_k=3)
         assert out["jaccard"].tolist() == [1.0]
+
+
+class TestTpchQ3SemijoinFallback:
+    def test_fallback_matches_broadcast(self, ray_session):
+        """max_broadcast_keys=0 forces the join-free customer semi-join
+        (VERDICT r2 #3 — previously an uncapped fact-derived key-set
+        broadcast); top-10 result must be identical."""
+        from redactifai_ray.pipelines.queries import q_tpch_q3
+
+        fast = q_tpch_q3(SF)
+        slow = q_tpch_q3(SF, max_broadcast_keys=0)
+        pd.testing.assert_frame_equal(fast, slow)
