@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # webtext flagship (synthetic pages; golden-pinned in tests)
         "extract_pages": q.q_extract_pages,
         "deidentify_pages": q.q_deidentify_pages,
+        # corpus-trained gazetteer+trigram NER as an actor pool
+        # (rows-only: trained model, non-SQL-expressible)
+        "ner_trained": q.q_ner_trained,
     }
 
 

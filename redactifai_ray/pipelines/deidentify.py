@@ -213,6 +213,8 @@ def build_deidentify_pipeline(
     detect_on: str = "extracted",
     extra_patterns: Optional[dict] = None,
     extractor: str = "dom-density",
+    detector: str = "regex-ner",
+    detector_init: Optional[dict] = None,
     dup_winners: Optional[dict] = None,
 ) -> ray.data.Dataset:
     """Build (lazily) the flagship Dataset. Consume with write_parquet /
@@ -223,6 +225,13 @@ def build_deidentify_pipeline(
     cheap-state detector; "actors" runs the SpanDetector as an
     autoscaling actor pool — required when the detector carries heavy
     state (NER model / gazetteer; SURVEY §2.3 ST2).
+
+    ``detector``: registry name (registry.DETECTORS). Any non-default
+    detector routes through the actor pool regardless of
+    ``detector_mode`` — the registry's alternatives exist precisely
+    because their state is expensive (e.g. "trained-ner"'s
+    gazetteer + trigram model; pass ``detector_init={"model_ref":
+    ray.put(model)}`` so the model ships once per node, not per task).
 
     ``detect_on``: "extracted" (default) detects over the extractor's
     canonical text — offsets are constructive, no alignment needed;
@@ -292,15 +301,19 @@ def build_deidentify_pipeline(
 
         ds = ds.map_batches(add_detect_src, batch_format="pyarrow")
 
-    if detector_mode == "tasks":
+    if detector_init:
+        detector_kwargs.update(detector_init)
+    if detector_mode == "tasks" and detector == "regex-ner":
         ds = ds.map_batches(
             make_detect_batch(**detector_kwargs),
             batch_format="pyarrow",
             batch_size=detect_batch_size,
         )
     else:
+        from ..registry import get_detector
+
         ds = ds.map_batches(
-            SpanDetector,
+            get_detector(detector),
             fn_constructor_kwargs=detector_kwargs,
             batch_format="pyarrow",
             batch_size=detect_batch_size,

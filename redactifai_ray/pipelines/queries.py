@@ -274,6 +274,35 @@ def q_lang_pred_counts(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_ner_trained(sf_dir: str) -> pd.DataFrame:
+    """Corpus-trained NER end-to-end (rows-only: trained model, non-SQL).
+
+    Trains the gazetteer + char-trigram model on the pages corpus' text
+    column (one bounded pruned scan), broadcasts it once, runs the
+    flagship with the trained detector as an actor pool (the heavy-state
+    path, SURVEY §2.3 ST2), and returns per-category span counts."""
+    import glob
+
+    from ..stages.ner import train_ner_from_files
+    from .deidentify import build_deidentify_pipeline, spans_table
+
+    pages_dir = _pages_dir_for(sf_dir)
+    files = sorted(glob.glob(f"{pages_dir}/*.parquet"))
+    model = train_ner_from_files(files)
+    ds = build_deidentify_pipeline(
+        pages_dir,
+        detector="trained-ner",
+        detector_init={"model_ref": ray.put(model)},
+    )
+    out = (
+        spans_table(ds)
+        .groupby("category")
+        .aggregate(Count(alias_name="n_spans"))
+        .to_pandas()
+    )
+    return out.sort_values("category").reset_index(drop=True)
+
+
 # ------------------------------------------------------------ similarity --
 
 

@@ -14,6 +14,7 @@ from typing import Callable
 
 from .stages.detect import SpanDetector
 from .stages.extract import extract_main_content, extract_main_content_strict
+from .stages.ner import TrainedNerDetector
 
 EXTRACTORS: dict[str, Callable] = {
     "dom-density": extract_main_content,  # jusText/trafilatura-style default
@@ -25,6 +26,11 @@ EXTRACTORS: dict[str, Callable] = {
 
 DETECTORS: dict[str, type] = {
     "regex-ner": SpanDetector,  # regex table + heuristic NER (local, warm)
+    # corpus-trained gazetteer + char-trigram name model: the
+    # heavy-state detector the actor path (detector_mode="actors",
+    # SURVEY §2.3 ST2) exists for; needs model/model_ref at construction
+    # (train with stages.ner.train_ner_from_corpus)
+    "trained-ner": TrainedNerDetector,
 }
 
 

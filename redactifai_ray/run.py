@@ -46,6 +46,19 @@ def main(argv=None) -> int:
              "leaning DOM-density walk, or the strict precision variant",
     )
     ap.add_argument(
+        "--detector", default="regex-ner",
+        choices=["regex-ner", "trained-ner"],
+        help="detection provider (registry.DETECTORS): default warm "
+             "regex+heuristic NER, or the corpus-trained gazetteer + "
+             "char-trigram name model (trains on a bounded sample of the "
+             "input's text column, then runs as an actor pool)",
+    )
+    ap.add_argument(
+        "--ner-sample-rows", type=int, default=50_000,
+        help="rows of the input text column sampled to train "
+             "--detector trained-ner",
+    )
+    ap.add_argument(
         "--patterns-file", default=None,
         help="extra detector patterns (YAML/JSON, reference "
              "phi_patterns.yaml schema); shipped example: "
@@ -123,6 +136,16 @@ def main(argv=None) -> int:
 
             extra_patterns = load_patterns_file(args.patterns_file)
 
+        # trained detector: one bounded training scan over the FULL input
+        # file list (so every resumable partition detects with the same
+        # model), broadcast once via ray.put
+        detector_init = None
+        if args.detector == "trained-ner":
+            from .stages.ner import train_ner_from_files
+
+            model = train_ner_from_files(files, sample_rows=args.ner_sample_rows)
+            detector_init = {"model_ref": ray.put(model)}
+
         def build(part_files):
             return build_deidentify_pipeline(
                 part_files,
@@ -132,11 +155,20 @@ def main(argv=None) -> int:
                 dedup=not args.no_dedup,
                 detect_on=args.detect_on,
                 extractor=args.extractor,
+                detector=args.detector,
+                detector_init=detector_init,
                 dup_winners=global_winners,
                 extra_patterns=extra_patterns,
             )
 
         from .stages.extract import EXTRACT_PROFILES
+
+        # the manifest's version guard is a pipeline-config fingerprint:
+        # fold the (non-default) detector in so a resume with a different
+        # provider reruns instead of mixing detector outputs (ADVICE r2)
+        config_version = EXTRACT_PROFILES[args.extractor]["version"]
+        if args.detector != "regex-ner":
+            config_version += f"+{args.detector}"
 
         summary = run_resumable(
             files,
@@ -146,7 +178,7 @@ def main(argv=None) -> int:
             pages_fn=finalize_output,
             files_per_partition=args.files_per_partition,
             partition_cols=[args.partition_by] if args.partition_by else None,
-            extractor_version=EXTRACT_PROFILES[args.extractor]["version"],
+            extractor_version=config_version,
         )
         print(json.dumps(summary))
         return 0 if summary["failed"] == 0 else 1
