@@ -88,10 +88,14 @@ class HyperLogLog:
         return cls(p, registers=np.frombuffer(raw, dtype=np.uint8).copy())
 
 
-def hll_distinct(ds, col: str, p: int = 12) -> float:
+def hll_distinct(ds, col: str, p: int = 12, merge_fanin: int = 256) -> float:
     """Approximate COUNT(DISTINCT col) over a Dataset. One map pass emits
-    a register row per block; the driver merges (register-wise max) —
-    values never shuffle. Relative error ≈ 1.04/√(2^p) (~1.6% at p=12)."""
+    a register row per block; a distributed tree-merge stage then folds
+    every ``merge_fanin`` register rows into one (register-wise max is
+    associative and order-independent), so the driver gathers
+    O(blocks/fanin) rows — ~4 KB × 4k rows even at 10^6 input blocks —
+    and values never shuffle. Relative error ≈ 1.04/√(2^p) (~1.6% at
+    p=12)."""
     import pyarrow as pa
 
     def sketch_block(batch: pa.Table) -> pa.Table:
@@ -99,7 +103,20 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
         h.update(batch[col].to_pylist())
         return pa.table({"registers": pa.array([h.to_bytes()], pa.binary())})
 
-    rows = ds.map_batches(sketch_block, batch_format="pyarrow").take_all()
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        """Fold up to merge_fanin register rows into one (max is exact)."""
+        regs = np.frombuffer(
+            b"".join(batch["registers"].to_pylist()), dtype=np.uint8
+        ).reshape(-1, 1 << p)
+        return pa.table(
+            {"registers": pa.array([regs.max(axis=0).tobytes()], pa.binary())}
+        )
+
+    rows = (
+        ds.map_batches(sketch_block, batch_format="pyarrow")
+        .map_batches(merge_batch, batch_format="pyarrow", batch_size=merge_fanin)
+        .take_all()
+    )
     acc = HyperLogLog(p)
     for r in rows:
         acc.merge(HyperLogLog.from_bytes(r["registers"], p))

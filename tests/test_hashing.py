@@ -189,6 +189,21 @@ class TestHyperLogLog:
         est = hll_distinct(ds, "k", p=12)
         assert abs(est - 1000) / 1000 < 0.05
 
+    def test_tree_merge_matches_direct_fold(self, ray_session):
+        """Register-max is associative/exact, so a forced deep tree
+        (fanin=2 over many blocks) must produce the identical estimate
+        as a flat driver fold."""
+        import ray.data
+
+        from redactifai_ray.functions.sketch import hll_distinct
+
+        items = [{"k": f"user-{i % 700}"} for i in range(8_000)]
+        ds = ray.data.from_items(items).repartition(16)
+        deep = hll_distinct(ds, "k", p=12, merge_fanin=2)
+        flat = hll_distinct(ds, "k", p=12, merge_fanin=1_000_000)
+        assert deep == flat
+        assert abs(deep - 700) / 700 < 0.05
+
 
 class TestBpe:
     def test_train_deterministic_and_merges_learned(self):
