@@ -129,12 +129,17 @@ def exact_dedup(
     losers = {r["loser"] for r in loser_rows}
     if not losers:
         return add_content_hash(ds, text_col)
-    losers_ref = ray.put(losers)
+    losers_ref = ray.put(sorted(losers))
+    state: dict = {}  # per-worker cache (winner-filter pattern)
 
     def drop_losers(batch: pa.Table) -> pa.Table:
-        drop = ray.get(losers_ref)
-        mask = [i not in drop for i in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        if "losers" not in state:
+            state["losers"] = pa.array(ray.get(losers_ref))
+        # null id is never a loser; fill_null keeps it
+        is_loser = pc.fill_null(
+            pc.is_in(batch[id_col], value_set=state["losers"]), False
+        )
+        return batch.filter(pc.invert(is_loser))
 
     # filter BEFORE the output-column hash so losers aren't re-hashed
     return add_content_hash(
@@ -178,16 +183,27 @@ def _filter_hot_buckets(
     ).take(max_hot + 1)
     if len(hot_rows) > max_hot:
         return ds
-    hot = {tuple(r[c] for c in bucket_cols) for r in hot_rows}
+    # composite key = unit-separator join of string-cast columns —
+    # lets the membership test run as one vectorized pc.is_in instead
+    # of a per-row Python tuple loop (bucket cols are ints/strings,
+    # whose str() and Arrow cast agree)
+    sep = "\x1f"
+    hot = {sep.join(str(v) for v in (r[c] for c in bucket_cols)) for r in hot_rows}
     if not hot:
         return ds.limit(0)
-    hot_ref = ray.put(hot)
+    hot_ref = ray.put(sorted(hot))
+    state: dict = {}  # per-worker cache (winner-filter pattern)
 
     def member(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        cols = [batch[c].to_pylist() for c in bucket_cols]
-        mask = [tuple(vals) in keys for vals in zip(*cols)]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        if "keys" not in state:
+            state["keys"] = pa.array(ray.get(hot_ref), pa.string())
+        parts: list = []
+        for c in bucket_cols:
+            parts.append(pc.cast(batch[c], pa.string()))
+            parts.append(sep)
+        key_arr = pc.binary_join_element_wise(*parts[:-1])
+        mask = pc.fill_null(pc.is_in(key_arr, value_set=state["keys"]), False)
+        return batch.filter(mask)
 
     return ds.map_batches(member, batch_format="pyarrow")
 
