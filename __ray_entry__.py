@@ -97,6 +97,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-trained gazetteer+trigram NER as an actor pool
         # (rows-only: trained model, non-SQL-expressible)
         "ner_trained": q.q_ner_trained,
+        # training-data curation (split / mixture / decontamination /
+        # repetition / heavy hitters)
+        "split_counts": q.q_split_counts,
+        "mixture_sample": q.q_mixture_sample,
+        "decontaminate": q.q_decontaminate,
+        "repetition": q.q_repetition,
+        "top_tokens": q.q_top_tokens,
     }
 
 
@@ -355,6 +362,89 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id, source FROM documents WHERE n_chars >= 400
             ) GROUP BY source
+        """,
+        "split_counts": """
+            WITH b AS (
+                SELECT doc_id, n_chars,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 100 AS bk
+                FROM documents
+            )
+            SELECT CASE WHEN bk < 80 THEN 'train'
+                        WHEN bk < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM b GROUP BY 1 ORDER BY split
+        """,
+        "mixture_sample": """
+            WITH b AS (
+                SELECT source,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 10000 AS bk,
+                       (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0 AS w
+                FROM documents
+            )
+            SELECT source, count(*)::BIGINT AS n_kept
+            FROM b WHERE bk < floor(w * 10000)
+            GROUP BY source ORDER BY source
+        """,
+        "decontaminate": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(w) - 12), i ->
+                    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '
+                    ||w[i+5]||' '||w[i+6]||' '||w[i+7]||' '||w[i+8]||' '||w[i+9]
+                    ||' '||w[i+10]||' '||w[i+11]||' '||w[i+12])) AS g13
+                FROM ws
+            )
+            SELECT DISTINCT a.doc_id
+            FROM g a JOIN g b ON a.g13 = b.g13
+            WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+            ORDER BY a.doc_id
+        """,
+        "repetition": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, w, list_transform(
+                    generate_series(1, len(w) - 1), i -> w[i]||' '||w[i+1]) AS g
+                FROM ws
+            ),
+            mw AS (
+                SELECT doc_id, max(c) AS mx FROM (
+                    SELECT doc_id, word, count(*) AS c
+                    FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+                    GROUP BY doc_id, word
+                ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   len(b.w)::BIGINT AS n_words,
+                   CASE WHEN len(b.w) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(b.w)) * 1.0 / len(b.w)
+                   END AS dup_word_frac,
+                   CASE WHEN len(b.g) = 0 THEN 0.0
+                        ELSE 1.0 - len(list_distinct(b.g)) * 1.0 / len(b.g)
+                   END AS dup_2gram_frac,
+                   CASE WHEN len(b.w) = 0 THEN 0.0
+                        ELSE mw.mx * 1.0 / len(b.w)
+                   END AS top_word_frac
+            FROM bg b LEFT JOIN mw USING (doc_id)
+            ORDER BY b.doc_id
+        """,
+        "top_tokens": """
+            SELECT w AS token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
         # embedding_near_dup / extract_pages / deidentify_pages:

@@ -1239,3 +1239,75 @@ def q_bpe_token_counts(sf_dir: str) -> pd.DataFrame:
         ["doc_id", "n_bpe_trained"]
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------- curation ops --
+
+
+def q_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic md5-bucket train/val/test carve → per-split totals."""
+    from ..stages.curate import assign_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = (
+        assign_split(docs)
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Domain-weighted deterministic downsample → kept rows per source.
+
+    Weight of source 'srcK' = (K % 4 + 1)/4, i.e. 0.25/0.5/0.75/1.0."""
+    from ..stages.curate import mixture_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    kept = mixture_sample(
+        docs, lambda src: ((int(src[3:]) % 4) + 1) / 4.0
+    )
+    out = kept.groupby("source").aggregate(Count(alias_name="n_kept")).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """GPT-3/Dolma-style 13-gram decontamination: ids of 'train' docs
+    (doc_id % 5 != 0) sharing a word-13-gram with the held-out 'benchmark'
+    slice (doc_id % 5 == 0)."""
+    from ..stages.curate import find_contaminated
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(test: bool):
+        def f(t: pa.Table) -> pa.Table:
+            # pyarrow.compute has no modulo kernel — numpy on the id column
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 5 == 0
+            return t.filter(pa.array(m if test else ~m))
+
+        return f
+
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    test = docs.map_batches(part(True), batch_format="pyarrow")
+    out = find_contaminated(train, test).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition fractions per document (bit-exact oracle:
+    fixed-order double math over exact ints)."""
+    from ..stages.curate import repetition_signals
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = repetition_signals(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-wide token top-50 (heavy hitters) with a total
+    (count desc, token asc) tie-break order."""
+    from ..stages.analyze import top_tokens
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return top_tokens(docs, k=50)

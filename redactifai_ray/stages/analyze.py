@@ -207,3 +207,53 @@ def add_fingerprint(ds, text_col: str = "text", k: int = 5, concurrency=(1, 8)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def top_tokens(ds, text_col: str = "text", k: int = 50):
+    """Exact corpus-wide token top-k (heavy hitters).
+
+    Scale shape: per-batch Counter fold emits (token, partial-count)
+    rows — the shuffle carries the batch-local VOCABULARY, not one row
+    per token occurrence — then one groupby sums, each output block
+    keeps its local top-k (valid because post-aggregation counts are
+    global), and the driver merges ≤ k × num_partitions candidate rows
+    with a total (count desc, token asc) order. Returns a pandas
+    DataFrame (driver-small by construction)."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update((t or "").lower().split())
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token", num_partitions=default_partitions())
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if "token" not in t.column_names or t.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        return t.select(["token", "n"]).take(idx[:k])
+
+    cands = totals.map_batches(block_topk, batch_format="pyarrow").take_all()
+    cands.sort(key=lambda r: (-r["n"], r["token"]))
+    return pd.DataFrame(cands[:k], columns=["token", "n"])

@@ -1,0 +1,359 @@
+"""Training-data curation operators: deterministic split assignment,
+domain-weighted mixture sampling, benchmark decontamination, and
+repetition (Gopher-style) signals.
+
+These are the corpus-construction steps a 100 TB webtext pipeline runs
+between cleaning and training (the reference engine stops at masking —
+SURVEY §2 notes it has no corpus analytics; cf.
+``src/services/masking_service.py`` which ends at masked output):
+
+- ``assign_split``    — carve train/val/test with a content-stable hash so
+                        membership is reproducible across runs and nodes.
+- ``mixture_sample``  — downsample each domain/source to a target mixture
+                        weight with the same hash (no RNG, no coordination).
+- ``find_contaminated`` / ``decontaminate`` — flag/drop training documents
+                        sharing a long word n-gram with an evaluation set
+                        (the GPT-3/Dolma 13-gram decontamination rule).
+- ``repetition_signals`` — per-document duplicate-word / duplicate-bigram /
+                        top-word-frequency fractions (Gopher repetition
+                        filters).
+
+All bucket arithmetic is md5-hex-prefix based and all fractions are
+fixed-order double math over exact ints, so every operator is
+oracle-checkable bit-for-bit against DuckDB.
+
+Scale shape: split/mixture/repetition are embarrassingly parallel
+``map_batches`` stages (no shuffle). Decontamination broadcasts the
+evaluation set's n-gram hashes once per worker while they fit
+(benchmarks are ≪ corpus; 8-byte hashes, not strings) and falls back to
+a fully distributed join-free union + hash-partition groupby semi-join
+— the same shape as ``dedup._fold_pairs_distributed`` — when the test
+side exceeds the broadcast cap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+from typing import Callable, Mapping, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..cluster import default_partitions
+from ..functions.hashing import stable_hash64
+
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 80),
+    ("val", 10),
+    ("test", 10),
+)
+
+
+def _md5_bucket(value, n_buckets: int) -> int:
+    """First 8 hex chars of md5(str(value)) as int, mod n_buckets —
+    deliberately mirrors DuckDB's
+    ``('0x'||substr(md5(cast(v as varchar)),1,8))::BIGINT % n``."""
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return int(h[:8], 16) % n_buckets
+
+
+def assign_split(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, int]] = DEFAULT_SPLITS,
+    n_buckets: int = 100,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Append a deterministic split label derived from md5(id).
+
+    Hash-based (not row-order-based) so the assignment is stable under
+    repartitioning, resumed runs, and corpus growth — the property a
+    train/val/test carve needs at 100 TB. ``splits`` are (name, width)
+    pairs whose widths sum to ``n_buckets``."""
+    names = [n for n, _ in splits]
+    bounds = list(itertools.accumulate(w for _, w in splits))
+    if bounds[-1] != n_buckets:
+        raise ValueError("split widths must sum to n_buckets")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in batch[id_col].to_pylist():
+            bk = _md5_bucket(i, n_buckets)
+            for name, b in zip(names, bounds):
+                if bk < b:
+                    out.append(name)
+                    break
+        return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    weights: Mapping[str, float] | Callable[[str], float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    default_weight: float = 1.0,
+) -> ray.data.Dataset:
+    """Keep each row with probability ``weights[key]`` — deterministically.
+
+    A row survives iff ``md5_bucket(id) < floor(weight * n_buckets)``, so
+    the sample is reproducible, needs no RNG state or coordination, and a
+    document keeps/drops identically on every node and every rerun (the
+    property domain-mixture construction needs). Weights outside [0, 1]
+    clamp."""
+    if callable(weights):
+        weight_of = weights
+    else:
+        weight_of = lambda k: weights.get(k, default_weight)  # noqa: E731
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        mask = []
+        for k, i in zip(keys, ids):
+            w = min(1.0, max(0.0, float(weight_of(k))))
+            mask.append(_md5_bucket(i, n_buckets) < math.floor(w * n_buckets))
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ decontamination --
+
+_NGRAM_SEED = 313
+
+
+def _ngram_hashes(text: str, n: int) -> list[int]:
+    """64-bit hashes of word n-grams (lowercased, whitespace-split).
+
+    Documents shorter than ``n`` words yield NO n-grams (they cannot
+    carry a full benchmark n-gram) — matching the SQL oracle's
+    ``generate_series(1, len(w)-n+1)`` semantics, unlike
+    ``shingle_hashes``' whole-doc fallback."""
+    words = (text or "").lower().split()
+    if len(words) < n:
+        return []
+    return [
+        stable_hash64(" ".join(words[i : i + n]), _NGRAM_SEED)
+        for i in range(len(words) - n + 1)
+    ]
+
+
+def find_contaminated(
+    train: ray.data.Dataset,
+    test: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_broadcast_ngrams: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Ids of training documents sharing ≥1 word n-gram with the test set.
+
+    Fast path: the test side's distinct n-gram hashes (8 bytes each —
+    benchmark suites are millions of grams, ≪ corpus) broadcast once via
+    ``ray.put`` and cache per worker; the training corpus streams through
+    one membership scan. Above ``max_broadcast_ngrams`` the check
+    degrades to a fully distributed join-free semi-join: both sides emit
+    slim (gram_hash, doc_id, is_test) rows, a hash-partition groupby
+    co-locates each gram's test flag with the train docs carrying it, and
+    flagged ids reduce to a distinct set — no driver gather of either
+    corpus (same shape as ``dedup._fold_pairs_distributed``)."""
+
+    def test_grams(batch: pa.Table) -> pa.Table:
+        seen: set[int] = set()
+        for t in batch[text_col].to_pylist():
+            seen.update(_ngram_hashes(t, n))
+        return pa.table(
+            {"gram": pa.array(np.fromiter(seen, dtype=np.uint64, count=len(seen)))}
+        )
+
+    gram_rows = (
+        test.map_batches(test_grams, batch_format="pyarrow")
+        .take(max_broadcast_ngrams + 1)
+    )
+    if len(gram_rows) <= max_broadcast_ngrams:
+        gram_set = {r["gram"] for r in gram_rows}
+        gram_ref = ray.put(gram_set)
+        state: dict = {}  # per-worker cache
+
+        def flag(batch: pa.Table) -> pa.Table:
+            if "grams" not in state:
+                state["grams"] = ray.get(gram_ref)
+            grams = state["grams"]
+            keep = [
+                any(h in grams for h in _ngram_hashes(t, n))
+                for t in batch[text_col].to_pylist()
+            ]
+            return batch.select([id_col]).filter(pa.array(keep, pa.bool_()))
+
+        return train.map_batches(flag, batch_format="pyarrow")
+
+    return _find_contaminated_distributed(train, test, text_col, id_col, n)
+
+
+def _find_contaminated_distributed(
+    train: ray.data.Dataset,
+    test: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> ray.data.Dataset:
+    """Join-free distributed n-gram semi-join (scale fallback)."""
+    P = default_partitions()
+
+    def side_rows(is_test: int):
+        def emit(batch: pa.Table) -> pa.Table:
+            grams: list[int] = []
+            ids: list[int] = []
+            for i, t in zip(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                hs = _ngram_hashes(t, n)
+                if is_test:
+                    hs = list(set(hs))
+                grams.extend(hs)
+                ids.extend([i] * len(hs))
+            g = np.array(grams, dtype=np.uint64).astype(np.int64)
+            return pa.table(
+                {
+                    "pkey": pa.array(g % P, pa.int64()),
+                    "gram": pa.array(g, pa.int64()),
+                    id_col: pa.array(ids, pa.int64()),
+                    "is_test": pa.array([is_test] * len(ids), pa.int8()),
+                }
+            )
+
+        return emit
+
+    stream = train.map_batches(side_rows(0), batch_format="pyarrow").union(
+        test.map_batches(side_rows(1), batch_format="pyarrow")
+    )
+
+    def flag_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if "gram" not in g.columns:  # schema-less empty partition
+            return pd.DataFrame({id_col: pd.Series(dtype="int64")})
+        test_grams = set(g.loc[g["is_test"] == 1, "gram"].to_numpy())
+        tr = g[g["is_test"] == 0]
+        hit = tr.loc[tr["gram"].isin(test_grams), id_col].unique()
+        return pd.DataFrame({id_col: pd.Series(hit, dtype="int64")})
+
+    def norm(t: pa.Table) -> pa.Table:
+        if id_col in t.column_names:
+            return t.select([id_col])
+        return pa.table({id_col: pa.array([], pa.int64())})
+
+    flagged = (
+        stream.groupby("pkey", num_partitions=P)
+        .map_groups(flag_partition, batch_format="pandas")
+        .map_batches(norm, batch_format="pyarrow")
+    )
+    # a doc can hit grams in many partitions — global distinct
+    from ray.data.aggregate import Count
+
+    return (
+        flagged.groupby(id_col, num_partitions=P)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([id_col])
+    )
+
+
+def decontaminate(
+    train: ray.data.Dataset,
+    test: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_broadcast_flagged: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Drop contaminated documents from ``train``.
+
+    The flagged set is contaminated docs only (≪ corpus for any sane
+    benchmark) so it broadcasts; the corpus streams through one
+    vectorized ``pc.is_in`` anti-filter."""
+    flagged_rows = find_contaminated(train, test, text_col, id_col, n).take(
+        max_broadcast_flagged + 1
+    )
+    if len(flagged_rows) > max_broadcast_flagged:
+        raise ValueError(
+            "flagged set exceeds broadcast cap — the corpus is mostly "
+            "contaminated; inspect before dropping"
+        )
+    flagged_ref = ray.put(sorted(r[id_col] for r in flagged_rows))
+    state: dict = {}
+
+    def drop(batch: pa.Table) -> pa.Table:
+        if "flagged" not in state:
+            state["flagged"] = pa.array(ray.get(flagged_ref))
+        if len(state["flagged"]) == 0:
+            return batch
+        hit = pc.fill_null(
+            pc.is_in(batch[id_col], value_set=state["flagged"]), False
+        )
+        return batch.filter(pc.invert(hit))
+
+    return train.map_batches(drop, batch_format="pyarrow")
+
+
+# --------------------------------------------------- repetition signals --
+
+
+class RepetitionSignals:
+    """Per-document repetition fractions (Gopher-style quality filters).
+
+    Emits ``n_words``, ``dup_word_frac`` (1 − distinct/total words),
+    ``dup_2gram_frac`` (same over word bigrams) and ``top_word_frac``
+    (most frequent word's share). Fixed-order double math over exact
+    ints — bit-exact against the DuckDB oracle. Stateless but shipped as
+    a callable class for symmetry with the other analyze stages."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n_words, dup_w, dup_bg, top_w = [], [], [], []
+        for t in batch[self.text_col].to_pylist():
+            words = (t or "").lower().split()
+            nw = len(words)
+            n_words.append(nw)
+            if nw == 0:
+                dup_w.append(0.0)
+                top_w.append(0.0)
+            else:
+                dup_w.append(1.0 - len(set(words)) * 1.0 / nw)
+                top_w.append(max(Counter(words).values()) * 1.0 / nw)
+            if nw < 2:
+                dup_bg.append(0.0)
+            else:
+                grams = [
+                    words[i] + " " + words[i + 1] for i in range(nw - 1)
+                ]
+                dup_bg.append(1.0 - len(set(grams)) * 1.0 / len(grams))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_words": pa.array(n_words, pa.int64()),
+                "dup_word_frac": pa.array(dup_w, pa.float64()),
+                "dup_2gram_frac": pa.array(dup_bg, pa.float64()),
+                "top_word_frac": pa.array(top_w, pa.float64()),
+            }
+        )
+
+
+def repetition_signals(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Map the corpus through :class:`RepetitionSignals` (no shuffle)."""
+    return ds.map_batches(
+        RepetitionSignals(text_col, id_col), batch_format="pyarrow"
+    )

@@ -1,0 +1,166 @@
+"""Training-data curation ops: split / mixture / decontamination /
+repetition / heavy hitters."""
+
+import pandas as pd
+import pytest
+import ray.data
+
+
+def _docs(rows):
+    return ray.data.from_items(rows)
+
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike".split()
+LONG = " ".join(WORDS)  # exactly 13 words → one 13-gram
+
+
+class TestAssignSplit:
+    def test_deterministic_and_proportional(self, ray_session):
+        from redactifai_ray.stages.curate import assign_split
+
+        ds = _docs([{"doc_id": i} for i in range(2000)])
+        a = assign_split(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = assign_split(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)  # hash-stable, not order/partition dependent
+        frac = a["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.05
+        assert abs(frac["val"] - 0.1) < 0.03
+        assert abs(frac["test"] - 0.1) < 0.03
+
+    def test_stable_under_repartition(self, ray_session):
+        from redactifai_ray.stages.curate import assign_split
+
+        rows = [{"doc_id": i} for i in range(500)]
+        a = assign_split(_docs(rows)).to_pandas()
+        b = assign_split(_docs(rows).repartition(7)).to_pandas()
+        am = dict(zip(a["doc_id"], a["split"]))
+        bm = dict(zip(b["doc_id"], b["split"]))
+        assert am == bm
+
+    def test_bad_widths_raise(self, ray_session):
+        from redactifai_ray.stages.curate import assign_split
+
+        with pytest.raises(ValueError):
+            assign_split(_docs([{"doc_id": 1}]), splits=(("a", 50), ("b", 40)))
+
+
+class TestMixtureSample:
+    def test_weight_extremes(self, ray_session):
+        from redactifai_ray.stages.curate import mixture_sample
+
+        rows = [{"doc_id": i, "source": "keep" if i % 2 else "drop"} for i in range(400)]
+        out = mixture_sample(_docs(rows), {"keep": 1.0, "drop": 0.0}).to_pandas()
+        assert set(out["source"]) == {"keep"}
+        assert len(out) == 200
+
+    def test_half_weight_and_determinism(self, ray_session):
+        from redactifai_ray.stages.curate import mixture_sample
+
+        rows = [{"doc_id": i, "source": "s"} for i in range(2000)]
+        a = mixture_sample(_docs(rows), {"s": 0.5}).to_pandas()
+        b = mixture_sample(_docs(rows), {"s": 0.5}).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        assert abs(len(a) / 2000 - 0.5) < 0.05
+        # sampled set is a SUBSET property: every kept id at w=0.25 is kept at w=0.5
+        c = mixture_sample(_docs(rows), {"s": 0.25}).to_pandas()
+        assert set(c["doc_id"]) <= set(a["doc_id"])
+
+
+class TestDecontaminate:
+    def _corpus(self):
+        filler = [
+            {"doc_id": 100 + i, "text": f"unique{i} " + " ".join(f"w{i}_{j}" for j in range(15))}
+            for i in range(8)
+        ]
+        train = [
+            {"doc_id": 1, "text": "prefix words " + LONG + " suffix words"},
+            {"doc_id": 2, "text": "totally different content here " + " ".join(f"z{j}" for j in range(15))},
+            {"doc_id": 3, "text": LONG.upper()},  # case-insensitive match
+        ] + filler
+        test = [{"doc_id": 900, "text": "lead in " + LONG + " trail out"}]
+        return train, test
+
+    def test_broadcast_flags_overlap(self, ray_session):
+        from redactifai_ray.stages.curate import find_contaminated
+
+        train, test = self._corpus()
+        out = find_contaminated(_docs(train), _docs(test)).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3]
+
+    def test_short_docs_never_flagged(self, ray_session):
+        from redactifai_ray.stages.curate import find_contaminated
+
+        short = [{"doc_id": 5, "text": "tiny shared snippet"}]
+        test = [{"doc_id": 900, "text": "tiny shared snippet"}]  # < 13 words
+        out = find_contaminated(_docs(short), _docs(test)).to_pandas()
+        assert len(out) == 0
+
+    def test_distributed_matches_broadcast(self, ray_session):
+        from redactifai_ray.stages.curate import find_contaminated
+
+        train, test = self._corpus()
+        fast = find_contaminated(_docs(train), _docs(test)).to_pandas()
+        slow = find_contaminated(
+            _docs(train), _docs(test), max_broadcast_ngrams=0
+        ).to_pandas()
+        assert sorted(fast["doc_id"]) == sorted(slow["doc_id"]) == [1, 3]
+
+    def test_decontaminate_drops_only_flagged(self, ray_session):
+        from redactifai_ray.stages.curate import decontaminate
+
+        train, test = self._corpus()
+        kept = decontaminate(_docs(train), _docs(test)).to_pandas()
+        assert sorted(kept["doc_id"]) == sorted(
+            d["doc_id"] for d in train if d["doc_id"] not in (1, 3)
+        )
+
+
+class TestRepetitionSignals:
+    def test_hand_values(self, ray_session):
+        from redactifai_ray.stages.curate import repetition_signals
+
+        rows = [
+            {"doc_id": 1, "text": "a a b"},
+            {"doc_id": 2, "text": "x x x x"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "solo"},
+        ]
+        out = (
+            repetition_signals(_docs(rows))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        r1 = out.loc[1]
+        assert r1["n_words"] == 3
+        assert r1["dup_word_frac"] == 1.0 - 2.0 / 3
+        assert r1["top_word_frac"] == 2.0 / 3
+        assert r1["dup_2gram_frac"] == 0.0  # "a a", "a b" distinct
+        r2 = out.loc[2]
+        assert r2["dup_word_frac"] == 1.0 - 1.0 / 4
+        assert r2["dup_2gram_frac"] == 1.0 - 1.0 / 3  # "x x" ×3
+        assert r2["top_word_frac"] == 1.0
+        r3 = out.loc[3]
+        assert r3["n_words"] == 0 and r3["dup_word_frac"] == 0.0
+        r4 = out.loc[4]
+        assert r4["n_words"] == 1 and r4["dup_2gram_frac"] == 0.0
+
+
+class TestTopTokens:
+    def test_counts_and_tiebreak(self, ray_session):
+        from redactifai_ray.stages.analyze import top_tokens
+
+        rows = [
+            {"text": "b b b a a c"},
+            {"text": "a c d"},
+        ]
+        out = top_tokens(_docs(rows), k=3)
+        # a:3, b:3 tie → token asc puts a first; then c:2
+        assert list(out["token"]) == ["a", "b", "c"]
+        assert list(out["n"]) == [3, 3, 2]
+
+    def test_k_larger_than_vocab(self, ray_session):
+        from redactifai_ray.stages.analyze import top_tokens
+
+        out = top_tokens(_docs([{"text": "x y"}]), k=50)
+        assert len(out) == 2
