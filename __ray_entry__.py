@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "repetition": q.q_repetition,
         "top_tokens": q.q_top_tokens,
+        "top_bigrams": q.q_top_bigrams,
+        # Misra-Gries sketch (rows-only: approximate by design;
+        # error bound + hitter presence test-pinned)
+        "top_tokens_sketch": q.q_top_tokens_sketch,
     }
 
 
@@ -444,6 +448,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY token
             ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "top_bigrams": """
+            WITH ws AS (
+                SELECT regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents
+            )
+            SELECT g AS bigram, count(*)::BIGINT AS n
+            FROM (SELECT unnest(list_transform(
+                      generate_series(1, len(w) - 1), i -> w[i]||' '||w[i+1])) AS g
+                  FROM ws)
+            GROUP BY bigram
+            ORDER BY n DESC, bigram ASC
             LIMIT 50
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /

@@ -121,3 +121,86 @@ def hll_distinct(ds, col: str, p: int = 12, merge_fanin: int = 256) -> float:
     for r in rows:
         acc.merge(HyperLogLog.from_bytes(r["registers"], p))
     return acc.count()
+
+
+# ------------------------------------------------- Misra-Gries top-k --
+
+
+class MisraGries:
+    """Mergeable heavy-hitters summary (Misra–Gries; merge rule from
+    Agarwal et al., "Mergeable Summaries" — pointwise add then subtract
+    the (k+1)-th largest count and drop non-positives).
+
+    Guarantees with capacity k over a stream of N items: every stored
+    estimate satisfies ``true - N/(k+1) <= est <= true``, and any item
+    with true count > N/(k+1) is present. Deterministic — no hashing,
+    no randomness — so distributed folds are reproducible."""
+
+    def __init__(self, k: int):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counts: dict = {}
+
+    def add_counts(self, counts: dict) -> "MisraGries":
+        for t, c in counts.items():
+            self.counts[t] = self.counts.get(t, 0) + int(c)
+        self._compress()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        return self.add_counts(other.counts)
+
+    def _compress(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = sorted(self.counts.values(), reverse=True)
+        thresh = vals[self.k]  # (k+1)-th largest
+        self.counts = {t: c - thresh for t, c in self.counts.items() if c > thresh}
+
+
+def mg_top_tokens(ds, col: str, k: int = 10, capacity: int = 200):
+    """Approximate token top-k via a distributed Misra-Gries fold — the
+    scale path for heavy hitters when the corpus VOCABULARY is too large
+    to shuffle (web-scale n-grams), complementing the exact
+    ``analyze.top_tokens``.
+
+    Shape mirrors ``hll_distinct``: each block folds its tokens into a
+    capacity-bounded summary and emits ≤ capacity (token, count) rows —
+    the exchange carries summaries, never the vocabulary — one groupby
+    sums residuals (pointwise add, deferred compress: error accrues only
+    at per-block compress, so the merged bound is the SUM of per-block
+    errors ≤ N/(capacity+1) per the mergeable-summaries theorem), and
+    the driver compresses the ≤ capacity × num_partitions survivors to
+    the final summary. Returns a pandas DataFrame (token, est) of the
+    top-k stored estimates with a total (est desc, token asc) order."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[col].to_pylist():
+            c.update((t or "").lower().split())
+        mg = MisraGries(capacity).add_counts(c)
+        return pa.table(
+            {
+                "token": pa.array(list(mg.counts.keys()), pa.string()),
+                "n": pa.array(list(mg.counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(block_summary, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    final = MisraGries(capacity).add_counts(
+        {r["token"]: r["n"] for r in rows}
+    )
+    top = sorted(final.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(top, columns=["token", "est"])

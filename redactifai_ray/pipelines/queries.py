@@ -1311,3 +1311,24 @@ def q_top_tokens(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["text"])
     return top_tokens(docs, k=50)
+
+
+def q_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-wide word-bigram top-50 — same partial-fold shape as
+    q_top_tokens over the n-gram vocabulary."""
+    from ..stages.analyze import top_tokens
+
+    docs = _read(sf_dir, "documents", ["text"])
+    out = top_tokens(docs, k=50, n=2)
+    return out.rename(columns={"token": "bigram"})
+
+
+def q_top_tokens_sketch(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy-hitters sketch (rows-only: approximate by
+    design; the N/(k+1) error bound and hitter-presence guarantee are
+    test-pinned in tests/test_hashing.py::TestMisraGries). The scale
+    path when the vocabulary itself cannot shuffle."""
+    from ..functions.sketch import mg_top_tokens
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return mg_top_tokens(docs, "text", k=10, capacity=100)

@@ -209,16 +209,19 @@ def add_fingerprint(ds, text_col: str = "text", k: int = 5, concurrency=(1, 8)):
     )
 
 
-def top_tokens(ds, text_col: str = "text", k: int = 50):
-    """Exact corpus-wide token top-k (heavy hitters).
+def top_tokens(ds, text_col: str = "text", k: int = 50, n: int = 1):
+    """Exact corpus-wide token/n-gram top-k (heavy hitters).
 
     Scale shape: per-batch Counter fold emits (token, partial-count)
     rows — the shuffle carries the batch-local VOCABULARY, not one row
     per token occurrence — then one groupby sums, each output block
     keeps its local top-k (valid because post-aggregation counts are
     global), and the driver merges ≤ k × num_partitions candidate rows
-    with a total (count desc, token asc) order. Returns a pandas
-    DataFrame (driver-small by construction)."""
+    with a total (count desc, token asc) order. ``n > 1`` counts word
+    n-grams (space-joined) instead of single tokens. Returns a pandas
+    DataFrame (driver-small by construction). For vocabularies too
+    large even for the slim post-fold shuffle, use the Misra-Gries
+    sketch path (``functions.sketch.mg_top_tokens``)."""
     from collections import Counter
 
     import pandas as pd
@@ -227,10 +230,18 @@ def top_tokens(ds, text_col: str = "text", k: int = 50):
 
     from ..cluster import default_partitions
 
+    def grams(t: str):
+        words = (t or "").lower().split()
+        if n == 1:
+            return words
+        return [
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ]
+
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for t in batch[text_col].to_pylist():
-            c.update((t or "").lower().split())
+            c.update(grams(t))
         return pa.table(
             {
                 "token": pa.array(list(c.keys()), pa.string()),

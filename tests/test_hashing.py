@@ -250,3 +250,64 @@ class TestBpe:
         n_chars = out["text"].str.len()
         assert (out["n_bpe_trained"] >= n_words).all()
         assert (out["n_bpe_trained"] < n_chars).all()
+
+
+class TestMisraGries:
+    def test_error_bound_and_presence(self):
+        """MG guarantees: est <= true <= est + N/(k+1); any item with
+        true count > N/(k+1) is stored."""
+        import random
+
+        from collections import Counter
+
+        from redactifai_ray.functions.sketch import MisraGries
+
+        rng = random.Random(7)
+        # skewed stream: few heavy hitters over a wide tail
+        stream = (
+            ["hot-a"] * 500 + ["hot-b"] * 300 + ["hot-c"] * 200
+            + [f"tail-{rng.randrange(400)}" for _ in range(1000)]
+        )
+        rng.shuffle(stream)
+        true = Counter(stream)
+        n = len(stream)
+        k = 50
+        mg = MisraGries(k)
+        # feed in chunks (as blocks would)
+        for i in range(0, n, 100):
+            mg.add_counts(Counter(stream[i : i + 100]))
+        err = n / (k + 1)
+        for t, est in mg.counts.items():
+            assert est <= true[t] <= est + err
+        for t, c in true.items():
+            if c > err:
+                assert t in mg.counts
+
+    def test_merge_matches_sequential(self):
+        from collections import Counter
+
+        from redactifai_ray.functions.sketch import MisraGries
+
+        a_items = Counter({"x": 50, "y": 30, "z": 5, "w": 3})
+        b_items = Counter({"x": 20, "q": 40, "z": 9})
+        m1 = MisraGries(3).add_counts(a_items)
+        m2 = MisraGries(3).add_counts(b_items)
+        merged = m1.merge(m2)
+        n = sum(a_items.values()) + sum(b_items.values())
+        true = a_items + b_items
+        for t, est in merged.counts.items():
+            assert est <= true[t] <= est + n / 4 + n / 4  # two compress rounds
+
+    def test_distributed_top_tokens(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.sketch import mg_top_tokens
+
+        rows = (
+            [{"text": "alpha alpha alpha beta"}] * 50
+            + [{"text": f"tail{i} filler{i}"} for i in range(200)]
+        )
+        out = mg_top_tokens(ray.data.from_items(rows), "text", k=2, capacity=100)
+        assert list(out["token"]) == ["alpha", "beta"]
+        # est <= true for the top hitter
+        assert out["est"].iloc[0] <= 150
