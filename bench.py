@@ -187,10 +187,17 @@ def run_bench() -> dict:
         ).count(),
     )
 
-    from redactifai_ray.pipelines.queries import q_events_window, q_tpch_q1
+    from redactifai_ray.pipelines.queries import (
+        q_decontaminate,
+        q_events_window,
+        q_top_tokens,
+        q_tpch_q1,
+    )
 
     timed("tpch_q1", lambda: q_tpch_q1(SF_DIR))
     timed("events_window", lambda: q_events_window(SF_DIR))
+    timed("decontaminate", lambda: q_decontaminate(SF_DIR))
+    timed("top_tokens", lambda: q_top_tokens(SF_DIR))
 
     headline = timings["flagship_deidentify"]
     result = {
