@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries sketch (rows-only: approximate by design;
         # error bound + hitter presence test-pinned)
         "top_tokens_sketch": q.q_top_tokens_sketch,
+        # KLL quantile sketch (rows-only: approximate by design;
+        # rank-error bound test-pinned vs the exact `quantiles` path)
+        "kll_quantiles": q.q_kll_quantiles,
     }
 
 

@@ -1332,3 +1332,22 @@ def q_top_tokens_sketch(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["text"])
     return mg_top_tokens(docs, "text", k=10, capacity=100)
+
+
+def q_kll_quantiles(sf_dir: str) -> pd.DataFrame:
+    """KLL-sketch approximate quantiles of document length (rows-only:
+    approximate by design; rank error ≤2% is test-pinned in
+    tests/test_hashing.py::TestKll, and accuracy vs the exact
+    `quantiles` histogram path is pinned below). The scale path when the
+    value cardinality is unbounded (floats) and the exact
+    histogram/sort would shuffle the corpus."""
+    from ..functions.sketch import kll_quantiles
+
+    docs = _read(sf_dir, "documents", ["n_chars"])
+    est = kll_quantiles(docs, "n_chars", qs=(0.5, 0.9, 0.99))
+    return pd.DataFrame(
+        {
+            "q": ["p50", "p90", "p99"],
+            "n_chars_q_est": [est[0.5], est[0.9], est[0.99]],
+        }
+    )

@@ -311,3 +311,71 @@ class TestMisraGries:
         assert list(out["token"]) == ["alpha", "beta"]
         # est <= true for the top hitter
         assert out["est"].iloc[0] <= 150
+
+
+class TestKll:
+    def test_rank_error_uniform(self):
+        import numpy as np
+
+        from redactifai_ray.functions.sketch import KllSketch
+
+        rng = np.random.default_rng(11)
+        data = rng.permutation(100_000).astype(np.float64)
+        s = KllSketch(256)
+        for i in range(0, data.size, 5_000):  # block-wise feed
+            s.add_values(data[i : i + 5_000])
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = s.quantile(q)
+            assert abs(est / 100_000 - q) < 0.02  # ≤2% rank error
+
+    def test_merge_accuracy(self):
+        import numpy as np
+
+        from redactifai_ray.functions.sketch import KllSketch
+
+        rng = np.random.default_rng(12)
+        data = rng.permutation(80_000).astype(np.float64)
+        parts = np.array_split(data, 16)
+        merged = KllSketch(256)
+        for p in parts:
+            merged.merge(KllSketch(256).add_values(p))
+        assert abs(merged.quantile(0.5) / 80_000 - 0.5) < 0.02
+
+    def test_distributed_vs_exact(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from redactifai_ray.functions.sketch import kll_quantiles
+
+        vals = np.random.default_rng(13).permutation(20_000).astype(float)
+        ds = ray.data.from_items([{"v": float(x)} for x in vals]).repartition(8)
+        est = kll_quantiles(ds, "v", qs=(0.25, 0.5, 0.75))
+        for q, e in est.items():
+            assert abs(e / 20_000 - q) < 0.03
+
+    def test_empty_and_nan(self, ray_session):
+        import math
+
+        import ray.data
+
+        from redactifai_ray.functions.sketch import KllSketch, kll_quantiles
+
+        assert math.isnan(KllSketch(64).quantile(0.5))
+        ds = ray.data.from_items([{"v": float("nan")}, {"v": 5.0}])
+        est = kll_quantiles(ds, "v", qs=(0.5,))
+        assert est[0.5] == 5.0
+
+    def test_query_tracks_exact_quantiles(self, ray_session):
+        """Sketch estimates stay within the observed value range of the
+        exact histogram path on the real table."""
+        from redactifai_ray.pipelines.queries import q_kll_quantiles, q_quantiles
+
+        sf = "/root/testdata/sf0.01"
+        exact = dict(zip(q_quantiles(sf)["q"], q_quantiles(sf)["n_chars_q"]))
+        est = dict(
+            zip(q_kll_quantiles(sf)["q"], q_kll_quantiles(sf)["n_chars_q_est"])
+        )
+        # doc lengths span ~[40, 600]; sketch must land within 10% of the
+        # exact discrete quantile at this k/N
+        for label in ("p50", "p90", "p99"):
+            assert abs(est[label] - exact[label]) <= 0.1 * exact[label] + 1
