@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KLL quantile sketch (rows-only: approximate by design;
         # rank-error bound test-pinned vs the exact `quantiles` path)
         "kll_quantiles": q.q_kll_quantiles,
+        "stratified_sample": q.q_stratified_sample,
     }
 
 
@@ -452,6 +453,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 50
+        """,
+        "stratified_sample": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                        % 1000000,
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+            ORDER BY source, doc_id
         """,
         "top_bigrams": """
             WITH ws AS (

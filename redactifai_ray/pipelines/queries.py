@@ -1351,3 +1351,13 @@ def q_kll_quantiles(sf_dir: str) -> pd.DataFrame:
             "n_chars_q_est": [est[0.5], est[0.9], est[0.99]],
         }
     )
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 3-per-source stratified sample (hash-ordered draw,
+    reproducible with no RNG)."""
+    from ..stages.curate import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = stratified_sample(docs, k=3).to_pandas()
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)

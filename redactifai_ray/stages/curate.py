@@ -357,3 +357,58 @@ def repetition_signals(
     return ds.map_batches(
         RepetitionSignals(text_col, id_col), batch_format="pyarrow"
     )
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: the k rows per key with the
+    smallest (md5_bucket(id), id) order key — a reproducible "random"
+    k-per-stratum draw with no RNG state (same hash family as
+    ``assign_split``; ties broken by id so the draw is total-ordered).
+
+    Scale shape mirrors the grouped top-k (``q_top_events_per_user``):
+    per-batch partial min-k per key bounds the exchange at k rows per
+    (key, batch); one groupby finishes. Returns (key_col, id_col)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, id_col]).to_pandas()
+        df["_bk"] = [_md5_bucket(i, n_buckets) for i in df[id_col]]
+        df = (
+            df.sort_values(["_bk", id_col], kind="mergesort")
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if key_col not in g.columns:  # schema-less empty partition
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype="object"),
+                    id_col: pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["_bk", id_col], kind="mergesort").head(k)
+        return g[[key_col, id_col]]
+
+    def norm(t: pa.Table) -> pa.Table:
+        if key_col in t.column_names:
+            return t.select([key_col, id_col])
+        return pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col, num_partitions=default_partitions())
+        .map_groups(final, batch_format="pandas")
+        .map_batches(norm, batch_format="pyarrow")
+    )

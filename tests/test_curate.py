@@ -164,3 +164,27 @@ class TestTopTokens:
 
         out = top_tokens(_docs([{"text": "x y"}]), k=50)
         assert len(out) == 2
+
+
+class TestStratifiedSample:
+    def test_k_per_group_and_determinism(self, ray_session):
+        from redactifai_ray.stages.curate import stratified_sample
+
+        rows = [
+            {"doc_id": i, "source": f"s{i % 5}"} for i in range(200)
+        ]
+        a = stratified_sample(_docs(rows), k=4).to_pandas()
+        b = stratified_sample(_docs(rows).repartition(9), k=4).to_pandas()
+        assert len(a) == 20  # 5 groups × 4
+        assert a.groupby("source").size().eq(4).all()
+        # partition-layout independent
+        ka = sorted(map(tuple, a[["source", "doc_id"]].to_numpy()))
+        kb = sorted(map(tuple, b[["source", "doc_id"]].to_numpy()))
+        assert ka == kb
+
+    def test_small_groups_keep_all(self, ray_session):
+        from redactifai_ray.stages.curate import stratified_sample
+
+        rows = [{"doc_id": 1, "source": "only"}]
+        out = stratified_sample(_docs(rows), k=5).to_pandas()
+        assert len(out) == 1
