@@ -412,3 +412,123 @@ def stratified_sample(
         .map_groups(final, batch_format="pandas")
         .map_batches(norm, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- boilerplate line removal --
+
+_LINE_SEED = 829
+
+
+def hot_line_hashes(
+    ds: ray.data.Dataset,
+    text_col: str = "extracted_text",
+    min_docs: int = 2,
+) -> ray.data.Dataset:
+    """Hashes of non-blank lines appearing in ≥ ``min_docs`` documents —
+    the CCNet-style boilerplate vocabulary (nav bars, cookie banners,
+    footers). Slim shape: per-batch per-doc-distinct line-hash counts
+    fold locally, one groupby sums (the exchange carries the batch-local
+    line vocabulary as 16-byte rows, never line text)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            seen = {
+                stable_hash64(line, _LINE_SEED)
+                for line in (t or "").split("\n")
+                if line.strip()
+            }
+            for lh in seen:
+                c[lh] += 1
+        lhs = np.fromiter(c.keys(), dtype=np.uint64, count=len(c)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "lh": pa.array(lhs, pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(line_rows, batch_format="pyarrow")
+        .groupby("lh", num_partitions=default_partitions())
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.map_batches(
+        lambda t: t.select(["lh"]).filter(
+            pc.greater_equal(t["n"], min_docs)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def remove_boilerplate_lines(
+    ds: ray.data.Dataset,
+    text_col: str = "extracted_text",
+    min_docs: int = 2,
+    hot: Optional[ray.data.Dataset] = None,
+    chunk_size: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Drop lines shared by ≥ ``min_docs`` documents (CCNet-style
+    cross-document line dedup — the webtext boilerplate cleaner).
+
+    Exact at ANY hot-set size with no shuffle of document text: the hot
+    hashes stream to the driver in bounded chunks (``iter_batches``, one
+    chunk in driver memory at a time) and each chunk becomes one
+    vectorized anti-filter stage over the streaming corpus — k chained
+    ``map_batches`` stages instead of an uncapped broadcast or a
+    corpus-text shuffle. Blank lines are structural and always kept.
+
+    Pass ``hot`` (from :func:`hot_line_hashes`, possibly computed by an
+    earlier job over the same shard group) to avoid re-executing this
+    dataset's upstream for the stats pass — the CCNet production shape;
+    when omitted, the stats pass re-executes ``ds``'s lineage once."""
+    if hot is None:
+        hot = hot_line_hashes(ds, text_col, min_docs)
+
+    out = ds
+    buf: list[np.ndarray] = []
+    buffered = 0
+
+    def attach(chunk_hashes: np.ndarray) -> None:
+        nonlocal out
+        ref = ray.put(chunk_hashes)
+        state: dict = {}  # per-worker cache, per chunk stage
+
+        def drop(batch: pa.Table) -> pa.Table:
+            if "hot" not in state:
+                state["hot"] = set(ray.get(ref).tolist())
+            hot_set = state["hot"]
+            texts = []
+            for t in batch[text_col].to_pylist():
+                if t is None:
+                    texts.append(None)
+                    continue
+                kept = [
+                    line
+                    for line in t.split("\n")
+                    if not line.strip()
+                    or stable_hash64(line, _LINE_SEED) not in hot_set
+                ]
+                texts.append("\n".join(kept))
+            idx = batch.column_names.index(text_col)
+            return batch.set_column(
+                idx, text_col, pa.array(texts, pa.string())
+            )
+
+        out = out.map_batches(drop, batch_format="pyarrow")
+
+    for b in hot.iter_batches(batch_size=None, batch_format="pyarrow"):
+        arr = b["lh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        buf.append(arr)
+        buffered += arr.size
+        if buffered >= chunk_size:
+            attach(np.concatenate(buf))
+            buf, buffered = [], 0
+    if buffered:
+        attach(np.concatenate(buf))
+    return out

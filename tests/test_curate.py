@@ -188,3 +188,72 @@ class TestStratifiedSample:
         rows = [{"doc_id": 1, "source": "only"}]
         out = stratified_sample(_docs(rows), k=5).to_pandas()
         assert len(out) == 1
+
+
+class TestBoilerplateLines:
+    FOOTER = "Copyright Example Corp - All Rights Reserved"
+    NAV = "Home | About | Contact"
+
+    def _rows(self):
+        rows = []
+        for i in range(10):
+            body = f"unique body line {i} with words\nsecond unique line {i}"
+            rows.append(
+                {
+                    "doc_id": i,
+                    "extracted_text": f"{self.NAV}\n\n{body}\n{self.FOOTER}",
+                }
+            )
+        rows.append({"doc_id": 99, "extracted_text": "totally unique document"})
+        return rows
+
+    def test_removes_shared_keeps_unique_and_blank(self, ray_session):
+        from redactifai_ray.stages.curate import remove_boilerplate_lines
+
+        out = (
+            remove_boilerplate_lines(_docs(self._rows()), min_docs=5)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        t0 = out.loc[0, "extracted_text"]
+        assert self.FOOTER not in t0 and self.NAV not in t0
+        assert "unique body line 0" in t0
+        assert t0.startswith("\n")  # blank structural line kept
+        assert out.loc[99, "extracted_text"] == "totally unique document"
+
+    def test_chunked_path_equivalent(self, ray_session):
+        from redactifai_ray.stages.curate import remove_boilerplate_lines
+
+        one = (
+            remove_boilerplate_lines(_docs(self._rows()), min_docs=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # chunk_size=1 → one filter stage per hot line
+        many = (
+            remove_boilerplate_lines(
+                _docs(self._rows()), min_docs=5, chunk_size=1
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert one.equals(many)
+
+    def test_precomputed_hot_and_null_text(self, ray_session):
+        from redactifai_ray.stages.curate import (
+            hot_line_hashes,
+            remove_boilerplate_lines,
+        )
+
+        rows = self._rows() + [{"doc_id": 50, "extracted_text": None}]
+        ds = _docs(rows)
+        hot = hot_line_hashes(ds, min_docs=5)
+        out = (
+            remove_boilerplate_lines(ds, min_docs=5, hot=hot)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[50, "extracted_text"] is None
+        assert self.FOOTER not in out.loc[3, "extracted_text"]
