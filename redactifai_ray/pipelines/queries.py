@@ -604,13 +604,15 @@ def q_tpch_q3(
     Join strategy (VERDICT r1 #1: orders is a fact table at real scale —
     never ``to_pandas`` it on the driver): while the filtered BUILDING
     customer key-set fits ``max_broadcast_keys`` it broadcasts for a
-    vectorized ``pc.is_in`` order filter before a native ``Dataset.join``
-    of the two fact-derived streams (best plan: prunes the join's build
-    side). Beyond the cap (custkeys are fact-scaled in TPC-H — VERDICT
-    r2 #3) the whole plan goes join-FREE: the lineitem⋈orders join and
-    the customer semi-join each become the house union + hash-partition
-    groupby pattern (Ray 2.49's Acero join breaks when composed with
-    further hash stages) — no driver gather at any cardinality. Lineitem
+    vectorized ``pc.is_in`` order filter that prunes the merge's build
+    side. Beyond the cap (custkeys are fact-scaled in TPC-H — VERDICT
+    r2 #3) the customer semi-join becomes the house union +
+    hash-partition groupby pattern instead. The lineitem⋈orders merge
+    is join-free on BOTH paths (``_joinfree_merge_orders``): Ray 2.49's
+    Acero-backed ``Dataset.join`` drops the key column from hash
+    partitions that receive zero right-side rows, so small inputs ×
+    many partitions hard-fail — no driver gather at any cardinality
+    either way. Lineitem
     pre-aggregates per-batch order revenues either way; a groupby +
     sort-limit finishes. Revenue uses the same fixed-point trick as
     q_tpch_q1."""
@@ -644,10 +646,9 @@ def q_tpch_q3(
         def filter_orders(batch: pa.Table) -> pa.Table:
             if "keys" not in state:
                 state["keys"] = ray.get(seg_ref)
-            batch = batch.filter(
+            return batch.filter(
                 pc.is_in(batch["o_custkey"], value_set=state["keys"])
             )
-            return batch.select(["o_orderkey", "o_orderdate"])
 
         orders_f = orders_slim.map_batches(filter_orders, batch_format="pyarrow")
     else:
@@ -680,10 +681,12 @@ def q_tpch_q3(
     )
 
     if broadcast:
-        joined = li_part.join(
-            orders_f, "inner", num_partitions=default_partitions(),
-            on=("l_orderkey",), right_on=("o_orderkey",),
-        )
+        # The merge itself is join-free (union + hash-partition groupby)
+        # on BOTH paths: Ray 2.49's Acero-backed Dataset.join drops the
+        # key column from hash partitions that receive zero right-side
+        # rows (small tables / many partitions), so the broadcast win is
+        # confined to the customer semi-join it eliminates.
+        joined = _joinfree_merge_orders(li_part, orders_f, date_type)
         agg = (
             joined.groupby(["l_orderkey", "o_orderdate"])
             .aggregate(Sum("rev_c", alias_name="rev_c"))
@@ -1361,3 +1364,4 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
     out = stratified_sample(docs, k=3).to_pandas()
     return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
