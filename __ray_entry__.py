@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-error bound test-pinned vs the exact `quantiles` path)
         "kll_quantiles": q.q_kll_quantiles,
         "stratified_sample": q.q_stratified_sample,
+        # CCNet-style LM-perplexity quality scoring (rows-only: trained
+        # bigram LM, non-SQL-expressible; determinism + ordering
+        # test-pinned)
+        "perplexity": q.q_perplexity,
     }
 
 

@@ -1365,3 +1365,16 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     out = stratified_sample(docs, k=3).to_pandas()
     return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
 
+def q_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM-perplexity scoring (rows-only: an interpolated
+    bigram LM is a trained model artifact, not SQL-expressible;
+    determinism, OOV handling and garbage-scores-worse ordering are
+    test-pinned in tests/test_hashing.py::TestPerplexity). The LM trains
+    once on a bounded sample via a distributed count fold, broadcasts
+    once, and scores the corpus in a warm actor pool with no shuffle."""
+    from ..functions.lm import score_perplexity, train_lm_from_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = train_lm_from_corpus(docs, sample_rows=2000, max_vocab=20_000)
+    out = score_perplexity(docs, model).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

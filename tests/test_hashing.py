@@ -379,3 +379,88 @@ class TestKll:
         # exact discrete quantile at this k/N
         for label in ("p50", "p90", "p99"):
             assert abs(est[label] - exact[label]) <= 0.1 * exact[label] + 1
+
+
+class TestPerplexity:
+    def _model(self):
+        from collections import Counter
+
+        from redactifai_ray.functions.lm import train_lm
+
+        corpus = [
+            "the cat sat on the mat",
+            "the dog sat on the rug",
+            "the cat ate the fish",
+        ]
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for t in corpus:
+            toks = t.split()
+            uni.update(toks)
+            prev = "<s>"
+            for w in toks:
+                big[prev + " " + w] += 1
+                prev = w
+        return train_lm(uni, big, max_vocab=100)
+
+    def test_score_deterministic_and_order_sane(self):
+        from redactifai_ray.functions.lm import PerplexityScorer
+
+        sc = PerplexityScorer(model=self._model())
+        n, lp, ppl = sc.score("the cat sat on the mat")
+        n2, lp2, ppl2 = sc.score("the cat sat on the mat")
+        assert (n, lp, ppl) == (n2, lp2, ppl2)
+        assert n == 6 and lp < 0 and ppl > 1
+        # corpus-like text scores lower perplexity than OOV garbage
+        _, _, ppl_garbage = sc.score("zqxv jkwp qqqz vvkx mmzp axqw")
+        assert ppl < ppl_garbage
+        # bigram structure matters: scrambled word order scores worse
+        _, _, ppl_scrambled = sc.score("mat the on sat cat the")
+        assert ppl < ppl_scrambled
+
+    def test_oov_and_empty(self):
+        import math
+
+        from redactifai_ray.functions.lm import PerplexityScorer
+
+        sc = PerplexityScorer(model=self._model())
+        n, lp, ppl = sc.score("")
+        assert n == 0 and lp == 0.0 and math.isnan(ppl)
+        # all-OOV text still gets a finite positive score (unk smoothing)
+        n, lp, ppl = sc.score("zzz yyy xxx")
+        assert n == 3 and math.isfinite(ppl) and ppl > 1
+
+    def test_vocab_cap_collapses_to_unk(self):
+        from collections import Counter
+
+        from redactifai_ray.functions.lm import UNK, train_lm
+
+        uni = Counter({"a": 100, "b": 50, "rare1": 1, "rare2": 1})
+        big = Counter({"<s> a": 50, "a b": 50, "b rare1": 1, "rare1 rare2": 1})
+        m = train_lm(uni, big, max_vocab=2)
+        assert set(m["vocab"]) == {"a", "b"}
+        assert m["uni"][UNK] == 2
+        # bigram mass re-keyed through the map, totals conserved
+        assert sum(m["big"].values()) == sum(big.values())
+
+    def test_distributed_train_and_score(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.lm import (
+            score_perplexity,
+            train_lm_from_corpus,
+        )
+
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        model = train_lm_from_corpus(docs, sample_rows=200, max_vocab=5_000)
+        m2 = train_lm_from_corpus(docs, sample_rows=200, max_vocab=5_000)
+        assert model["uni"] == m2["uni"] and model["big"] == m2["big"]
+        out = score_perplexity(docs.limit(50), model).to_pandas()
+        assert len(out) == 50
+        assert (out["n_tokens"] > 0).all()
+        assert (out["ppl"] > 1).all() and out["ppl"].notna().all()
+        # in-domain synthetic text scores far below the smoothed-uniform
+        # ceiling (~vocab size)
+        assert out["ppl"].median() < model["v_size"]
