@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram LM, non-SQL-expressible; determinism + ordering
         # test-pinned)
         "perplexity": q.q_perplexity,
+        "gopher_filter": q.q_gopher_filter,
+        "tfidf_top_terms": q.q_tfidf_top_terms,
     }
 
 
@@ -449,6 +451,63 @@ def oracle_sql() -> dict[str, str]:
                    END AS top_word_frac
             FROM bg b LEFT JOIN mw USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        "gopher_filter": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents
+            ),
+            mw AS (
+                SELECT doc_id, max(c) AS mx FROM (
+                    SELECT doc_id, word, count(*) AS c
+                    FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+                    GROUP BY doc_id, word
+                ) GROUP BY doc_id
+            ),
+            f AS (
+                SELECT ws.doc_id,
+                       len(ws.w)::BIGINT AS n_words,
+                       CASE WHEN len(ws.w) = 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(ws.w)) * 1.0 / len(ws.w)
+                       END AS dup_word_frac,
+                       CASE WHEN len(ws.w) = 0 THEN 0.0
+                            ELSE mw.mx * 1.0 / len(ws.w)
+                       END AS top_word_frac,
+                       CASE WHEN len(ws.w) = 0 THEN 0.0
+                            ELSE list_sum(list_transform(ws.w, x -> length(x))) * 1.0 / len(ws.w)
+                       END AS mean_word_len
+                FROM ws LEFT JOIN mw USING (doc_id)
+            )
+            SELECT doc_id, n_words, dup_word_frac, top_word_frac, mean_word_len,
+                   (n_words BETWEEN 30 AND 100000
+                    AND dup_word_frac <= 0.55
+                    AND top_word_frac <= 0.20
+                    AND mean_word_len BETWEEN 3.0 AND 10.0) AS keep
+            FROM f ORDER BY doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, word AS term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(w) AS word FROM ws)
+                GROUP BY doc_id, word
+            ),
+            df AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, tfidf FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) <= 3
+            ORDER BY doc_id, term
         """,
         "top_tokens": """
             SELECT w AS token, count(*)::BIGINT AS n

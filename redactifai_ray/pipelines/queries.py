@@ -1378,3 +1378,25 @@ def q_perplexity(sf_dir: str) -> pd.DataFrame:
     model = train_lm_from_corpus(docs, sample_rows=2000, max_vocab=20_000)
     out = score_perplexity(docs, model).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_gopher_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style composite quality gate: per-document signals + keep
+    verdict (bit-exact oracle: every fraction is one division of exact
+    ints and thresholds compare on that double in both engines)."""
+    from ..stages.curate import gopher_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = gopher_filter(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 TF-IDF terms (bit-exact oracle: score is one
+    int multiply × one libm log of an exact int ratio, identical in both
+    engines; ties order (score desc, term asc))."""
+    from ..stages.analyze import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=3).to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)

@@ -268,3 +268,96 @@ def top_tokens(ds, text_col: str = "text", k: int = 50, n: int = 1):
     cands = totals.map_batches(block_topk, batch_format="pyarrow").take_all()
     cands.sort(key=lambda r: (-r["n"], r["token"]))
     return pd.DataFrame(cands[:k], columns=["token", "n"])
+
+
+def tfidf_top_terms(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_broadcast_vocab: int = 50_000_000,
+):
+    """Per-document top-k terms by TF-IDF (tf × ln(N/df)).
+
+    Scale shape: document frequencies fold slim — each batch emits its
+    per-doc-DISTINCT token vocabulary as (token, partial-df) rows, one
+    groupby sums — and the df table broadcasts once via ``ray.put``
+    (8-byte count + term; vocabulary-bounded, capped at
+    ``max_broadcast_vocab`` with a hard error naming the sketch
+    alternative). The corpus then streams through one ``map_batches``
+    computing tf and the top-k per doc — no per-row shuffle, no driver
+    gather of the corpus. N comes from ``ds.count()`` which Ray serves
+    from read metadata when available.
+
+    Determinism: scores are tf (int) × one ``math.log`` of an exact int
+    ratio; ties order (score desc, term asc). Bit-exact vs the DuckDB
+    oracle (both engines call libm ``log`` on the identical double).
+    Returns a Dataset of (id_col, term, tf, df, tfidf)."""
+    import math
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_partitions
+
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(set((t or "").lower().split()))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term", num_partitions=default_partitions())
+        .aggregate(Sum("df", alias_name="df"))
+        .take(max_broadcast_vocab + 1)
+    )
+    if len(df_rows) > max_broadcast_vocab:
+        raise ValueError(
+            "vocabulary exceeds the df broadcast cap; use the Misra-Gries "
+            "sketch path (functions.sketch) or raise max_broadcast_vocab"
+        )
+    df_ref = ray.put({r["term"]: r["df"] for r in df_rows})
+    state: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "df" not in state:
+            state["df"] = ray.get(df_ref)
+        dfm = state["df"]
+        ids, terms, tfs, dfs, scores = [], [], [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            tf = Counter((t or "").lower().split())
+            ranked = sorted(
+                (
+                    (w, c, dfm[w], c * math.log(n_docs / dfm[w]))
+                    for w, c in tf.items()
+                ),
+                key=lambda r: (-r[3], r[0]),
+            )[:k]
+            for w, c, d, s in ranked:
+                ids.append(i)
+                terms.append(w)
+                tfs.append(c)
+                dfs.append(d)
+                scores.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "tfidf": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -532,3 +532,66 @@ def remove_boilerplate_lines(
     if buffered:
         attach(np.concatenate(buf))
     return out
+
+
+def gopher_filter(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    max_dup_word_frac: float = 0.55,
+    max_top_word_frac: float = 0.20,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+) -> ray.data.Dataset:
+    """Gopher-style composite document quality gate (Rae et al. 2021
+    §A1.1.1): word-count range, duplicate-word fraction, top-word share
+    and mean word length, folded into one ``keep`` verdict per document.
+
+    Emits every document with its signals AND the verdict (not just
+    survivors) so downstream can audit why a document dropped — the
+    corpus-curation report shape. Pure ``map_batches``, no shuffle; all
+    fractions are single divisions of exact ints (and every threshold
+    compare happens on that exact double), so the op is bit-exact
+    against the DuckDB oracle. Thresholds are parameters — defaults are
+    tuned to the synthetic corpus, not Gopher's web-scale values."""
+
+    def signals(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        nw_c, dupw_c, topw_c, mwl_c, keep_c = [], [], [], [], []
+        for t in batch[text_col].to_pylist():
+            words = (t or "").lower().split()
+            nw = len(words)
+            nw_c.append(nw)
+            if nw == 0:
+                dupw_c.append(0.0)
+                topw_c.append(0.0)
+                mwl_c.append(0.0)
+                keep_c.append(False)
+                continue
+            dupw = 1.0 - len(set(words)) * 1.0 / nw
+            topw = max(Counter(words).values()) * 1.0 / nw
+            mwl = sum(len(w) for w in words) * 1.0 / nw
+            dupw_c.append(dupw)
+            topw_c.append(topw)
+            mwl_c.append(mwl)
+            keep_c.append(
+                min_words <= nw <= max_words
+                and dupw <= max_dup_word_frac
+                and topw <= max_top_word_frac
+                and min_mean_word_len <= mwl <= max_mean_word_len
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(nw_c, pa.int64()),
+                "dup_word_frac": pa.array(dupw_c, pa.float64()),
+                "top_word_frac": pa.array(topw_c, pa.float64()),
+                "mean_word_len": pa.array(mwl_c, pa.float64()),
+                "keep": pa.array(keep_c, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pyarrow")

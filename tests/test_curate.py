@@ -257,3 +257,83 @@ class TestBoilerplateLines:
         )
         assert out.loc[50, "extracted_text"] is None
         assert self.FOOTER not in out.loc[3, "extracted_text"]
+
+
+class TestGopherFilter:
+    def test_signals_and_verdict(self, ray_session):
+        from redactifai_ray.stages.curate import gopher_filter
+
+        good = " ".join(f"word{i}" for i in range(40))  # 40 distinct words
+        dup = " ".join(["spam"] * 40)  # all duplicates
+        short = "too short"
+        rows = [
+            {"doc_id": 1, "text": good},
+            {"doc_id": 2, "text": dup},
+            {"doc_id": 3, "text": short},
+            {"doc_id": 4, "text": ""},
+        ]
+        out = (
+            gopher_filter(_docs(rows))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert bool(out.loc[1, "keep"]) is True
+        # all-duplicate doc fails dup_word_frac AND top_word_frac
+        assert bool(out.loc[2, "keep"]) is False
+        assert out.loc[2, "dup_word_frac"] == pytest.approx(1.0 - 1.0 / 40)
+        assert out.loc[2, "top_word_frac"] == 1.0
+        # short doc fails min_words; empty doc fails everything
+        assert bool(out.loc[3, "keep"]) is False
+        assert bool(out.loc[4, "keep"]) is False
+        assert out.loc[4, "n_words"] == 0 and out.loc[4, "mean_word_len"] == 0.0
+
+    def test_thresholds_parameterize(self, ray_session):
+        from redactifai_ray.stages.curate import gopher_filter
+
+        rows = [{"doc_id": 1, "text": "a b c d e"}]
+        strict = gopher_filter(_docs(rows)).to_pandas()
+        lax = gopher_filter(
+            _docs(rows), min_words=1, min_mean_word_len=0.5
+        ).to_pandas()
+        assert not bool(strict["keep"][0]) and bool(lax["keep"][0])
+
+
+class TestTfidfTopTerms:
+    def test_scores_and_ranking(self, ray_session):
+        import math
+
+        from redactifai_ray.stages.analyze import tfidf_top_terms
+
+        rows = [
+            {"doc_id": 1, "text": "apple apple banana"},
+            {"doc_id": 2, "text": "banana cherry"},
+            {"doc_id": 3, "text": "cherry cherry cherry date"},
+        ]
+        out = (
+            tfidf_top_terms(_docs(rows), k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "tfidf"], ascending=[True, False])
+            .reset_index(drop=True)
+        )
+        # doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
+        d1 = out[out.doc_id == 1]
+        assert list(d1["term"]) == ["apple", "banana"]
+        assert d1["tfidf"].iloc[0] == 2 * math.log(3 / 1)
+        assert d1["tfidf"].iloc[1] == math.log(3 / 2)
+        # doc 3: cherry tf=3 df=2 beats date tf=1 df=1
+        d3 = out[out.doc_id == 3]
+        assert list(d3["term"]) == ["cherry", "date"]
+        # k caps per-doc output
+        assert (out.groupby("doc_id").size() <= 2).all()
+
+    def test_ubiquitous_term_scores_zero(self, ray_session):
+        from redactifai_ray.stages.analyze import tfidf_top_terms
+
+        rows = [{"doc_id": i, "text": "common rare%d" % i} for i in range(3)]
+        out = tfidf_top_terms(_docs(rows), k=2).to_pandas()
+        common = out[out.term == "common"]
+        assert (common["tfidf"] == 0.0).all() and (common["df"] == 3).all()
+        # the rare term wins every doc
+        top = out.sort_values("tfidf", ascending=False).groupby("doc_id").head(1)
+        assert set(top["term"]) == {"rare0", "rare1", "rare2"}
