@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity": q.q_perplexity,
         "gopher_filter": q.q_gopher_filter,
         "tfidf_top_terms": q.q_tfidf_top_terms,
+        # chunk-level first-wins dedup / prefix-sum shard packing /
+        # inverted-index build
+        "para_dedup": q.q_para_dedup,
+        "token_shards": q.q_token_shards,
+        "inverted_index": q.q_inverted_index,
     }
 
 
@@ -541,6 +546,69 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bigram
             ORDER BY n DESC, bigram ASC
             LIMIT 50
+        """,
+        "para_dedup": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            c AS (
+                SELECT doc_id, i AS chunk_idx,
+                       array_to_string(toks[(i*10+1):((i+1)*10)], ' ') AS chunk
+                FROM d, UNNEST(range(0, cast(ceil(len(toks)/10.0) AS int))) AS t(i)
+            ),
+            kept AS (
+                SELECT doc_id, chunk_idx, chunk,
+                       row_number() OVER (
+                           PARTITION BY chunk ORDER BY doc_id, chunk_idx
+                       ) = 1 AS keep
+                FROM c
+            )
+            SELECT d2.doc_id,
+                   coalesce(string_agg(CASE WHEN kept.keep THEN kept.chunk END,
+                                       ' ' ORDER BY kept.chunk_idx), '') AS dedup_text,
+                   count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN kept.keep THEN 1 ELSE 0 END)::BIGINT AS n_chunks_kept
+            FROM (SELECT doc_id FROM documents) d2
+            LEFT JOIN kept USING (doc_id)
+            GROUP BY d2.doc_id
+            ORDER BY d2.doc_id
+        """,
+        "token_shards": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n,
+                       coalesce(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum_before
+                FROM c
+            )
+            SELECT (cum_before // 10000)::BIGINT AS shard_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n)::BIGINT AS sum_tokens
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "inverted_index": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            d AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT term, doc_id, tf,
+                       row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+                FROM d
+            )
+            SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
+                   string_agg(CASE WHEN rn <= 5 THEN cast(doc_id AS varchar) END,
+                              ',' ORDER BY doc_id) AS posting_head
+            FROM r GROUP BY term ORDER BY term
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
         # embedding_near_dup / extract_pages / deidentify_pages:

@@ -1400,3 +1400,46 @@ def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = tfidf_top_terms(docs, k=3).to_pandas()
     return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def q_para_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus-global first-wins chunk dedup (RefinedWeb-style paragraph
+    dedup over 10-word pseudo-paragraphs, since the synthetic corpus has
+    no line structure). Text never shuffles: a slim (md5, id, idx)
+    exchange finds loser occurrences; chained bounded broadcasts
+    tombstone them in place."""
+    from ..stages.curate import chunk_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_dedup(docs, mode="words", chunk_words=10).to_pandas()
+    out = out.rename(columns={"text": "dedup_text"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_token_shards(sf_dir: str) -> pd.DataFrame:
+    """Token-budget shard packing via a distributed two-phase prefix
+    sum (the scan primitive Ray Data lacks natively): shard sizes and
+    doc counts for ~10k-token training shards."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.curate import token_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    assigned = token_shards(docs, budget=10_000, bucket_width=64)
+    out = (
+        assigned.groupby("shard_id")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="sum_tokens"))
+        .to_pandas()
+    )
+    return out.sort_values("shard_id").reset_index(drop=True)
+
+
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build: per term df, total tf, and the first-5
+    posting-list head — one bounded partial row per (batch, term) rides
+    the exchange, never token-scale rows."""
+    from ..stages.analyze import inverted_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = inverted_index(docs, k_postings=5).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)

@@ -361,3 +361,98 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def inverted_index(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_postings: int = 5,
+    min_df: int = 1,
+):
+    """Corpus inverted index: per term, document frequency, total term
+    frequency, and the head of the posting list (first ``k_postings``
+    doc ids in ascending order, comma-joined) — the search-index /
+    corpus-audit build step.
+
+    Scale shape: each batch folds its documents into ONE partial row
+    per term — ``(term, df_partial, tf_partial, first-k ids)`` — so the
+    exchange carries (batch-local vocabulary × bounded summary), never
+    token-scale rows. A hash-partitioned groupby then merges partials
+    per term: sums are associative and the posting head is a bounded
+    min-k merge (sort the ≤ k×batches candidate ids, take k). Full
+    posting lists at 10^12 docs would be written per term-partition to
+    parquet instead of carried in a column; the head is the summary a
+    driver can hold."""
+    import pandas as pd
+
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        agg: dict[str, list] = {}  # term -> [df, tf, [ids]]
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for term, c in Counter((t or "").split()).items():
+                e = agg.get(term)
+                if e is None:
+                    agg[term] = [1, c, [i]]
+                else:
+                    e[0] += 1
+                    e[1] += c
+                    e[2].append(i)
+        terms = sorted(agg)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df_p": pa.array([agg[t][0] for t in terms], pa.int64()),
+                "tf_p": pa.array([agg[t][1] for t in terms], pa.int64()),
+                # the k SMALLEST ids in the batch (row order is not id
+                # order), so the cross-batch min-k merge stays exact
+                "ids_p": pa.array(
+                    [sorted(agg[t][2])[:k_postings] for t in terms],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in g.columns:  # schema-less empty partition
+            return pd.DataFrame(
+                {
+                    "term": pd.Series(dtype="object"),
+                    "df": pd.Series(dtype="int64"),
+                    "tf_total": pd.Series(dtype="int64"),
+                    "posting_head": pd.Series(dtype="object"),
+                }
+            )
+        terms, dfs, tfs, heads = [], [], [], []
+        for term, grp in g.groupby("term", sort=True):
+            df = int(grp["df_p"].sum())
+            if df < min_df:
+                continue
+            ids = sorted(
+                int(i) for lst in grp["ids_p"] for i in lst
+            )[:k_postings]
+            terms.append(term)
+            dfs.append(df)
+            tfs.append(int(grp["tf_p"].sum()))
+            heads.append(",".join(str(i) for i in ids))
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "df": pd.Series(dfs, dtype="int64"),
+                "tf_total": pd.Series(tfs, dtype="int64"),
+                "posting_head": heads,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term", num_partitions=P)
+        .map_groups(merge, batch_format="pandas")
+    )

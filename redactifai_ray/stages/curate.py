@@ -595,3 +595,288 @@ def gopher_filter(
         )
 
     return ds.map_batches(signals, batch_format="pyarrow")
+
+
+def _doc_chunks(text: Optional[str], mode: str, chunk_words: int) -> list[str]:
+    """Split a document into dedup units. ``words`` mode: fixed windows
+    of ``chunk_words`` whitespace tokens (the SQL-expressible
+    pseudo-paragraph used when a corpus has no line structure);
+    ``lines`` mode: newline paragraphs (the real webtext case — CCNet /
+    RefinedWeb dedup at paragraph granularity)."""
+    if mode == "lines":
+        return (text or "").split("\n")
+    toks = (text or "").split()
+    return [
+        " ".join(toks[i : i + chunk_words])
+        for i in range(0, len(toks), chunk_words)
+    ]
+
+
+def chunk_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "words",
+    chunk_words: int = 10,
+    loser_chunk_size: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Corpus-global first-wins chunk (pseudo-paragraph) dedup
+    (RefinedWeb §3.3 / Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", at paragraph granularity): every
+    repeated occurrence of a chunk — across documents AND within one —
+    is dropped except the first by ``(id, chunk_idx)`` order, and
+    documents are reassembled from their surviving chunks.
+
+    Differs from :func:`remove_boilerplate_lines` (which drops ALL
+    copies of hot lines): here exactly one copy survives, which is the
+    training-data dedup semantic rather than the boilerplate semantic.
+
+    Scale shape — document text never shuffles:
+
+    1. slim pass: each batch emits ``(chunk_md5, id, idx)`` rows; a
+       hash-partitioned groupby + vectorized run scan yields *loser*
+       occurrences (everything after the global first), exactly like
+       ``dedup.exact_dedup``'s loser scan.
+    2. the loser ``(id, idx)`` pairs stream to the driver in bounded
+       chunks (``iter_batches``) and each chunk becomes one vectorized
+       anti-stage over the corpus — the
+       :func:`remove_boilerplate_lines` chained-broadcast pattern, so
+       the op is exact at ANY duplicate cardinality with no cap.
+    3. anti-stages tombstone losers to NULL in a position-stable
+       ``list<string>`` chunk column (indices never shift between
+       stages); a final stage joins survivors back into ``text_col``.
+
+    In ``lines`` mode blank lines are structural: never hashed, never
+    dropped. Output adds ``n_chunks`` / ``n_chunks_kept`` columns."""
+    P = default_partitions()
+    joiner = "\n" if mode == "lines" else " "
+
+    def is_unit(c: str) -> bool:
+        # blank lines are structure, not content
+        return bool(c.strip()) if mode == "lines" else True
+
+    def slim_rows(batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        md5s: list[str] = []
+        ids: list = []
+        idxs: list[int] = []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for j, c in enumerate(_doc_chunks(t, mode, chunk_words)):
+                if not is_unit(c):
+                    continue
+                md5s.append(
+                    _hl.md5(c.encode("utf-8", "surrogatepass")).hexdigest()
+                )
+                ids.append(i)
+                idxs.append(j)
+        return pa.table(
+            {
+                "ch": pa.array(md5s, pa.string()),
+                id_col: pa.array(ids),
+                "idx": pa.array(idxs, pa.int64()),
+                "pkey": pa.array(
+                    [int(m[:8], 16) % P for m in md5s], pa.int64()
+                ),
+            }
+        )
+
+    def find_losers(g: pd.DataFrame) -> pd.DataFrame:
+        if "ch" not in g.columns:  # schema-less empty partition
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "idx": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["ch", id_col, "idx"], kind="mergesort")
+        chs = g["ch"].to_numpy()
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = chs[1:] != chs[:-1]
+        lose = ~first
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[lose],
+                "idx": g["idx"].to_numpy()[lose],
+            }
+        )
+
+    losers = (
+        ds.map_batches(slim_rows, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(find_losers, batch_format="pandas")
+    )
+
+    # corpus → position-stable chunk lists
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        lists = [
+            _doc_chunks(t, mode, chunk_words)
+            for t in batch[text_col].to_pylist()
+        ]
+        out = batch.drop_columns([text_col])
+        return out.append_column(
+            "_chunks", pa.array(lists, pa.list_(pa.string()))
+        )
+
+    out = ds.map_batches(to_chunks, batch_format="pyarrow")
+
+    def attach(ids_arr: np.ndarray, idx_arr: np.ndarray) -> None:
+        nonlocal out
+        ref = ray.put((ids_arr, idx_arr))
+        state: dict = {}  # per-worker cache, one per anti-stage
+
+        def tombstone(batch: pa.Table) -> pa.Table:
+            if "losers" not in state:
+                i_a, x_a = ray.get(ref)
+                state["losers"] = set(zip(i_a.tolist(), x_a.tolist()))
+            lose = state["losers"]
+            col = batch["_chunks"].to_pylist()
+            new = []
+            for i, chunks in zip(batch[id_col].to_pylist(), col):
+                new.append(
+                    [
+                        None if (i, j) in lose else c
+                        for j, c in enumerate(chunks)
+                    ]
+                )
+            k = batch.column_names.index("_chunks")
+            return batch.set_column(
+                k, "_chunks", pa.array(new, pa.list_(pa.string()))
+            )
+
+        out = out.map_batches(tombstone, batch_format="pyarrow")
+
+    buf_i: list[np.ndarray] = []
+    buf_x: list[np.ndarray] = []
+    buffered = 0
+    for b in losers.iter_batches(batch_size=None, batch_format="pyarrow"):
+        buf_i.append(b[id_col].to_numpy(zero_copy_only=False))
+        buf_x.append(b["idx"].to_numpy(zero_copy_only=False))
+        buffered += len(b)
+        if buffered >= loser_chunk_size:
+            attach(np.concatenate(buf_i), np.concatenate(buf_x))
+            buf_i, buf_x, buffered = [], [], 0
+    if buffered:
+        attach(np.concatenate(buf_i), np.concatenate(buf_x))
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        col = batch["_chunks"].to_pylist()
+        texts, n_chunks, n_kept = [], [], []
+        for chunks in col:
+            kept = [c for c in chunks if c is not None]
+            texts.append(joiner.join(kept))
+            # counts are over dedup UNITS (blanks in lines mode are
+            # structure: preserved in text, excluded from both counts).
+            # A None is always a tombstoned unit — blanks never hash,
+            # so they are never tombstoned.
+            n_chunks.append(
+                sum(1 for c in chunks if c is None or is_unit(c))
+            )
+            n_kept.append(
+                sum(1 for c in chunks if c is not None and is_unit(c))
+            )
+        out_t = batch.drop_columns(["_chunks"])
+        out_t = out_t.append_column(text_col, pa.array(texts, pa.string()))
+        out_t = out_t.append_column("n_chunks", pa.array(n_chunks, pa.int64()))
+        return out_t.append_column(
+            "n_chunks_kept", pa.array(n_kept, pa.int64())
+        )
+
+    return out.map_batches(reassemble, batch_format="pyarrow")
+
+
+def token_shards(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 10_000,
+    bucket_width: int = 4096,
+) -> ray.data.Dataset:
+    """Pack documents (in ``id`` order) into training shards of
+    ~``budget`` whitespace tokens each — the corpus-sharding step that
+    follows curation (each shard becomes one training file). A document
+    lands in shard ``floor(tokens_before_it / budget)``.
+
+    This is a distributed prefix sum (a scan — the one primitive the
+    Dataset API has no native operator for), done in the classic
+    two-phase shape with a slim exchange:
+
+    1. per-doc ``(id, n_tokens, bucket=id // bucket_width)`` projection
+       (2 ints/row — text never shuffles); one small groupby sums
+       tokens per id-bucket, and the driver turns those ~``N/width``
+       partial sums into per-bucket prefix *offsets* (broadcast once).
+    2. a hash-partitioned groupby co-locates each bucket's slim rows;
+       an in-partition vectorized cumsum plus the bucket offset yields
+       every document's exact global prefix, hence its shard.
+
+    Pick ``bucket_width`` ≈ sqrt(corpus docs) so both the driver table
+    and the per-group work stay ~sqrt(N) at 10^12 docs. Returns
+    ``(id, n_tokens, shard_id)`` — aggregate downstream for shard
+    manifests, or join back by id to route rows to output files."""
+    P = default_partitions()
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n = pa.array(
+            [len((t or "").split()) for t in batch[text_col].to_pylist()],
+            pa.int64(),
+        )
+        bucket = pc.divide(ids, bucket_width)
+        return pa.table({id_col: ids, "n": n, "bucket": bucket})
+
+    counts = ds.map_batches(slim, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = (
+        counts.groupby("bucket", num_partitions=P)
+        .aggregate(Sum("n", alias_name="bn"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    offsets = dict(
+        zip(
+            per_bucket["bucket"].tolist(),
+            np.concatenate(
+                [[0], np.cumsum(per_bucket["bn"].to_numpy())[:-1]]
+            ).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+    state: dict = {}
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in g.columns:  # schema-less empty partition
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "n_tokens": pd.Series(dtype="int64"),
+                    "shard_id": pd.Series(dtype="int64"),
+                }
+            )
+        if "off" not in state:
+            state["off"] = ray.get(off_ref)
+        off = state["off"]
+        out = []
+        for bucket, grp in g.groupby("bucket", sort=False):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            n = grp["n"].to_numpy()
+            before = off[int(bucket)] + np.cumsum(n) - n
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: grp[id_col].to_numpy(),
+                        "n_tokens": n,
+                        "shard_id": before // budget,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return counts.groupby("bucket", num_partitions=P).map_groups(
+        assign, batch_format="pandas"
+    )

@@ -337,3 +337,179 @@ class TestTfidfTopTerms:
         # the rare term wins every doc
         top = out.sort_values("tfidf", ascending=False).groupby("doc_id").head(1)
         assert set(top["term"]) == {"rare0", "rare1", "rare2"}
+
+
+class TestChunkDedup:
+    def _brute_words(self, rows, w):
+        # reference first-wins over (doc_id, chunk_idx) order
+        seen = set()
+        out = {}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            toks = r["text"].split()
+            kept = []
+            n_chunks = 0
+            for i in range(0, len(toks), w):
+                c = " ".join(toks[i : i + w])
+                n_chunks += 1
+                if c not in seen:
+                    seen.add(c)
+                    kept.append(c)
+            out[r["doc_id"]] = (" ".join(kept), n_chunks, len(kept))
+        return out
+
+    def _rows(self):
+        dup = "the same ten words repeated exactly here for chunk test"
+        return [
+            {"doc_id": 0, "text": f"{dup} unique tail zero one two"},
+            # cross-doc duplicate chunk + its own unique content
+            {"doc_id": 1, "text": f"{dup} completely different ending words here"},
+            # within-doc duplicate: same chunk twice in one document
+            {"doc_id": 2, "text": f"{dup} {dup}"},
+            {"doc_id": 3, "text": "entirely fresh document with no duplicate chunks at all"},
+        ]
+
+    def test_words_mode_matches_brute_force(self, ray_session):
+        from redactifai_ray.stages.curate import chunk_dedup
+
+        rows = self._rows()
+        out = (
+            chunk_dedup(_docs(rows), mode="words", chunk_words=10)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        ref = self._brute_words(rows, 10)
+        for i, (text, n_chunks, n_kept) in ref.items():
+            assert out.loc[i, "text"] == text, i
+            assert out.loc[i, "n_chunks"] == n_chunks
+            assert out.loc[i, "n_chunks_kept"] == n_kept
+        # doc 2's second copy of the dup chunk must be gone entirely
+        assert out.loc[2, "text"] == ""
+        assert out.loc[2, "n_chunks_kept"] == 0
+
+    def test_chunked_loser_broadcast_equivalent(self, ray_session):
+        from redactifai_ray.stages.curate import chunk_dedup
+
+        rows = self._rows()
+        one = (
+            chunk_dedup(_docs(rows), mode="words", chunk_words=10)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        many = (
+            chunk_dedup(
+                _docs(rows), mode="words", chunk_words=10, loser_chunk_size=1
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(one, many)
+
+    def test_lines_mode_keeps_blanks_first_wins(self, ray_session):
+        from redactifai_ray.stages.curate import chunk_dedup
+
+        rows = [
+            {"doc_id": 0, "text": "shared paragraph line\n\nunique zero"},
+            {"doc_id": 1, "text": "unique one\nshared paragraph line"},
+            {"doc_id": 2, "text": "shared paragraph line"},
+        ]
+        out = (
+            chunk_dedup(_docs(rows), text_col="text", mode="lines")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # first occurrence (doc 0, idx 0) survives; later copies drop
+        assert out.loc[0, "text"] == "shared paragraph line\n\nunique zero"
+        assert out.loc[1, "text"] == "unique one"
+        assert out.loc[2, "text"] == ""
+        # blank line in doc 0 is structural: kept, not counted as a unit
+        assert out.loc[0, "n_chunks"] == 2
+        assert out.loc[0, "n_chunks_kept"] == 2
+
+
+class TestTokenShards:
+    def test_matches_serial_prefix_sum(self, ray_session):
+        from redactifai_ray.stages.curate import token_shards
+
+        rows = [
+            {"doc_id": i, "text": " ".join(["w"] * (3 + (i * 7) % 11))}
+            for i in range(50)
+        ]
+        out = (
+            token_shards(_docs(rows), budget=20, bucket_width=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        cum = 0
+        for i, r in out.iterrows():
+            n = 3 + (int(r["doc_id"]) * 7) % 11
+            assert r["n_tokens"] == n
+            assert r["shard_id"] == cum // 20, r["doc_id"]
+            cum += n
+
+    def test_bucket_width_invariant(self, ray_session):
+        from redactifai_ray.stages.curate import token_shards
+
+        rows = [
+            {"doc_id": i, "text": " ".join(["w"] * (1 + i % 5))}
+            for i in range(40)
+        ]
+        a = (
+            token_shards(_docs(rows), budget=13, bucket_width=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            token_shards(_docs(rows), budget=13, bucket_width=1000)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestInvertedIndex:
+    def test_matches_brute_force_across_blocks(self, ray_session):
+        from collections import Counter
+
+        from redactifai_ray.stages.analyze import inverted_index
+
+        rows = [
+            {"doc_id": i, "text": " ".join(WORDS[(i * 3) % 13 : (i * 3) % 13 + 5])}
+            for i in range(30)
+        ]
+        # many small blocks so the min-k posting merge crosses batches,
+        # with ids deliberately NOT in block order
+        ds = _docs(rows[::-1]).repartition(10)
+        out = (
+            inverted_index(ds, k_postings=3)
+            .to_pandas()
+            .set_index("term")
+            .sort_index()
+        )
+        tf: Counter = Counter()
+        postings: dict = {}
+        for r in rows:
+            c = Counter(r["text"].split())
+            for t, n in c.items():
+                tf[t] += n
+                postings.setdefault(t, []).append(r["doc_id"])
+        for t, ids in postings.items():
+            assert out.loc[t, "df"] == len(ids)
+            assert out.loc[t, "tf_total"] == tf[t]
+            assert out.loc[t, "posting_head"] == ",".join(
+                str(i) for i in sorted(ids)[:3]
+            )
+
+    def test_min_df_filters(self, ray_session):
+        from redactifai_ray.stages.analyze import inverted_index
+
+        rows = [
+            {"doc_id": 0, "text": "rare common"},
+            {"doc_id": 1, "text": "common"},
+        ]
+        out = inverted_index(_docs(rows), min_df=2).to_pandas()
+        assert out["term"].tolist() == ["common"]
