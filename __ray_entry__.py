@@ -123,6 +123,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "para_dedup": q.q_para_dedup,
         "token_shards": q.q_token_shards,
         "inverted_index": q.q_inverted_index,
+        # canonicalization / collocations / semantic clustering
+        "normalize_text": q.q_normalize_text,
+        "pmi_bigrams": q.q_pmi_bigrams,
+        # kmeans_clusters is rows-only (trained centroids; determinism
+        # test-pinned)
+        "kmeans_clusters": q.q_kmeans_clusters,
     }
 
 
@@ -610,8 +616,45 @@ def oracle_sql() -> dict[str, str]:
                               ',' ORDER BY doc_id) AS posting_head
             FROM r GROUP BY term ORDER BY term
         """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(lower(text)),
+                                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents ORDER BY doc_id
+        """,
+        "pmi_bigrams": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            uni AS (
+                SELECT w, count(*)::BIGINT AS c
+                FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w
+            ),
+            bi AS (
+                SELECT bg, count(*)::BIGINT AS c_xy
+                FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                                   j -> ws[j] || ' ' || ws[j+1])) AS bg
+                      FROM d)
+                GROUP BY bg
+            ),
+            tot AS (
+                SELECT (SELECT sum(c) FROM uni)::BIGINT AS n_uni,
+                       (SELECT sum(c_xy) FROM bi)::BIGINT AS n_bi
+            )
+            SELECT split_part(bg, ' ', 1) AS w1,
+                   split_part(bg, ' ', 2) AS w2,
+                   c_xy AS n_xy,
+                   ln((c_xy * 1.0 * n_uni * n_uni) /
+                      (n_bi * 1.0 * u1.c * u2.c)) AS pmi
+            FROM bi CROSS JOIN tot
+            JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+            JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+            WHERE c_xy >= 5
+            ORDER BY w1, w2
+        """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
-        # embedding_near_dup / extract_pages / deidentify_pages:
-        # non-SQL-expressible (stateful sketches, custom hashing, HTML DOM
-        # walk) → rows-only driver checks; correctness pinned in tests/.
+        # embedding_near_dup / extract_pages / deidentify_pages /
+        # kmeans_clusters: non-SQL-expressible (stateful sketches, custom
+        # hashing, HTML DOM walk, trained centroids) → rows-only driver
+        # checks; correctness pinned in tests/.
     }

@@ -84,10 +84,20 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
+    # best-of-N for the secondary ops: this VM shows 2-4x hypervisor
+    # steal spikes (r3: extract_only measured 17 s inside a busy bench
+    # run vs 7.5-10 s isolated); the min of two runs is a far better
+    # estimator of the code's cost than one draw from a noisy window
+    op_repeats = int(os.environ.get("RRX_OP_REPEATS", "2"))
+
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        result = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best_t, result = None, None
+        for _ in range(op_repeats):
+            t0 = time.perf_counter()
+            result = fn()
+            dt = time.perf_counter() - t0
+            best_t = dt if best_t is None else min(best_t, dt)
+        timings[name] = round(best_t, 3)
         return result
 
     # ---- headline: flagship deidentify over pages -----------------------
@@ -198,6 +208,17 @@ def run_bench() -> dict:
     timed("events_window", lambda: q_events_window(SF_DIR))
     timed("decontaminate", lambda: q_decontaminate(SF_DIR))
     timed("top_tokens", lambda: q_top_tokens(SF_DIR))
+
+    from redactifai_ray.stages.curate import chunk_dedup
+
+    timed(
+        "para_dedup",
+        lambda: chunk_dedup(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+            mode="words",
+            chunk_words=10,
+        ).count(),
+    )
 
     headline = timings["flagship_deidentify"]
     result = {

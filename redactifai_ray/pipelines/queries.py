@@ -1443,3 +1443,45 @@ def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = inverted_index(docs, k_postings=5).to_pandas()
     return out.sort_values("term").reset_index(drop=True)
+
+
+def q_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """NFC + lowercase + whitespace-collapse canonicalization (the
+    pre-hash normalization step; oracle via DuckDB nfc_normalize)."""
+    from ..stages.analyze import normalize_text
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = normalize_text(docs, out_col="norm_text").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "norm_text"]
+    ]
+
+
+def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Bigram PMI collocation scores (bit-exact oracle: identical
+    left-associative double expression in both engines)."""
+    from ..stages.analyze import pmi_bigrams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pmi_bigrams(docs, min_count=5).to_pandas()
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Semantic k-means cluster sizes over the embeddings table
+    (rows-only: trained centroids are not SQL-expressible; determinism
+    and assignment consistency are test-pinned)."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..stages.similarity import kmeans_assign
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned = kmeans_assign(emb, n_centroids=8)
+    out = (
+        assigned.groupby("cluster_id")
+        .aggregate(Count(alias_name="n"), Mean("sim", alias_name="mean_sim"))
+        .to_pandas()
+    )
+    return out.sort_values("cluster_id").reset_index(drop=True)

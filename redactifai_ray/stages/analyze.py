@@ -456,3 +456,155 @@ def inverted_index(
         .groupby("term", num_partitions=P)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def normalize_text(
+    ds,
+    text_col: str = "text",
+    out_col: str | None = None,
+):
+    """Unicode NFC + lowercase + whitespace-collapse normalization — the
+    canonicalization step run before hashing/dedup so that byte-level
+    variants of the same content collide (cf. CCNet's normalization
+    before paragraph hashing). Pure ``map_batches``, no shuffle.
+
+    Uses NFC (not NFKC) and lowercases AFTER normalizing so the op is
+    oracle-checkable against DuckDB's ``nfc_normalize(lower(...))``
+    pipeline on ASCII-dominant corpora; on non-ASCII text Python and
+    DuckDB lowercasing can differ on a handful of locale-sensitive
+    codepoints (documented limitation, same class as ``str.lower``
+    length changes handled in ``stages/relocate.py``)."""
+    import unicodedata
+
+    dst = out_col or text_col
+
+    def norm(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[text_col].to_pylist():
+            if t is None:
+                out.append(None)
+                continue
+            out.append(
+                " ".join(unicodedata.normalize("NFC", t).lower().split())
+            )
+        arr = pa.array(out, pa.string())
+        if dst in batch.column_names:
+            return batch.set_column(
+                batch.column_names.index(dst), dst, arr
+            )
+        return batch.append_column(dst, arr)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def _count_fold(ds, text_col: str, grams: int):
+    """Distributed (term → count) fold: per-batch Counter partials, one
+    vocab-bounded groupby sum. Exchange carries batch-local vocabularies,
+    never token-scale rows."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..cluster import default_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            toks = (t or "").split()
+            if grams == 1:
+                c.update(toks)
+            else:
+                c.update(
+                    " ".join(toks[i : i + grams])
+                    for i in range(len(toks) - grams + 1)
+                )
+        terms = sorted(c)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "n": pa.array([c[t] for t in terms], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term", num_partitions=default_partitions())
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def pmi_bigrams(
+    ds,
+    text_col: str = "text",
+    min_count: int = 5,
+    max_broadcast_vocab: int = 50_000_000,
+):
+    """Pointwise mutual information of word bigrams — the collocation
+    scorer used for phrase mining / tokenizer-vocab induction:
+    ``pmi(x,y) = ln(p(xy) / (p(x) p(y)))`` with p(xy) over bigram
+    positions and p(x) over token positions.
+
+    Shape: two distributed count folds (unigrams, bigrams — batch-vocab
+    partials, one groupby sum each); the unigram table (natural-language
+    vocabularies are millions, ≪ corpus) broadcasts once with totals and
+    the bigram table streams through one scoring stage. Guarded by
+    ``max_broadcast_vocab`` — a vocabulary above it means the corpus is
+    not natural language and the caller should shard by term instead
+    (explicit error, not a silent driver OOM).
+
+    The PMI expression is written with identical operation order in
+    Python and the SQL oracle (every term promoted to double at the
+    first multiply, left-associative), so results are bit-exact."""
+    import math
+
+    import ray
+
+    uni = _count_fold(ds, text_col, 1)
+    bi = _count_fold(ds, text_col, 2)
+
+    uni_rows = uni.take(max_broadcast_vocab + 1)
+    if len(uni_rows) > max_broadcast_vocab:
+        raise ValueError(
+            f"unigram vocabulary exceeds max_broadcast_vocab="
+            f"{max_broadcast_vocab}; shard the PMI join by term instead"
+        )
+    counts = {r["term"]: r["n"] for r in uni_rows}
+    n_uni = sum(counts.values())
+    # bigram-count table materializes once (vocab-scale, ≪ corpus) so the
+    # total-positions fold and the scoring stage don't re-run the corpus
+    bi = bi.materialize()
+    n_bi = int(bi.sum("n") or 0)
+    ref = ray.put((counts, n_uni))
+    state: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "counts" not in state:
+            state["counts"] = ray.get(ref)
+        cnts, nu = state["counts"]
+        terms = batch["term"].to_pylist()
+        ns = batch["n"].to_pylist()
+        w1s, w2s, keep_n, pmis = [], [], [], []
+        for term, c_xy in zip(terms, ns):
+            if c_xy < min_count:
+                continue
+            w1, w2 = term.split(" ", 1)
+            c_x = cnts[w1]
+            c_y = cnts[w2]
+            pmis.append(
+                math.log(
+                    (c_xy * 1.0 * nu * nu) / (n_bi * 1.0 * c_x * c_y)
+                )
+            )
+            w1s.append(w1)
+            w2s.append(w2)
+            keep_n.append(c_xy)
+        return pa.table(
+            {
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "n_xy": pa.array(keep_n, pa.int64()),
+                "pmi": pa.array(pmis, pa.float64()),
+            }
+        )
+
+    return bi.map_batches(score, batch_format="pyarrow")

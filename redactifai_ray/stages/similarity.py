@@ -283,3 +283,56 @@ def knn_topk_ivf(
         candidates, query_ids, [list(v) for v in q_mat], k=k,
         id_col=id_col, vec_col=vec_col, exclude_self=exclude_self,
     )
+
+
+def kmeans_assign(
+    emb: ray.data.Dataset,
+    centroids: Optional[np.ndarray] = None,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Semantic cluster assignment over an embedding column — the
+    corpus-organization step behind cluster-balanced sampling and
+    SemDeDup-style semantic dedup: every vector gets its nearest
+    (cosine) k-means centroid plus the similarity to it.
+
+    Scale shape: centroids train once from a bounded sample
+    (`build_ivf_centroids` — driver numpy, deterministic) and broadcast
+    via ``ray.put``; assignment is one vectorized matmul per batch with
+    no shuffle. Rows-only correctness (a trained model is not
+    SQL-expressible); determinism and centroid-consistency are
+    test-pinned."""
+    C = (
+        centroids
+        if centroids is not None
+        else build_ivf_centroids(emb, n_centroids=n_centroids, vec_col=vec_col)
+    )
+    ref = ray.put(C)
+    state: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if "C" not in state:
+            state["C"] = ray.get(ref)
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        sims = _normalize(mat) @ state["C"].T
+        best = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": pa.array(best.astype(np.int64), pa.int64()),
+                "sim": pa.array(
+                    sims[np.arange(len(best)), best], pa.float64()
+                ),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow")

@@ -926,3 +926,175 @@ class TestTpchQ3SemijoinFallback:
         fast = q_tpch_q3(SF)
         slow = q_tpch_q3(SF, max_broadcast_keys=0)
         pd.testing.assert_frame_equal(fast, slow)
+
+
+class TestWarcishSource:
+    def _rows(self, n=25):
+        return [
+            {
+                "url": f"https://ex{i % 3}.example.com/p/{i}",
+                "warc_ts": 1_700_000_000_000_000 + i,
+                "lang": ["en", "de", "fr"][i % 3],
+                "html": (
+                    f"<html><body><p>page {i} body with enough characters "
+                    "to clear the extractor's minimum content threshold"
+                    "</p></body></html>"
+                ),
+            }
+            for i in range(n)
+        ]
+
+    def test_roundtrip_multi_archive(self, ray_session, tmp_path):
+        from redactifai_ray.sources.warcish import read_warcish, write_warcish
+
+        rows = self._rows()
+        paths = write_warcish(str(tmp_path), rows, records_per_file=10)
+        assert len(paths) == 3  # 25 records / 10 per file
+        out = (
+            read_warcish(str(tmp_path))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 25
+        by_url = out.set_index("url")
+        for r in rows:
+            got = by_url.loc[r["url"]]
+            assert got["html"] == r["html"].encode()
+            assert got["lang"] == r["lang"]
+            assert got["warc_ts"].value == r["warc_ts"] * 1000  # ns vs us
+
+    def test_feeds_extractor(self, ray_session, tmp_path):
+        from redactifai_ray.sources.warcish import read_warcish, write_warcish
+        from redactifai_ray.stages.extract import make_extract_batch
+
+        write_warcish(str(tmp_path), self._rows(6), records_per_file=3)
+        out = (
+            read_warcish(str(tmp_path))
+            .map_batches(make_extract_batch(), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert len(out) == 6
+        assert all("body" in t for t in out["extracted_text"])
+
+    def test_corrupt_record_raises(self, tmp_path):
+        from redactifai_ray.sources.warcish import parse_warcish, write_warcish
+
+        path = write_warcish(str(tmp_path), self._rows(2), records_per_file=2)[0]
+        blob = open(path, "rb").read()
+        with pytest.raises(ValueError, match="corrupt|truncated"):
+            parse_warcish(b"XX" + blob[2:], path)
+        with pytest.raises(ValueError, match="truncated"):
+            parse_warcish(blob[:-5], path)
+
+
+class TestNormalizeText:
+    def test_nfc_lower_collapse(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import normalize_text
+
+        rows = [
+            {"doc_id": 0, "text": "  HeLLo\t WOrld  "},
+            {"doc_id": 1, "text": "Café time"},  # e + combining acute
+            {"doc_id": 2, "text": None},
+        ]
+        out = (
+            normalize_text(ray.data.from_items(rows))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "text"] == "hello world"
+        assert out.loc[1, "text"] == "café time"  # composed é
+        assert out.loc[2, "text"] is None
+
+
+class TestPmiBigrams:
+    def test_matches_brute_force(self, ray_session):
+        import math
+        from collections import Counter
+
+        import ray.data
+
+        from redactifai_ray.stages.analyze import pmi_bigrams
+
+        texts = [
+            "strong coffee strong coffee very strong coffee",
+            "weak tea weak tea strong tea",
+            "strong coffee again and strong coffee forever",
+        ]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        out = (
+            pmi_bigrams(ray.data.from_items(rows), min_count=2)
+            .to_pandas()
+            .set_index(["w1", "w2"])
+            .sort_index()
+        )
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in texts:
+            toks = t.split()
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        n_uni = sum(uni.values())
+        n_bi = sum(bi.values())
+        expected = {
+            (x, y): (
+                c,
+                math.log((c * 1.0 * n_uni * n_uni) / (n_bi * 1.0 * uni[x] * uni[y])),
+            )
+            for (x, y), c in bi.items()
+            if c >= 2
+        }
+        assert set(out.index) == set(expected)
+        for key, (c, pmi) in expected.items():
+            assert out.loc[key, "n_xy"] == c
+            assert out.loc[key, "pmi"] == pytest.approx(pmi, abs=0)
+        # the dominant collocation must score positive PMI
+        assert out.loc[("strong", "coffee"), "pmi"] > 0
+
+    def test_vocab_cap_raises(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import pmi_bigrams
+
+        rows = [{"doc_id": 0, "text": "a b c d e f g h"}]
+        with pytest.raises(ValueError, match="max_broadcast_vocab"):
+            pmi_bigrams(
+                ray.data.from_items(rows), min_count=1, max_broadcast_vocab=3
+            )
+
+
+class TestKmeansAssign:
+    def test_deterministic_and_consistent(self, ray_session, emb):
+        from redactifai_ray.stages.similarity import (
+            build_ivf_centroids,
+            kmeans_assign,
+        )
+
+        C = build_ivf_centroids(emb, n_centroids=4)
+        a = (
+            kmeans_assign(emb, centroids=C)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            kmeans_assign(emb, centroids=C)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # every vector lands in a valid cluster, sim within cosine range
+        assert a["cluster_id"].between(0, 3).all()
+        assert a["sim"].between(-1.0000001, 1.0000001).all()
+        # assignment really is argmax vs the same centroids
+        import numpy as np
+
+        emb_pd = emb.to_pandas()
+        X = np.asarray(list(emb_pd["embedding"]), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        best = np.argmax(X @ C.T, axis=1)
+        merged = emb_pd[["vec_id"]].assign(expect=best).merge(a, on="vec_id")
+        assert (merged["expect"] == merged["cluster_id"]).all()
