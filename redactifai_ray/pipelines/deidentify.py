@@ -216,6 +216,7 @@ def build_deidentify_pipeline(
     detector: str = "regex-ner",
     detector_init: Optional[dict] = None,
     dup_winners: Optional[dict] = None,
+    boilerplate_hot=None,
 ) -> ray.data.Dataset:
     """Build (lazily) the flagship Dataset. Consume with write_parquet /
     iter_batches; nothing materializes here.
@@ -281,6 +282,24 @@ def build_deidentify_pipeline(
     )
     if shuffle_dedup:
         ds = dedup_latest(ds)
+    if boilerplate_hot is not None and len(boilerplate_hot):
+        # CCNet-style cross-document boilerplate removal: the hot-line
+        # vocabulary is computed ONCE over the full input (CLI
+        # --boilerplate-min-docs does the stats pass) and applied here as
+        # bounded broadcast anti-filter stages before detection, so nav
+        # bars / cookie banners / footers never reach the detector or the
+        # output. Chunked exactly like remove_boilerplate_lines — one
+        # stage per 20M hashes — so worker sets stay bounded at any hot
+        # vocabulary size (the driver holds 8 B/line transiently).
+        from ..stages.curate import drop_hot_lines
+
+        _BP_CHUNK = 20_000_000
+        for i in range(0, len(boilerplate_hot), _BP_CHUNK):
+            ds = drop_hot_lines(
+                ds,
+                boilerplate_hot[i : i + _BP_CHUNK],
+                text_col="extracted_text",
+            )
     ds = ds.map_batches(add_size_bucket, batch_format="pyarrow")
     if size_bucket_shuffle:
         # co-locate similar-size rows so giant pages don't straggle inside

@@ -65,6 +65,14 @@ def main(argv=None) -> int:
              "redactifai_ray/patterns/webtext_extra.json (IP, credit "
              "card, MAC, IBAN, social handle)",
     )
+    ap.add_argument(
+        "--boilerplate-min-docs", type=int, default=0, metavar="N",
+        help="CCNet-style boilerplate removal: drop lines shared by >= N "
+             "extracted documents (0 = off). Runs one extra extract-only "
+             "stats pass over the full input to build the hot-line "
+             "vocabulary, then applies it inside every partition so the "
+             "removal is global across resumable partitions",
+    )
     ap.add_argument("--files-per-partition", type=int, default=8)
     ap.add_argument(
         "--partition-by", default=None,
@@ -89,7 +97,10 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # own the session only if we created it (in-process callers — tests,
+    # notebooks — keep theirs; the `ray job submit` path always creates)
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -146,6 +157,38 @@ def main(argv=None) -> int:
             model = train_ner_from_files(files, sample_rows=args.ner_sample_rows)
             detector_init = {"model_ref": ray.put(model)}
 
+        # boilerplate vocabulary: one extract-only stats pass over the
+        # FULL input (the CCNet production shape — stats job, then apply
+        # job) so removal is global even across resumable partitions.
+        # The hot set is a boilerplate vocabulary (nav/footer lines),
+        # naturally ≪ corpus; the cap guards the driver gather.
+        boilerplate_hot = None
+        if args.boilerplate_min_docs > 0:
+            import numpy as np
+
+            from .sources.pages import read_pages
+            from .stages.curate import hot_line_hashes
+            from .stages.extract import make_extract_batch
+
+            extracted = read_pages(files).map_batches(
+                make_extract_batch(extractor=args.extractor),
+                batch_format="pyarrow",
+            )
+            hot = hot_line_hashes(
+                extracted, "extracted_text", args.boilerplate_min_docs
+            )
+            chunks = [
+                b["lh"].to_numpy(zero_copy_only=False)
+                for b in hot.iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            ]
+            boilerplate_hot = (
+                np.concatenate(chunks).astype(np.uint64)
+                if chunks
+                else np.empty(0, dtype=np.uint64)
+            )
+
         def build(part_files):
             return build_deidentify_pipeline(
                 part_files,
@@ -159,6 +202,7 @@ def main(argv=None) -> int:
                 detector_init=detector_init,
                 dup_winners=global_winners,
                 extra_patterns=extra_patterns,
+                boilerplate_hot=boilerplate_hot,
             )
 
         from .stages.extract import EXTRACT_PROFILES
@@ -169,6 +213,8 @@ def main(argv=None) -> int:
         config_version = EXTRACT_PROFILES[args.extractor]["version"]
         if args.detector != "regex-ner":
             config_version += f"+{args.detector}"
+        if args.boilerplate_min_docs > 0:
+            config_version += f"+bp{args.boilerplate_min_docs}"
 
         summary = run_resumable(
             files,
@@ -183,7 +229,8 @@ def main(argv=None) -> int:
         print(json.dumps(summary))
         return 0 if summary["failed"] == 0 else 1
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -466,6 +466,56 @@ def hot_line_hashes(
     )
 
 
+
+def drop_hot_lines(
+    ds: ray.data.Dataset,
+    hot_hashes: np.ndarray,
+    text_col: str = "extracted_text",
+) -> ray.data.Dataset:
+    """One bounded hot-line anti-filter stage: drop every line whose
+    stable hash is in ``hot_hashes`` (blank lines are structural and
+    always kept). The building block behind
+    :func:`remove_boilerplate_lines`'s chunked-broadcast plan, exposed
+    so the flagship CLI can apply a precomputed boilerplate vocabulary
+    (computed once over the full input) inside each resumable
+    partition's pipeline."""
+    ref = ray.put(np.asarray(hot_hashes, dtype=np.uint64))
+    state: dict = {}  # per-worker cache
+
+    def drop(batch: pa.Table) -> pa.Table:
+        if "hot" not in state:
+            state["hot"] = set(ray.get(ref).tolist())
+        hot_set = state["hot"]
+        texts = []
+        for t in batch[text_col].to_pylist():
+            if t is None:
+                texts.append(None)
+                continue
+            kept = [
+                line
+                for line in t.split("\n")
+                if not line.strip()
+                or stable_hash64(line, _LINE_SEED) not in hot_set
+            ]
+            texts.append("\n".join(kept))
+        idx = batch.column_names.index(text_col)
+        out = batch.set_column(idx, text_col, pa.array(texts, pa.string()))
+        if "n_chars" in out.column_names:
+            # keep the size column honest for downstream size-bucketing
+            # and reporting after lines were removed
+            out = out.set_column(
+                out.column_names.index("n_chars"),
+                "n_chars",
+                pa.array(
+                    [None if t is None else len(t) for t in texts],
+                    pa.int64(),
+                ),
+            )
+        return out
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
 def remove_boilerplate_lines(
     ds: ray.data.Dataset,
     text_col: str = "extracted_text",
@@ -496,31 +546,7 @@ def remove_boilerplate_lines(
 
     def attach(chunk_hashes: np.ndarray) -> None:
         nonlocal out
-        ref = ray.put(chunk_hashes)
-        state: dict = {}  # per-worker cache, per chunk stage
-
-        def drop(batch: pa.Table) -> pa.Table:
-            if "hot" not in state:
-                state["hot"] = set(ray.get(ref).tolist())
-            hot_set = state["hot"]
-            texts = []
-            for t in batch[text_col].to_pylist():
-                if t is None:
-                    texts.append(None)
-                    continue
-                kept = [
-                    line
-                    for line in t.split("\n")
-                    if not line.strip()
-                    or stable_hash64(line, _LINE_SEED) not in hot_set
-                ]
-                texts.append("\n".join(kept))
-            idx = batch.column_names.index(text_col)
-            return batch.set_column(
-                idx, text_col, pa.array(texts, pa.string())
-            )
-
-        out = out.map_batches(drop, batch_format="pyarrow")
+        out = drop_hot_lines(out, chunk_hashes, text_col=text_col)
 
     for b in hot.iter_batches(batch_size=None, batch_format="pyarrow"):
         arr = b["lh"].to_numpy(zero_copy_only=False).astype(np.uint64)

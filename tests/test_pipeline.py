@@ -248,3 +248,100 @@ class TestResumeVersionAndSpansGuards:
                            pages_fn=finalize_output, files_per_partition=1)
         assert s2["ran"] == 1 and s2["skipped"] == 0
         assert os.path.isdir(os.path.join(out_root, "spans", "part=000000"))
+
+
+class TestBoilerplateInFlagship:
+    """--boilerplate-min-docs wiring: hot vocabulary computed once over
+    the full input, applied inside the pipeline before detection."""
+
+    FOOTER = "All rights reserved by Example Holdings Incorporated"
+
+    def _write_corpus(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        for i in range(12):
+            body = (
+                f"<p>document number {i} has plenty of unique narrative "
+                f"content to clear extraction thresholds easily</p>"
+                f"<p>{self.FOOTER}</p>"
+            )
+            rows.append(
+                {
+                    "url": f"https://site{i}.example.com/a",
+                    "warc_ts": 1_700_000_000_000_000 + i,
+                    "html": f"<html><body>{body}</body></html>".encode(),
+                    "text": None,
+                    "lang": "en",
+                }
+            )
+        t = pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows]),
+                "warc_ts": pa.array(
+                    [r["warc_ts"] for r in rows], pa.timestamp("us")
+                ),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        )
+        src = tmp_path / "pages"
+        src.mkdir()
+        pq.write_table(t.slice(0, 6), src / "a.parquet")
+        pq.write_table(t.slice(6, 6), src / "b.parquet")
+        return str(src)
+
+    def test_cli_removes_global_boilerplate(self, ray_session, tmp_path):
+        import duckdb
+
+        from redactifai_ray.run import main
+
+        src = self._write_corpus(tmp_path)
+        out = str(tmp_path / "out")
+        rc = main(
+            [
+                "--input", src,
+                "--output", out,
+                "--files-per-partition", "1",
+                "--boilerplate-min-docs", "5",
+            ]
+        )
+        assert rc == 0
+        con = duckdb.connect()
+        texts = con.sql(
+            f"select masked_text from '{out}/pages/part=*/*.parquet'"
+        ).fetchall()
+        assert len(texts) == 12
+        assert all(self.FOOTER not in (t or "") for (t,) in texts)
+        assert all("unique narrative" in (t or "") for (t,) in texts)
+
+    def test_version_guard_reruns_on_different_min_docs(
+        self, ray_session, tmp_path
+    ):
+        from redactifai_ray.run import main
+
+        src = self._write_corpus(tmp_path)
+        out = str(tmp_path / "out")
+        assert main(["--input", src, "--output", out]) == 0
+        # same config resumes...
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["--input", src, "--output", out]) == 0
+        import json as _json
+
+        s = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert s["ran"] == 0 and s["skipped"] > 0
+        # ...but a different boilerplate config must rerun, not mix
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(
+                ["--input", src, "--output", out,
+                 "--boilerplate-min-docs", "5"]
+            ) == 0
+        s = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert s["skipped"] == 0 and s["ran"] > 0
