@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kmeans_clusters is rows-only (trained centroids; determinism
         # test-pinned)
         "kmeans_clusters": q.q_kmeans_clusters,
+        # outlier clipping / semantic dedup / cross-run incremental dedup
+        "winsorize": q.q_winsorize,
+        "semdedup": q.q_semdedup,
+        "incremental_dedup": q.q_incremental_dedup,
     }
 
 
@@ -651,6 +655,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
             WHERE c_xy >= 5
             ORDER BY w1, w2
+        """,
+        "winsorize": """
+            WITH cuts AS (
+                SELECT quantile_disc(n_chars, 0.05) AS lo,
+                       quantile_disc(n_chars, 0.95) AS hi
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   least(greatest(n_chars, lo), hi)::BIGINT AS n_chars_winsor
+            FROM documents CROSS JOIN cuts
+            ORDER BY doc_id
+        """,
+        "incremental_dedup": """
+            WITH evens AS (
+                SELECT DISTINCT md5(text) AS h FROM documents
+                WHERE doc_id % 2 = 0
+            ),
+            odd AS (
+                SELECT doc_id, md5(text) AS h FROM documents
+                WHERE doc_id % 2 = 1
+            )
+            SELECT doc_id FROM odd
+            WHERE h NOT IN (SELECT h FROM evens)
+            QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+            ORDER BY doc_id
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
         # embedding_near_dup / extract_pages / deidentify_pages /

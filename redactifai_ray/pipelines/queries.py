@@ -1485,3 +1485,81 @@ def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+def q_winsorize(sf_dir: str) -> pd.DataFrame:
+    """Winsorized document lengths: clip n_chars to its exact [p05, p95]
+    quantiles (histogram-fold quantiles, quantile_disc semantics —
+    oracle-exact)."""
+    from ..stages.curate import winsorize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = winsorize(docs, "n_chars", 0.05, 0.95).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup cluster audit: per-cluster vector count and survivor
+    count at cosine 0.99 (rows-only: trained centroids; planted-dup
+    behavior and blockwise-exactness are test-pinned)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.similarity import semdedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semdedup(emb, threshold=0.99, n_centroids=8)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_id": batch["cluster_id"],
+                "kept": pc.cast(batch["keep"], pa.int64()),
+            }
+        )
+
+    agg = (
+        out.map_batches(to_int, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n"), Sum("kept", alias_name="n_kept"))
+        .to_pandas()
+    )
+    return agg.sort_values("cluster_id").reset_index(drop=True)
+
+
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-run incremental dedup: the corpus arrives as two crawl
+    increments (doc_id parity split); increment 2 dedups against the
+    persisted hash store written by increment 1 plus itself. Returns
+    increment 2's surviving ids — oracle-checkable because the winner
+    rule (store wins, else min id) is pure SQL over the full table."""
+    import shutil
+    import tempfile
+
+    from ..stages.dedup import incremental_exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(p: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), p)
+            )
+
+        return f
+
+    shard1 = docs.map_batches(parity(0), batch_format="pyarrow")
+    shard2 = docs.map_batches(parity(1), batch_format="pyarrow")
+    store = tempfile.mkdtemp(prefix="rrx_incr_store_")
+    try:
+        incremental_exact_dedup(shard1, store, run_id="r1").count()
+        out = (
+            incremental_exact_dedup(shard2, store, run_id="r2")
+            .to_pandas()[["doc_id"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out

@@ -906,3 +906,70 @@ def token_shards(
     return counts.groupby("bucket", num_partitions=P).map_groups(
         assign, batch_format="pandas"
     )
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: Sequence[float],
+) -> dict[float, int]:
+    """Exact quantiles of an integer column via the distributed value
+    histogram (per-batch ``value_counts`` → tiny groupby on distinct
+    values → driver cumulative-rank select). Exact and shuffle-light
+    whenever value cardinality is bounded (lengths, counts, scores);
+    rank semantics = DuckDB ``quantile_disc`` (index ceil(q·n)−1 of the
+    sorted multiset). The driver holds one row per DISTINCT value."""
+    from ray.data.aggregate import Sum
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        vc = batch[col].value_counts()
+        return pa.table(
+            {
+                "val": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("val")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("val")
+        .reset_index(drop=True)
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    out = {}
+    for q in qs:
+        rank = max(0, int(np.ceil(q * n)) - 1)
+        idx = int((cum > rank).idxmax())
+        out[q] = int(hist.loc[idx, "val"])
+    return out
+
+
+def winsorize(
+    ds: ray.data.Dataset,
+    col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: Optional[str] = None,
+) -> ray.data.Dataset:
+    """Clip a column to its [lo, hi] exact quantiles — the outlier
+    treatment for length/score features before they feed thresholds or
+    models. Two scalar cut points broadcast in the closure; the clip is
+    one vectorized ``pyarrow.compute`` pass, no shuffle (the quantile
+    pass is the histogram fold of :func:`exact_quantiles`)."""
+    cuts = exact_quantiles(ds, col, [lo, hi])
+    lo_v, hi_v = cuts[lo], cuts[hi]
+    dst = out_col or f"{col}_winsor"
+
+    def clip(batch: pa.Table) -> pa.Table:
+        arr = pc.min_element_wise(
+            pc.max_element_wise(batch[col], lo_v), hi_v
+        )
+        if dst in batch.column_names:
+            return batch.set_column(batch.column_names.index(dst), dst, arr)
+        return batch.append_column(dst, arr)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -1418,3 +1418,151 @@ def near_dedup(
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+
+# -------------------------------------------------- incremental (cross-run) --
+
+
+def incremental_exact_dedup(
+    new_ds: ray.data.Dataset,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    run_id: str = "run-0",
+    max_broadcast_losers: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Exact dedup of a NEW shard against everything a previous run
+    already kept — the continuous-crawl shape: each crawl snapshot
+    dedups against the accumulated corpus without ever re-reading it,
+    because the store holds only 16-byte content hashes.
+
+    ``store_dir`` is a parquet directory of prior survivors' ``text_md5``
+    values, partitioned by run (``store_dir/run=<id>/``). A new document
+    loses if its hash is already in the store, or if a lower-id document
+    in the SAME shard has the same hash. Survivors' hashes are appended
+    to the store under ``run=<run_id>`` so the next increment sees them.
+
+    Scale shape: the exchange carries (md5, flag, id) — store rows ride
+    as (md5, flag=1) with no id, text never moves; one hash-partition
+    groupby co-locates each hash's store flag with the shard ids
+    carrying it; the per-partition scan is the vectorized run-length
+    pattern (reduceat over sorted runs, Python only on duplicate runs).
+    Losers broadcast for the anti-filter (duplicates ≪ shard — same
+    contract and cap as ``exact_dedup``; above the cap the caller should
+    re-shard, the error says so). The store append re-runs only the slim
+    hash projection of the shard (2 columns), not the pipeline."""
+    import os
+
+    P = default_partitions()
+
+    def slim_new(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5((t or "").encode("utf-8", "surrogatepass")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "text_md5": pa.array(md5s, pa.string()),
+                id_col: batch[id_col],
+                "flag": pa.array([0] * len(md5s), pa.int8()),
+                "pkey": pa.array(
+                    [int(m[:8], 16) % P for m in md5s], pa.int64()
+                ),
+            }
+        )
+
+    slim = new_ds.map_batches(slim_new, batch_format="pyarrow")
+
+    import glob as _glob
+
+    store_files = sorted(
+        _glob.glob(os.path.join(store_dir, "run=*", "*.parquet"))
+    )
+    if store_files:
+        def tag_seen(batch: pa.Table) -> pa.Table:
+            md5s = batch["text_md5"].to_pylist()
+            return pa.table(
+                {
+                    "text_md5": batch["text_md5"],
+                    id_col: pa.array([None] * len(md5s), pa.int64()),
+                    "flag": pa.array([1] * len(md5s), pa.int8()),
+                    "pkey": pa.array(
+                        [int(m[:8], 16) % P for m in md5s], pa.int64()
+                    ),
+                }
+            )
+
+        seen = ray.data.read_parquet(
+            store_files, columns=["text_md5"]
+        ).map_batches(tag_seen, batch_format="pyarrow")
+        slim = slim.union(seen)
+
+    def find_losers(g: pd.DataFrame) -> pd.DataFrame:
+        if "text_md5" not in g.columns:  # schema-less empty partition
+            return pd.DataFrame({"loser": pd.Series(dtype="int64")})
+        g = g.sort_values(
+            ["text_md5", "flag", id_col], kind="mergesort", na_position="last"
+        )
+        md5s = g["text_md5"].to_numpy()
+        flags = g["flag"].to_numpy()
+        ids = g[id_col].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(
+            np.concatenate([[True], md5s[1:] != md5s[:-1]])
+        )
+        counts = np.diff(np.append(starts, n))
+        n_seen = np.add.reduceat(flags.astype(np.int64), starts)
+        n_new = counts - n_seen
+        # only duplicate runs need Python: new rows colliding with the
+        # store, or ≥2 new rows sharing a hash
+        cand = np.flatnonzero((n_new >= 1) & ((n_seen >= 1) | (n_new >= 2)))
+        losers: list = []
+        for ci in cand:
+            s = starts[ci]
+            e = s + counts[ci]
+            run_new = ids[s:e][flags[s:e] == 0]
+            if n_seen[ci] >= 1:
+                losers.extend(run_new.tolist())  # store always wins
+            else:
+                losers.extend(np.sort(run_new)[1:].tolist())  # keep min id
+        return pd.DataFrame({"loser": pd.Series(losers, dtype="int64")})
+
+    loser_rows = (
+        slim.groupby("pkey", num_partitions=P)
+        .map_groups(find_losers, batch_format="pandas")
+        .take(max_broadcast_losers + 1)
+    )
+    if len(loser_rows) > max_broadcast_losers:
+        raise ValueError(
+            f"incremental dedup found >{max_broadcast_losers} duplicate "
+            "rows in one shard; split the shard into smaller increments "
+            "(each increment's LOSERS must fit the broadcast, the corpus "
+            "itself never does)"
+        )
+    losers = {r["loser"] for r in loser_rows}
+    losers_ref = ray.put(sorted(losers))
+    state: dict = {}
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        if "losers" not in state:
+            state["losers"] = pa.array(ray.get(losers_ref))
+        if len(state["losers"]) == 0:
+            return batch
+        is_loser = pc.fill_null(
+            pc.is_in(batch[id_col], value_set=state["losers"]), False
+        )
+        return batch.filter(pc.invert(is_loser))
+
+    deduped = new_ds.map_batches(drop_losers, batch_format="pyarrow")
+
+    # append survivors' hashes to the store (slim re-projection only)
+    out_dir = os.path.join(store_dir, f"run={run_id}")
+    survivors = (
+        new_ds.map_batches(slim_new, batch_format="pyarrow")
+        .map_batches(drop_losers, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["text_md5"]), batch_format="pyarrow"
+        )
+    )
+    survivors.write_parquet(out_dir)
+    return deduped

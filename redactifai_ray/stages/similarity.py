@@ -336,3 +336,123 @@ def kmeans_assign(
         )
 
     return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(
+    emb: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
+    block_rows: int = 8192,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with k-means, then — within each cluster only —
+    dropping every vector whose cosine similarity to an earlier
+    *surviving* (lower-id, not itself dropped) vector in the cluster
+    reaches ``threshold``; a chain a~b~c keeps only a. Keep-first-by-id,
+    the same deterministic winner rule as every dedup family here.
+
+    Scale shape: centroids train once from a bounded sample and
+    broadcast; the only shuffle is ONE hash-partition groupby on
+    cluster_id, carrying (id, cluster, vector) — vectors must co-locate
+    for exact pairwise scoring, but only within-cluster, never
+    corpus-wide (the whole point of the cluster-first design: pairwise
+    cost drops from O(N²) to Σ|cluster|²). Inside a cluster the scan is
+    blockwise-exact: survivors accumulate and each ``block_rows`` block
+    scores against (survivors so far + its own upper triangle) in two
+    matmuls, so memory stays O(block × survivors) instead of O(n²) for a
+    skewed giant cluster.
+
+    Returns (id, cluster_id, keep) for every input row — survivors AND
+    audit trail, like ``gopher_filter``."""
+    C = (
+        centroids
+        if centroids is not None
+        else build_ivf_centroids(emb, n_centroids=n_centroids, vec_col=vec_col)
+    )
+    ref = ray.put(C)
+    state: dict = {}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if "C" not in state:
+            state["C"] = ray.get(ref)
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    vec_col: pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        unit = _normalize(mat)
+        best = np.argmax(unit @ state["C"].T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id": pa.array(best, pa.int64()),
+                # ship UNIT vectors so per-group scoring is one matmul
+                vec_col: pa.array(unit.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    import pandas as pd
+
+    from ..cluster import default_partitions
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in g.columns:  # schema-less empty partition
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "keep": pd.Series(dtype="bool"),
+                }
+            )
+        out = []
+        for cid, grp in g.groupby("cluster_id", sort=False):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            ids = grp[id_col].to_numpy()
+            X = np.asarray(list(grp[vec_col]), dtype=np.float64)
+            n = len(ids)
+            keep = np.ones(n, dtype=bool)
+            surv = np.empty((0, X.shape[1]) if X.ndim == 2 else (0, 0))
+            for s in range(0, n, block_rows):
+                blk = X[s : s + block_rows]
+                b = len(blk)
+                dup = np.zeros(b, dtype=bool)
+                if len(surv):
+                    dup |= (blk @ surv.T >= threshold).any(axis=1)
+                # within-block: earlier rows of the block that are (so
+                # far) keepers; sequential fold over the block triangle
+                sims = blk @ blk.T
+                for i in range(b):
+                    if dup[i]:
+                        continue
+                    later = sims[i, i + 1 :] >= threshold
+                    dup[i + 1 :] |= later
+                keep[s : s + b] = ~dup
+                if (~dup).any():
+                    surv = (
+                        blk[~dup]
+                        if not len(surv)
+                        else np.vstack([surv, blk[~dup]])
+                    )
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cluster_id": np.full(n, cid, dtype=np.int64),
+                        "keep": keep,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        emb.map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster_id", num_partitions=default_partitions())
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )

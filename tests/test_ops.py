@@ -1098,3 +1098,151 @@ class TestKmeansAssign:
         best = np.argmax(X @ C.T, axis=1)
         merged = emb_pd[["vec_id"]].assign(expect=best).merge(a, on="vec_id")
         assert (merged["expect"] == merged["cluster_id"]).all()
+
+
+class TestSemDedup:
+    def _emb_rows(self):
+        rng = np.random.default_rng(7)
+        rows = []
+        base = rng.normal(size=(10, 16))
+        for i, v in enumerate(base):
+            rows.append({"vec_id": i, "embedding": (v / np.linalg.norm(v)).tolist()})
+        # planted near-dups: 100..102 are tiny perturbations of row 0;
+        # 200 duplicates row 5
+        for j, (src, nid) in enumerate([(0, 100), (0, 101), (0, 102), (5, 200)]):
+            v = base[src] + rng.normal(scale=1e-4, size=16)
+            rows.append(
+                {"vec_id": nid, "embedding": (v / np.linalg.norm(v)).tolist()}
+            )
+        return rows
+
+    def test_drops_planted_keeps_first(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.similarity import semdedup
+
+        out = (
+            semdedup(
+                ray.data.from_items(self._emb_rows()),
+                threshold=0.99,
+                n_centroids=3,
+            )
+            .to_pandas()
+            .set_index("vec_id")
+        )
+        assert len(out) == 14
+        # originals survive, planted copies die (keep-first-by-id)
+        assert bool(out.loc[0, "keep"]) and bool(out.loc[5, "keep"])
+        for nid in (100, 101, 102, 200):
+            assert not bool(out.loc[nid, "keep"]), nid
+        # distinct base vectors survive
+        assert int(out["keep"].sum()) == 10
+
+    def test_blockwise_equals_full(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.similarity import (
+            build_ivf_centroids,
+            semdedup,
+        )
+
+        ds = ray.data.from_items(self._emb_rows())
+        C = build_ivf_centroids(ds, n_centroids=3)
+        full = (
+            semdedup(ds, threshold=0.99, centroids=C)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        blocky = (
+            semdedup(ds, threshold=0.99, centroids=C, block_rows=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(full, blocky)
+
+
+class TestIncrementalDedup:
+    def test_two_increments(self, ray_session, tmp_path):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import incremental_exact_dedup
+
+        store = str(tmp_path / "store")
+        shard1 = [
+            {"doc_id": 0, "text": "alpha content"},
+            {"doc_id": 1, "text": "beta content"},
+            {"doc_id": 2, "text": "alpha content"},  # within-shard dup
+        ]
+        out1 = (
+            incremental_exact_dedup(
+                ray.data.from_items(shard1), store, run_id="r1"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out1["doc_id"].tolist() == [0, 1]  # min id wins in-shard
+
+        shard2 = [
+            {"doc_id": 10, "text": "alpha content"},  # seen in r1 → drop
+            {"doc_id": 11, "text": "gamma content"},  # new → keep
+            {"doc_id": 12, "text": "gamma content"},  # in-shard dup → drop
+        ]
+        out2 = (
+            incremental_exact_dedup(
+                ray.data.from_items(shard2), store, run_id="r2"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out2["doc_id"].tolist() == [11]
+
+        # third increment sees BOTH runs' survivors
+        shard3 = [
+            {"doc_id": 20, "text": "gamma content"},  # seen in r2 → drop
+            {"doc_id": 21, "text": "delta content"},
+        ]
+        out3 = (
+            incremental_exact_dedup(
+                ray.data.from_items(shard3), store, run_id="r3"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out3["doc_id"].tolist() == [21]
+
+    def test_loser_cap_raises(self, ray_session, tmp_path):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import incremental_exact_dedup
+
+        rows = [{"doc_id": i, "text": "same"} for i in range(5)]
+        with pytest.raises(ValueError, match="split the shard"):
+            incremental_exact_dedup(
+                ray.data.from_items(rows),
+                str(tmp_path / "s"),
+                max_broadcast_losers=2,
+            )
+
+
+class TestWinsorize:
+    def test_clips_to_exact_quantiles(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.curate import exact_quantiles, winsorize
+
+        vals = list(range(1, 101))  # 1..100
+        rows = [{"doc_id": i, "n": v} for i, v in enumerate(vals)]
+        ds = ray.data.from_items(rows)
+        cuts = exact_quantiles(ds, "n", [0.05, 0.95])
+        assert cuts[0.05] == 5 and cuts[0.95] == 95  # ceil(q*n)-1 rank
+        out = (
+            winsorize(ds, "n", 0.05, 0.95)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_winsor"].min() == 5
+        assert out["n_winsor"].max() == 95
+        assert (out.loc[10:89, "n_winsor"] == out.loc[10:89, "n"]).all()
