@@ -93,6 +93,7 @@ def compute_dup_winners(
     key: str = "url",
     order_col: str = "warc_ts",
     max_dup_keys: int = 5_000_000,
+    key_fn=None,
 ) -> Optional[dict]:
     """Scan ONLY (key, order) columns of the input (Parquet column pruning
     → a few bytes/row even when rows carry megabyte html blobs) and return
@@ -120,6 +121,17 @@ def compute_dup_winners(
         input_path, columns=[key, order_col],
         override_num_blocks=cluster_cpus() * 2,
     )
+    if key_fn is not None:
+        # key under a canonical form (e.g. functions.urls.canonical_url):
+        # the transform runs on the SLIM 2-column pre-scan only; the main
+        # pass re-derives it just for rows flagged as duplicates
+        def canon_keys(batch: pa.Table) -> pa.Table:
+            vals = [key_fn(v) for v in batch[key].to_pylist()]
+            return batch.set_column(
+                batch.column_names.index(key), key, pa.array(vals, pa.string())
+            )
+
+        slim = slim.map_batches(canon_keys, batch_format="pyarrow")
 
     def partial_agg(batch: pa.Table) -> pa.Table:
         # vectorized C++ combine per block (pyarrow group_by)
@@ -162,13 +174,18 @@ def compute_dup_winners(
     return {r[key]: r["max_order"] for r in rows}
 
 
-def make_winner_filter(winners_ref, key: str = "url", order_col: str = "warc_ts"):
+def make_winner_filter(winners_ref, key: str = "url", order_col: str = "warc_ts",
+                       key_fn=None):
     """Batch filter keeping non-duplicate rows and duplicate winners.
 
     Hot path of the flagship: the ~98%+ of rows whose key is unique are
     cleared by one vectorized ``pc.is_in`` membership test (the winner
     key-set is built once per worker process, not per batch); the Python
-    dict lookup runs only on the rare duplicate hits."""
+    dict lookup runs only on the rare duplicate hits.
+
+    ``key_fn`` (paired with the same arg on ``compute_dup_winners``)
+    compares under a canonical key form — it adds one Python map over the
+    key column per batch, so it is opt-in (``--canonical-urls``)."""
     state: dict = {}  # per-worker-process cache (same pattern as _DETECTOR_CACHE)
 
     def keep_winners(batch: pa.Table) -> pa.Table:
@@ -176,9 +193,14 @@ def make_winner_filter(winners_ref, key: str = "url", order_col: str = "warc_ts"
             winners = ray.get(winners_ref)
             state["winners"] = winners
             state["keys"] = pa.array(list(winners.keys()))
+        key_arr = batch[key]
+        if key_fn is not None:
+            key_arr = pa.array(
+                [key_fn(v) for v in key_arr.to_pylist()], pa.string()
+            )
         # null keys: is_in yields null, which breaks the numpy bool
         # conversion below — a null key is never a duplicate (ADVICE r2)
-        is_dup = pc.fill_null(pc.is_in(batch[key], value_set=state["keys"]), False)
+        is_dup = pc.fill_null(pc.is_in(key_arr, value_set=state["keys"]), False)
         if not pc.any(is_dup).as_py():
             return batch
         import numpy as np
@@ -186,7 +208,7 @@ def make_winner_filter(winners_ref, key: str = "url", order_col: str = "warc_ts"
         winners = state["winners"]
         dup_idx = np.flatnonzero(is_dup.to_numpy(zero_copy_only=False))
         take = pa.array(dup_idx, pa.int64())
-        dup_keys = batch[key].take(take).to_pylist()
+        dup_keys = key_arr.take(take).to_pylist()
         dup_orders = batch[order_col].take(take).to_pylist()
         mask = np.ones(batch.num_rows, dtype=bool)
         losers = [o != winners[k] for k, o in zip(dup_keys, dup_orders)]
@@ -217,6 +239,7 @@ def build_deidentify_pipeline(
     detector_init: Optional[dict] = None,
     dup_winners: Optional[dict] = None,
     boilerplate_hot=None,
+    url_key_fn=None,
 ) -> ray.data.Dataset:
     """Build (lazily) the flagship Dataset. Consume with write_parquet /
     iter_batches; nothing materializes here.
@@ -262,7 +285,7 @@ def build_deidentify_pipeline(
         elif isinstance(input_path, ray.data.Dataset) or dedup == "shuffle":
             shuffle_dedup = True
         else:
-            winners = compute_dup_winners(input_path)
+            winners = compute_dup_winners(input_path, key_fn=url_key_fn)
             if winners is None:
                 shuffle_dedup = True
 
@@ -273,7 +296,8 @@ def build_deidentify_pipeline(
 
     if winners:  # empty map (no duplicate keys) needs no filter stage
         ds = ds.map_batches(
-            make_winner_filter(ray.put(winners)), batch_format="pyarrow"
+            make_winner_filter(ray.put(winners), key_fn=url_key_fn),
+            batch_format="pyarrow",
         )
     ds = ds.map_batches(
         make_extract_batch(emit_blocks=emit_blocks, extractor=extractor),

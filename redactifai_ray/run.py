@@ -66,6 +66,13 @@ def main(argv=None) -> int:
              "card, MAC, IBAN, social handle)",
     )
     ap.add_argument(
+        "--canonical-urls", action="store_true",
+        help="key url-dedup on the canonical URL form "
+             "(functions.urls.canonical_url: lowercase host, strip www./"
+             "default port/fragment/tracking params, sort query) so crawl "
+             "spelling variants of one page dedup together",
+    )
+    ap.add_argument(
         "--boilerplate-min-docs", type=int, default=0, metavar="N",
         help="CCNet-style boilerplate removal: drop lines shared by >= N "
              "extracted documents (0 = off). Runs one extra extract-only "
@@ -137,9 +144,15 @@ def main(argv=None) -> int:
         # cross-partition dups can then survive).
         from .pipelines.deidentify import compute_dup_winners
 
+        url_key_fn = None
+        if args.canonical_urls:
+            from .functions.urls import canonical_url
+
+            url_key_fn = canonical_url
+
         global_winners = None
         if not args.no_dedup:
-            global_winners = compute_dup_winners(files)
+            global_winners = compute_dup_winners(files, key_fn=url_key_fn)
 
         extra_patterns = None
         if args.patterns_file:
@@ -203,6 +216,7 @@ def main(argv=None) -> int:
                 dup_winners=global_winners,
                 extra_patterns=extra_patterns,
                 boilerplate_hot=boilerplate_hot,
+                url_key_fn=url_key_fn,
             )
 
         from .stages.extract import EXTRACT_PROFILES
@@ -215,6 +229,8 @@ def main(argv=None) -> int:
             config_version += f"+{args.detector}"
         if args.boilerplate_min_docs > 0:
             config_version += f"+bp{args.boilerplate_min_docs}"
+        if args.canonical_urls:
+            config_version += "+canon"
 
         summary = run_resumable(
             files,

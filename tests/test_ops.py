@@ -1246,3 +1246,100 @@ class TestWinsorize:
         assert out["n_winsor"].min() == 5
         assert out["n_winsor"].max() == 95
         assert (out.loc[10:89, "n_winsor"] == out.loc[10:89, "n"]).all()
+
+
+class TestCanonicalUrl:
+    def test_rules(self):
+        from redactifai_ray.functions.urls import canonical_url as cu
+
+        assert (
+            cu("HTTP://WWW.Example.com:80/a/?utm_source=x&b=2&a=1#frag")
+            == "http://example.com/a?a=1&b=2"
+        )
+        assert cu("https://example.com:443/") == "https://example.com/"
+        assert cu("https://example.com:8443/x") == "https://example.com:8443/x"
+        assert cu("https://example.com/path/") == "https://example.com/path"
+        assert cu("https://example.com") == "https://example.com/"
+        # tracking-only query → dropped entirely
+        assert (
+            cu("https://example.com/p?gclid=abc&utm_medium=m")
+            == "https://example.com/p"
+        )
+        # blank values survive; unparseable / relative inputs pass through
+        assert cu("https://example.com/p?q=") == "https://example.com/p?q="
+        assert cu("not a url") == "not a url"
+        assert cu(None) is None
+        # www-stripping never empties the host
+        assert cu("http://www./x") == "http://www./x"
+
+    def test_dedup_merges_spelling_variants(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.pipelines.deidentify import (
+            compute_dup_winners,
+            make_winner_filter,
+        )
+        from redactifai_ray.functions.urls import canonical_url
+        import ray
+
+        rows = {
+            "url": [
+                "http://WWW.Example.com/a?utm_source=x",
+                "http://example.com/a",          # same page, newer crawl
+                "http://example.com/b",          # unique
+            ],
+            "warc_ts": [100, 200, 50],
+        }
+        p = tmp_path / "pages.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(rows["url"]),
+                    "warc_ts": pa.array(rows["warc_ts"], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        winners = compute_dup_winners([str(p)], key_fn=canonical_url)
+        assert len(winners) == 1  # one canonical key duplicated
+        ds = ray.data.read_parquet(str(p))
+        out = ds.map_batches(
+            make_winner_filter(ray.put(winners), key_fn=canonical_url),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert sorted(out["url"]) == [
+            "http://example.com/a",
+            "http://example.com/b",
+        ]
+
+
+class TestRegistrableDomain:
+    def test_rules(self):
+        from redactifai_ray.functions.urls import registrable_domain as rd
+
+        assert rd("https://news.sub.example.com/x") == "example.com"
+        assert rd("https://a.b.example.co.uk/") == "example.co.uk"
+        assert rd("http://example.org") == "example.org"
+        assert rd("http://192.168.10.1/x") == "192.168.10.1"
+        assert rd("http://localhost/x") == "localhost"
+        assert rd(None) is None
+
+    def test_domain_stats_over_pages(self, ray_session, tmp_path):
+        import ray.data
+
+        from redactifai_ray.functions.urls import add_domain
+
+        rows = [
+            {"url": f"https://s{i % 3}.shard.site{i % 2}.example.com/p/{i}"}
+            for i in range(20)
+        ]
+        out = (
+            add_domain(ray.data.from_items(rows))
+            .groupby("domain")
+            .count()
+            .to_pandas()
+            .sort_values("domain")
+        )
+        assert out["domain"].tolist() == ["example.com"]
+        assert out["count()"].tolist() == [20]
