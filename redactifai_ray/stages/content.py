@@ -21,10 +21,14 @@ HTML_MARKERS = (b"<html", b"<!doctype", b"<head", b"<body", b"<div", b"<p>", b"<
 
 
 def sniff_content_type(raw: bytes) -> str:
-    """'html' | 'text' | 'binary' | 'empty' — cheap deterministic sniff."""
+    """'html' | 'pdf' | 'text' | 'binary' | 'empty' — cheap deterministic
+    sniff. The PDF magic may follow a short junk preamble (the spec
+    tolerates it within the first 1024 bytes)."""
     if not raw:
         return "empty"
     head = raw[:4096]
+    if b"%PDF-" in head[:1024]:
+        return "pdf"
     lowered = head[:512].lstrip()[:256].lower()
     if any(m in lowered for m in HTML_MARKERS) or b"<" in lowered[:64] and b">" in lowered:
         if any(m in head.lower() for m in HTML_MARKERS):

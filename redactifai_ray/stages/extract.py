@@ -409,6 +409,12 @@ def make_extract_batch(
                           "is_content": True}]
                         if text else []
                     )
+                elif ctype == "pdf":
+                    # PDF/layout branch: same block schema + assembly,
+                    # downstream is format-blind (stages/pdfextract.py)
+                    from .pdfextract import extract_pdf_content
+
+                    text, blocks = extract_pdf_content(raw)
                 elif ctype in ("binary", "empty"):
                     text, blocks = "", []
                 else:

@@ -1,0 +1,300 @@
+"""Minimal real PDF text/layout extraction — stdlib only.
+
+The north-star pipeline extracts "HTML boilerplate strip, PDF/layout
+parse, DOM heuristics"; this module supplies the PDF branch without any
+PDF library (none ships in this environment): a genuine small parser for
+the text-bearing subset of PDF —
+
+- object/content streams, including ``/FlateDecode`` (zlib IS stdlib);
+- ``BT … ET`` text blocks with the text-showing operators ``Tj``,
+  ``TJ`` (kerned arrays; a gap below ``TJ_SPACE_GAP`` thousandths of em
+  inserts a space, the standard word-break heuristic), ``'`` and ``"``;
+- line structure from the positioning operators ``Td``/``TD``/``T*``
+  (each starts a new line);
+- literal strings with the full escape set (octal, specials, line
+  continuations) and hex strings.
+
+Layout heuristic, mirroring the HTML profile: each text LINE becomes a
+block, and lines shorter than ``min_content_chars`` (page numbers,
+running headers/footers) are classified non-content — the PDF analog of
+the DOM walk's text-density gate. Blocks feed the same
+``assemble_text`` as HTML, so downstream (detect→mask, offsets, golden
+contract) is format-blind.
+
+Not handled (documented, fail-soft to empty text, never an exception
+out of the row): encrypted PDFs, CID/Type0 composite fonts (bytes
+decode latin-1 — the WinAnsi-ish approximation), object streams
+(``/ObjStm``), non-Flate filters.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# a TJ kern gap of ≥ this many thousandths of an em reads as a word break
+TJ_SPACE_GAP = 150
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+
+_ESCAPES = {
+    ord("n"): "\n",
+    ord("r"): "\r",
+    ord("t"): "\t",
+    ord("b"): "\b",
+    ord("f"): "\f",
+    ord("("): "(",
+    ord(")"): ")",
+    ord("\\"): "\\",
+}
+
+
+def _decode_streams(raw: bytes) -> list[bytes]:
+    """All stream payloads, Flate-decompressed when the preceding object
+    dict says so; undecodable streams are skipped, not fatal."""
+    out = []
+    for m in _STREAM_RE.finditer(raw):
+        payload = m.group(1)
+        head = raw[max(0, m.start() - 400) : m.start()]
+        if b"/FlateDecode" in head:
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                continue
+        out.append(payload)
+    return out
+
+
+def _parse_literal(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a ``(...)`` literal string starting at the '('; returns
+    (text, index after the closing paren). Handles nesting + escapes."""
+    assert data[i : i + 1] == b"("
+    i += 1
+    depth = 1
+    out: list[str] = []
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                j = i
+                while j < min(i + 3, n) and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(chr(int(data[i:j], 8) & 0xFF))
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(chr(e))
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(")")
+            i += 1
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out), i
+
+
+def _parse_hex(data: bytes, i: int) -> tuple[str, int]:
+    assert data[i : i + 1] == b"<"
+    j = data.find(b">", i + 1)
+    if j < 0:
+        return "", len(data)
+    hx = re.sub(rb"\s", b"", data[i + 1 : j])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), j + 1
+    except ValueError:
+        return "", j + 1
+
+
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _lines_of_stream(data: bytes) -> list[str]:
+    """Text lines from one content stream's BT…ET blocks."""
+    lines: list[str] = []
+    pos = 0
+    n = len(data)
+    while True:
+        bt = data.find(b"BT", pos)
+        if bt < 0:
+            break
+        et = data.find(b"ET", bt + 2)
+        if et < 0:
+            et = n
+        seg = data[bt + 2 : et]
+        cur: list[str] = []
+        pend: list[str] = []  # operands (strings) awaiting an operator
+        i = 0
+        m = len(seg)
+
+        def flush_line():
+            if cur:
+                lines.append("".join(cur))
+                cur.clear()
+
+        while i < m:
+            c = seg[i : i + 1]
+            if c == b"(":
+                s, i = _parse_literal(seg, i)
+                pend.append(s)
+            elif c == b"<" and seg[i : i + 2] != b"<<":
+                s, i = _parse_hex(seg, i)
+                pend.append(s)
+            elif c == b"[":
+                # TJ array: strings interleaved with kern numbers
+                j = i + 1
+                parts: list[str] = []
+                while j < m and seg[j : j + 1] != b"]":
+                    cj = seg[j : j + 1]
+                    if cj == b"(":
+                        s, j = _parse_literal(seg, j)
+                        parts.append(s)
+                    elif cj == b"<":
+                        s, j = _parse_hex(seg, j)
+                        parts.append(s)
+                    else:
+                        num = _NUM_RE.match(seg, j)
+                        if num:
+                            if float(num.group()) <= -TJ_SPACE_GAP:
+                                parts.append(" ")
+                            j = num.end()
+                        else:
+                            j += 1
+                pend.append("".join(parts))
+                i = j + 1
+            else:
+                op = _OP_RE.match(seg, i)
+                if op:
+                    o = op.group()
+                    if o in (b"Td", b"TD", b"T*"):
+                        flush_line()
+                    elif o == b"Tj" or o == b"TJ":
+                        cur.extend(pend)
+                        pend.clear()
+                    elif o in (b"'", b'"'):
+                        flush_line()
+                        cur.extend(pend)
+                        pend.clear()
+                    i = op.end()
+                else:
+                    i += 1
+            if not c:
+                break
+        cur.extend(pend)
+        flush_line()
+        pos = et + 2
+    return lines
+
+
+def pdf_text_blocks(raw: bytes, min_content_chars: int = 25) -> list[dict]:
+    """PDF bytes → block dicts in the extract-stage schema (one block
+    per text line; short lines are non-content — the layout analog of
+    the DOM walk's density gate)."""
+    from .extract import _normalize
+
+    blocks = []
+    for stream in _decode_streams(raw):
+        if b"BT" not in stream:
+            continue
+        for line in _lines_of_stream(stream):
+            text = _normalize(line)
+            if not text:
+                continue
+            blocks.append(
+                {
+                    "text": text,
+                    "tag": "pdfline",
+                    "link_density": 0.0,
+                    "text_density": float(len(text)),
+                    "is_content": len(text) >= min_content_chars,
+                }
+            )
+    return blocks
+
+
+def extract_pdf_content(raw: bytes) -> tuple[str, list[dict]]:
+    """bytes → (extracted_text, blocks); same contract and assembly as
+    ``extract.extract_main_content`` so downstream is format-blind."""
+    from .extract import assemble_text
+
+    return assemble_text(pdf_text_blocks(raw))
+
+
+def build_pdf(
+    paragraphs: list[str],
+    compress: bool = False,
+    header_footer: str | None = None,
+) -> bytes:
+    """Deterministic minimal one-page PDF builder (test/fixture producer
+    — the PDF analog of ``fixtures.write_pages_parquet``'s HTML). Each
+    paragraph renders as one ``BT``…``ET`` block with a ``Td`` line per
+    60-char wrap; ``header_footer`` adds a short running line (which the
+    layout gate should classify non-content)."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    ops: list[str] = []
+    y = 760
+    if header_footer:
+        ops.append(
+            f"BT /F1 9 Tf 40 {y} Td ({esc(header_footer)}) Tj ET"
+        )
+        y -= 24
+    for para in paragraphs:
+        lines = [para[i : i + 60] for i in range(0, len(para), 60)] or [""]
+        body = f"BT /F1 11 Tf 40 {y} Td ({esc(lines[0])}) Tj"
+        for ln in lines[1:]:
+            body += f" 0 -14 Td ({esc(ln)}) Tj"
+        body += " ET"
+        ops.append(body)
+        y -= 14 * len(lines) + 10
+    content = "\n".join(ops).encode("latin-1")
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream"
+        % (len(content), filt, content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref)
+    )
+    return bytes(out)

@@ -148,3 +148,101 @@ class TestFastParser:
         fast = extract_blocks(html, "fast")
         assert all("form draft" not in b["text"] for b in fast)
         assert any("real body" in b["text"] for b in fast)
+
+
+class TestPdfExtract:
+    PARA1 = (
+        "The quick brown fox jumps over the lazy dog near the river "
+        "bank while the afternoon sun warms the meadow grass gently"
+    )
+    PARA2 = (
+        "A second paragraph carries different narrative content with "
+        "plenty of characters to clear the minimum content threshold"
+    )
+
+    def test_uncompressed_roundtrip(self):
+        from redactifai_ray.stages.pdfextract import (
+            build_pdf,
+            extract_pdf_content,
+        )
+
+        raw = build_pdf([self.PARA1, self.PARA2])
+        text, blocks = extract_pdf_content(raw)
+        assert "quick brown fox" in text
+        assert "second paragraph" in text
+        assert all(b["tag"] == "pdfline" for b in blocks)
+        # offsets are constructive into the assembled text
+        for b in blocks:
+            if b["is_content"]:
+                assert text[b["start"] : b["end"]] == b["text"]
+
+    def test_flate_equals_uncompressed(self):
+        from redactifai_ray.stages.pdfextract import (
+            build_pdf,
+            extract_pdf_content,
+        )
+
+        a, _ = extract_pdf_content(build_pdf([self.PARA1], compress=False))
+        b, _ = extract_pdf_content(build_pdf([self.PARA1], compress=True))
+        assert a == b and "quick brown fox" in a
+
+    def test_header_footer_gated_out(self):
+        from redactifai_ray.stages.pdfextract import (
+            build_pdf,
+            extract_pdf_content,
+        )
+
+        raw = build_pdf([self.PARA1], header_footer="Page 7 of 12")
+        text, blocks = extract_pdf_content(raw)
+        assert "Page 7 of 12" not in text
+        assert any(
+            b["text"] == "Page 7 of 12" and not b["is_content"]
+            for b in blocks
+        )
+
+    def test_escapes_hex_and_tj(self):
+        from redactifai_ray.stages.pdfextract import _lines_of_stream
+
+        stream = (
+            rb"BT (with \(parens\) and \134 backslash and \101 octal) Tj ET"
+            rb" BT [(kerned) -200 (words) -20 (close)] TJ ET"
+            b" BT <48656C6C6F> Tj ET"
+        )
+        lines = _lines_of_stream(stream)
+        assert lines[0] == "with (parens) and \\ backslash and A octal"
+        assert lines[1] == "kerned wordsclose"
+        assert lines[2] == "Hello"
+
+    def test_sniff_and_pipeline_route(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.content import sniff_content_type
+        from redactifai_ray.stages.extract import make_extract_batch
+        from redactifai_ray.stages.pdfextract import build_pdf
+
+        raw = build_pdf([self.PARA1, self.PARA2], compress=True)
+        assert sniff_content_type(raw) == "pdf"
+        rows = [
+            {
+                "url": "https://example.com/doc.pdf",
+                "warc_ts": 1,
+                "html": raw,
+                "lang": "en",
+            },
+            {
+                "url": "https://example.com/page.html",
+                "warc_ts": 2,
+                "html": b"<html><body><p>" + self.PARA2.encode() + b"</p></body></html>",
+                "lang": "en",
+            },
+        ]
+        out = (
+            ray.data.from_items(rows)
+            .map_batches(make_extract_batch(), batch_format="pyarrow")
+            .to_pandas()
+            .set_index("url")
+        )
+        assert (out["status"] == "ok").all()
+        assert "quick brown fox" in out.loc["https://example.com/doc.pdf", "extracted_text"]
+        assert out.loc["https://example.com/doc.pdf", "content_type"] == "pdf"
+        assert "second paragraph" in out.loc["https://example.com/page.html", "extracted_text"]
