@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q.q_winsorize,
         "semdedup": q.q_semdedup,
         "incremental_dedup": q.q_incremental_dedup,
+        # anti-join / ordered rolling window
+        "customers_no_orders": q.q_customers_no_orders,
+        "user_rolling_mean": q.q_user_rolling_mean,
     }
 
 
@@ -680,6 +683,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE h NOT IN (SELECT h FROM evens)
             QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            ORDER BY c_custkey
+        """,
+        "user_rolling_mean": """
+            SELECT user_id, event_id,
+                   avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS rolling_mean
+            FROM events
+            ORDER BY user_id, event_id
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
         # embedding_near_dup / extract_pages / deidentify_pages /

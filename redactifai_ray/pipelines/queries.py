@@ -1563,3 +1563,95 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANTI-join: customers with no URGENT-priority order
+    (TPC-H Q22 flavor; the priority filter keeps the result non-empty on
+    the synthetic data, where every customer has SOME order). The filter
+    side is fact-derived — distinct urgent o_custkey — so it is folded
+    first (per-batch filter + distinct partials → one groupby on the
+    already-distinct key set), then applied as a broadcast negative
+    membership test over the slim customer projection. The broadcast is
+    bounded by the CUSTOMER key space (dimension-scale by TPC-H
+    construction); the filter+dedup fold is what keeps the fact table
+    itself off the driver."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT")
+        )
+        return pa.table({"o_custkey": pc.unique(urgent["o_custkey"])})
+
+    with_orders = (
+        orders.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+    )
+    keys = pa.array(
+        [r["o_custkey"] for r in with_orders.select_columns(["o_custkey"]).take_all()]
+    )
+    ref = ray.put(keys)
+    state: dict = {}
+
+    def anti(batch: pa.Table) -> pa.Table:
+        if "keys" not in state:
+            state["keys"] = ray.get(ref)
+        has = pc.fill_null(
+            pc.is_in(batch["c_custkey"], value_set=state["keys"]), False
+        )
+        return batch.filter(pc.invert(has))
+
+    out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_user_rolling_mean(sf_dir: str) -> pd.DataFrame:
+    """Per-user rolling 3-event mean of ``value`` ordered by (ts,
+    event_id) — the ordered-window numeric computation (moving average)
+    over a hash-partitioned groupby: one shuffle of the slim projection,
+    vectorized pandas rolling inside each partition."""
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        if "user_id" not in g.columns:  # schema-less empty partition
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "rolling_mean": pd.Series(dtype="float64"),
+                }
+            )
+        out = []
+        for _, grp in g.groupby("user_id", sort=False):
+            grp = grp.sort_values(["ts", "event_id"], kind="mergesort")
+            v = grp["value"].to_numpy(dtype=np.float64)
+            n = len(v)
+            # explicit frame-order sum (preceding→current, left-assoc) so
+            # the double math is bit-identical to the SQL window AVG —
+            # pandas' rolling kernel uses a sliding-sum update that can
+            # differ in the last bit
+            s1 = np.concatenate([[0.0], v[:-1]])
+            s2 = np.concatenate([[0.0, 0.0], v[:-2]]) if n >= 2 else np.zeros(n)
+            cnt = np.minimum(np.arange(1, n + 1), 3).astype(np.float64)
+            rm = ((s2 + s1) + v) / cnt
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": grp["user_id"].to_numpy(),
+                        "event_id": grp["event_id"].to_numpy(),
+                        "rolling_mean": rm,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        events.groupby("user_id", num_partitions=32)
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
