@@ -1,0 +1,177 @@
+"""Corpus-curation CLI: the training-data counterpart of ``run.py``.
+
+Chains the curation operators into one streaming job over a documents
+table — the cleaning→dedup→carve sequence a 100 TB webtext corpus runs
+between extraction/masking (``run.py``'s output) and training:
+
+    python -m redactifai_ray.curate_cli --input DOCS --output DIR
+        [--normalize] [--gopher] [--dedup exact|paragraph|none]
+        [--decontaminate TEST_PARQUET] [--split 80,10,10]
+        [--mixture source=weight,...] [--shard-tokens N]
+
+Stage order (each optional, all lazy — ONE streaming execution writes
+the documents output; dedup/decontamination add their own slim
+pre-scans, never a full-corpus materialization):
+
+1. normalize   — NFC + lowercase + whitespace collapse (pre-hash canon)
+2. gopher      — composite quality gate (drops keep=false rows)
+3. dedup       — exact (min-id per content hash) or paragraph
+                 (chunk-level first-wins) dedup
+4. decontaminate — drop docs sharing a 13-gram with the test set
+5. mixture     — deterministic per-source downsampling
+6. split       — md5-bucket train/val/test labels; output is
+                 hive-partitioned by split so each carve is one subtree
+7. shard-tokens — token-budget shard manifest (distributed prefix sum)
+                 written alongside as ``shards/``
+
+Prints ONE JSON line: rows in/out, per-split counts, shard count.
+Owns its Ray session only when it creates it (same contract as run.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="redactifai_ray corpus curation")
+    ap.add_argument("--input", required=True,
+                    help="documents parquet file or directory")
+    ap.add_argument("--output", required=True, help="output root")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--normalize", action="store_true",
+                    help="NFC+lower+whitespace-collapse the text column first")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher composite quality gate")
+    ap.add_argument("--dedup", default="none",
+                    choices=["none", "exact", "paragraph"],
+                    help="exact content dedup or paragraph-level first-wins")
+    ap.add_argument("--decontaminate", default=None, metavar="TEST_PARQUET",
+                    help="parquet of eval documents; drop training docs "
+                         "sharing a 13-gram with it")
+    ap.add_argument("--mixture", default=None, metavar="K=W,...",
+                    help="per-source keep weights, e.g. web=0.5,wiki=1.0")
+    ap.add_argument("--split", default=None, metavar="TRAIN,VAL,TEST",
+                    help="percent widths, e.g. 80,10,10 — output partitions "
+                         "by the split label")
+    ap.add_argument("--shard-tokens", type=int, default=0, metavar="N",
+                    help="also write a token-budget shard manifest "
+                         "(~N tokens per shard)")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .cluster import configure_data_context
+
+    configure_data_context()
+    try:
+        import pyarrow.dataset as pads
+        import ray.data
+
+        if os.path.isdir(args.input):
+            files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        else:
+            files = [args.input]
+        if not files:
+            print(f"error: no parquet under {args.input}", file=sys.stderr)
+            return 2
+        rows_in = pads.dataset(files).count_rows()
+        ds = ray.data.read_parquet(files)
+
+        if args.normalize:
+            from .stages.analyze import normalize_text
+
+            ds = normalize_text(ds, text_col=args.text_col)
+        if args.gopher:
+            from .stages.curate import gopher_gate
+
+            ds = gopher_gate(ds, text_col=args.text_col)
+        if args.dedup == "exact":
+            from .stages.dedup import exact_dedup
+
+            ds = exact_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+        elif args.dedup == "paragraph":
+            from .stages.curate import chunk_dedup
+
+            ds = chunk_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+        if args.decontaminate:
+            from .stages.curate import decontaminate
+
+            test = ray.data.read_parquet(args.decontaminate)
+            ds = decontaminate(
+                ds, test, text_col=args.text_col, id_col=args.id_col
+            )
+        if args.mixture:
+            from .stages.curate import mixture_sample
+
+            weights = {}
+            for part in args.mixture.split(","):
+                k, w = part.split("=", 1)
+                weights[k] = float(w)
+            ds = mixture_sample(ds, weights, id_col=args.id_col)
+        partition_cols = None
+        if args.split:
+            from .stages.curate import assign_split
+
+            widths = [int(x) for x in args.split.split(",")]
+            names = ["train", "val", "test"][: len(widths)]
+            ds = assign_split(
+                ds, id_col=args.id_col,
+                splits=list(zip(names, widths)),
+                n_buckets=sum(widths),
+            )
+            partition_cols = ["split"]
+
+        docs_dir = os.path.join(args.output, "docs")
+        ds.write_parquet(docs_dir, partition_cols=partition_cols)
+
+        out_ds = ray.data.read_parquet(docs_dir)
+        rows_out = out_ds.count()
+        split_counts = {}
+        if partition_cols:
+            for r in out_ds.groupby("split").count().take_all():
+                split_counts[r["split"]] = r["count()"]
+
+        n_shards = 0
+        if args.shard_tokens > 0:
+            from .stages.curate import token_shards
+
+            shards = token_shards(
+                ray.data.read_parquet(docs_dir),
+                text_col=args.text_col,
+                id_col=args.id_col,
+                budget=args.shard_tokens,
+            )
+            shards_dir = os.path.join(args.output, "shards")
+            shards.write_parquet(shards_dir)
+            n_shards = int(
+                ray.data.read_parquet(shards_dir, columns=["shard_id"])
+                .groupby("shard_id")
+                .count()
+                .count()
+            )
+
+        print(json.dumps({
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "splits": split_counts,
+            "n_shards": n_shards,
+        }))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -560,6 +560,64 @@ def remove_boilerplate_lines(
     return out
 
 
+
+def _gopher_keep(
+    text: Optional[str],
+    min_words: int,
+    max_words: int,
+    max_dup_word_frac: float,
+    max_top_word_frac: float,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+) -> bool:
+    """One document's Gopher verdict — the single source of the
+    threshold math, shared by the audit op (:func:`gopher_filter`) and
+    the row-filtering gate (:func:`gopher_gate`)."""
+    from collections import Counter
+
+    words = (text or "").lower().split()
+    nw = len(words)
+    if nw == 0:
+        return False
+    dupw = 1.0 - len(set(words)) * 1.0 / nw
+    topw = max(Counter(words).values()) * 1.0 / nw
+    mwl = sum(len(w) for w in words) * 1.0 / nw
+    return (
+        min_words <= nw <= max_words
+        and dupw <= max_dup_word_frac
+        and topw <= max_top_word_frac
+        and min_mean_word_len <= mwl <= max_mean_word_len
+    )
+
+
+def gopher_gate(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    max_dup_word_frac: float = 0.55,
+    max_top_word_frac: float = 0.20,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+) -> ray.data.Dataset:
+    """Row-filtering form of the Gopher gate: keeps surviving FULL rows
+    (the curation-pipeline shape — :func:`gopher_filter` is the audit
+    form that emits signals for every document instead). Same verdict
+    math by construction (shared helper), pure map_batches."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = [
+            _gopher_keep(
+                t, min_words, max_words, max_dup_word_frac,
+                max_top_word_frac, min_mean_word_len, max_mean_word_len,
+            )
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def gopher_filter(
     ds: ray.data.Dataset,
     text_col: str = "text",

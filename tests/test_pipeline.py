@@ -345,3 +345,138 @@ class TestBoilerplateInFlagship:
             ) == 0
         s = _json.loads(buf.getvalue().strip().splitlines()[-1])
         assert s["skipped"] == 0 and s["ran"] > 0
+
+
+class TestCurateCli:
+    def _write_docs(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def body(i):
+            # per-doc-unique throughout: no 13-gram is shared between two
+            # different docs, so decontamination stays surgical
+            return f"doc {i} begins " + " ".join(
+                f"word{i}x{j}" for j in range(30)
+            )
+
+        rows = []
+        for i in range(40):
+            rows.append(
+                {
+                    "doc_id": i,
+                    "text": body(i),
+                    "source": "web" if i % 2 == 0 else "wiki",
+                }
+            )
+        # exact duplicates of doc 0's text (dedup targets)
+        for i in (100, 101):
+            rows.append({"doc_id": i, "text": body(0), "source": "web"})
+        # a gopher-reject: too short
+        rows.append({"doc_id": 200, "text": "tiny doc", "source": "web"})
+        t = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "source": pa.array([r["source"] for r in rows], pa.string()),
+            }
+        )
+        src = tmp_path / "docs.parquet"
+        pq.write_table(t, src)
+        return str(src)
+
+    def test_full_chain(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import duckdb
+
+        from redactifai_ray.curate_cli import main
+
+        src = self._write_docs(tmp_path)
+        out = str(tmp_path / "out")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(
+                [
+                    "--input", src,
+                    "--output", out,
+                    "--gopher",
+                    "--dedup", "exact",
+                    "--split", "80,10,10",
+                    "--shard-tokens", "300",
+                ]
+            )
+        assert rc == 0
+        s = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert s["rows_in"] == 43
+        # gopher drops doc 200; exact dedup drops 100/101 (doc 0 wins)
+        assert s["rows_out"] == 40
+        assert sum(s["splits"].values()) == 40
+        assert s["n_shards"] >= 2
+        con = duckdb.connect()
+        ids = {
+            r[0]
+            for r in con.sql(
+                f"select doc_id from '{out}/docs/split=*/*.parquet'"
+            ).fetchall()
+        }
+        assert 200 not in ids and 100 not in ids and 101 not in ids
+        assert 0 in ids
+        # shard manifest covers every surviving doc exactly once
+        n = con.sql(
+            f"select count(*), count(distinct doc_id) from '{out}/shards/*.parquet'"
+        ).fetchone()
+        assert n == (40, 40)
+
+    def test_mixture_and_decontaminate(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        src = self._write_docs(tmp_path)
+        # eval set shares doc 3's full text → 13-gram contamination
+        import pyarrow.parquet as _pq
+
+        text3 = _pq.read_table(src).to_pydict()
+        t3 = text3["text"][3]
+        test_p = tmp_path / "evalset.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([9000], pa.int64()),
+                    "text": pa.array([t3], pa.string()),
+                }
+            ),
+            test_p,
+        )
+        out = str(tmp_path / "out2")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(
+                [
+                    "--input", src,
+                    "--output", out,
+                    "--decontaminate", str(test_p),
+                    "--mixture", "web=1.0,wiki=0.0",
+                ]
+            )
+        assert rc == 0
+        s = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        import duckdb
+
+        con = duckdb.connect()
+        ids = {
+            r[0]
+            for r in con.sql(
+                f"select doc_id from '{out}/docs/*.parquet'"
+            ).fetchall()
+        }
+        assert 3 not in ids          # decontaminated
+        assert all(i % 2 == 0 or i >= 100 for i in ids if i < 200)  # wiki dropped
+        assert s["rows_out"] == len(ids)
