@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # anti-join / ordered rolling window
         "customers_no_orders": q.q_customers_no_orders,
         "user_rolling_mean": q.q_user_rolling_mean,
+        # model-free semantic dedup over text (hash embeddings → SemDeDup;
+        # rows-only, determinism + keep/drop test-pinned)
+        "text_semdedup": q.q_text_semdedup,
     }
 
 

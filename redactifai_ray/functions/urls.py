@@ -148,3 +148,34 @@ def add_domain(ds, url_col: str = "url", out_col: str = "domain"):
         return batch.append_column(out_col, arr)
 
     return ds.map_batches(dom, batch_format="pyarrow")
+
+
+def filter_blocklist(
+    ds,
+    blocked_domains,
+    url_col: str = "url",
+    invert: bool = False,
+):
+    """Drop rows whose registrable domain is on a blocklist (the
+    robots/spam/adult-list gate every crawl pipeline runs). The list
+    broadcasts once via ``ray.put`` and caches per worker; matching is
+    an exact set lookup on the registrable domain, so a blocked
+    ``example.com`` also blocks ``a.b.example.com``. ``invert=True``
+    turns it into an allowlist filter."""
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put(frozenset(d.lower() for d in blocked_domains))
+    state: dict = {}
+
+    def drop(batch: pa.Table) -> pa.Table:
+        if "blocked" not in state:
+            state["blocked"] = ray.get(ref)
+        blocked = state["blocked"]
+        keep = []
+        for u in batch[url_col].to_pylist():
+            hit = registrable_domain(u) in blocked
+            keep.append(hit if invert else not hit)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(drop, batch_format="pyarrow")

@@ -1655,3 +1655,34 @@ def q_user_rolling_mean(sf_dir: str) -> pd.DataFrame:
         .sort_values(["user_id", "event_id"])
         .reset_index(drop=True)
     )
+
+
+def q_text_semdedup(sf_dir: str) -> pd.DataFrame:
+    """Model-free semantic dedup over a TEXT-only corpus: feature-hashing
+    char-3-gram embeddings (deterministic, no trained state) feed the
+    SemDeDup cluster-then-pairwise scan. Rows-only (trained centroids);
+    keep/drop behavior and embedding determinism are test-pinned."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.analyze import text_hash_embedding
+    from ..stages.similarity import semdedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = text_hash_embedding(docs, dim=128)
+    out = semdedup(emb, threshold=0.95, n_centroids=8, id_col="doc_id")
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_id": batch["cluster_id"],
+                "kept": pc.cast(batch["keep"], pa.int64()),
+            }
+        )
+
+    agg = (
+        out.map_batches(to_int, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Count(alias_name="n"), Sum("kept", alias_name="n_kept"))
+        .to_pandas()
+    )
+    return agg.sort_values("cluster_id").reset_index(drop=True)

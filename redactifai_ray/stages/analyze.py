@@ -608,3 +608,50 @@ def pmi_bigrams(
         )
 
     return bi.map_batches(score, batch_format="pyarrow")
+
+
+def text_hash_embedding(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    ngram: int = 3,
+    out_col: str = "embedding",
+):
+    """Deterministic feature-hashing document embedding: character
+    n-grams hash into a ``dim``-bucket signed count vector
+    (Weinberger et al. 2009's hashing trick), L2-normalized — the
+    model-free bridge from a text-only corpus to every embedding
+    operator here (``semdedup``, ``kmeans_assign``, ``knn_topk``,
+    ``embedding_near_dup_pairs``). Near-duplicate texts land at cosine
+    ≈ 1 because their n-gram multisets almost coincide.
+
+    Pure vectorizable map_batches (numpy scatter-add per doc), no
+    shuffle, no trained state — stable across workers and reruns by
+    construction (stable_hash64, never Python ``hash``)."""
+    import numpy as np
+
+    from ..functions.hashing import stable_hash64
+
+    def embed(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[text_col].to_pylist():
+            s = (t or "").lower()
+            v = np.zeros(dim, dtype=np.float64)
+            if len(s) >= ngram:
+                for i in range(len(s) - ngram + 1):
+                    h = stable_hash64(s[i : i + ngram], 977)
+                    # low bits pick the bucket, one high bit the sign
+                    v[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
+            n = np.linalg.norm(v)
+            if n > 0:
+                v /= n
+            out.append(v.tolist())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                out_col: pa.array(out, pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(embed, batch_format="pyarrow")

@@ -1343,3 +1343,61 @@ class TestRegistrableDomain:
         )
         assert out["domain"].tolist() == ["example.com"]
         assert out["count()"].tolist() == [20]
+
+
+class TestBlocklistFilter:
+    def test_blocks_by_registrable_domain(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.urls import filter_blocklist
+
+        rows = [
+            {"url": "https://spam.example.com/a", "v": 1},
+            {"url": "https://sub.deep.spamsite.net/b", "v": 2},
+            {"url": "https://good.org/c", "v": 3},
+        ]
+        out = filter_blocklist(
+            ray.data.from_items(rows), ["example.com", "spamsite.net"]
+        ).to_pandas()
+        assert out["url"].tolist() == ["https://good.org/c"]
+        allow = filter_blocklist(
+            ray.data.from_items(rows), ["example.com"], invert=True
+        ).to_pandas()
+        assert allow["url"].tolist() == ["https://spam.example.com/a"]
+
+
+class TestHashEmbedding:
+    def test_near_dups_high_cosine_and_feeds_semdedup(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import text_hash_embedding
+        from redactifai_ray.stages.similarity import semdedup
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while birds "
+            "sing above the tall green trees near the river bend"
+        )
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("lazy", "sleepy")},  # near-dup
+            {"doc_id": 2, "text": "completely different content about "
+                                  "database engines and query planners"},
+        ]
+        emb = text_hash_embedding(ray.data.from_items(rows)).to_pandas()
+        vecs = {r["doc_id"]: np.array(r["embedding"]) for _, r in emb.iterrows()}
+        assert np.dot(vecs[0], vecs[1]) > 0.9          # near-dup → high cos
+        assert np.dot(vecs[0], vecs[2]) < 0.5          # unrelated → low
+        assert np.isclose(np.linalg.norm(vecs[0]), 1.0)
+        # determinism across executions
+        emb2 = text_hash_embedding(ray.data.from_items(rows)).to_pandas()
+        v2 = {r["doc_id"]: np.array(r["embedding"]) for _, r in emb2.iterrows()}
+        assert np.array_equal(vecs[1], v2[1])
+        # end-to-end: hash embeddings drive the semantic dedup family
+        ds = text_hash_embedding(ray.data.from_items(rows), id_col="doc_id")
+        out = (
+            semdedup(ds, threshold=0.9, n_centroids=2, id_col="doc_id")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert bool(out.loc[0, "keep"]) and not bool(out.loc[1, "keep"])
+        assert bool(out.loc[2, "keep"])
