@@ -376,6 +376,7 @@ def make_extract_batch(
     """
 
     from .content import sniff_content_type
+    from .pdfextract import extract_pdf_content
 
     profile_version = EXTRACT_PROFILES[extractor]["version"]
 
@@ -412,8 +413,6 @@ def make_extract_batch(
                 elif ctype == "pdf":
                     # PDF/layout branch: same block schema + assembly,
                     # downstream is format-blind (stages/pdfextract.py)
-                    from .pdfextract import extract_pdf_content
-
                     text, blocks = extract_pdf_content(raw)
                 elif ctype in ("binary", "empty"):
                     text, blocks = "", []
