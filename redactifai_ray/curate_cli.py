@@ -49,8 +49,18 @@ def main(argv=None) -> int:
     ap.add_argument("--gopher", action="store_true",
                     help="apply the Gopher composite quality gate")
     ap.add_argument("--dedup", default="none",
-                    choices=["none", "exact", "paragraph"],
-                    help="exact content dedup or paragraph-level first-wins")
+                    choices=["none", "exact", "paragraph", "near"],
+                    help="exact content dedup, paragraph-level first-wins, "
+                         "or MinHash-LSH near-dedup (keep one per cluster)")
+    ap.add_argument("--near-threshold", type=float, default=0.8,
+                    help="Jaccard threshold for --dedup near")
+    ap.add_argument("--dedup-store", default=None, metavar="DIR",
+                    help="incremental mode: dedup this input against the "
+                         "persisted content-hash store at DIR (and within "
+                         "itself), then append this run's surviving hashes "
+                         "under DIR/run=<name of the output dir>. Combine "
+                         "with --dedup none; mutually exclusive with other "
+                         "dedup modes")
     ap.add_argument("--decontaminate", default=None, metavar="TEST_PARQUET",
                     help="parquet of eval documents; drop training docs "
                          "sharing a 13-gram with it")
@@ -96,7 +106,19 @@ def main(argv=None) -> int:
             from .stages.curate import gopher_gate
 
             ds = gopher_gate(ds, text_col=args.text_col)
-        if args.dedup == "exact":
+        if args.dedup_store and args.dedup != "none":
+            print("error: --dedup-store requires --dedup none",
+                  file=sys.stderr)
+            return 2
+        if args.dedup_store:
+            from .stages.dedup import incremental_exact_dedup
+
+            ds = incremental_exact_dedup(
+                ds, args.dedup_store,
+                text_col=args.text_col, id_col=args.id_col,
+                run_id=os.path.basename(os.path.normpath(args.output)),
+            )
+        elif args.dedup == "exact":
             from .stages.dedup import exact_dedup
 
             ds = exact_dedup(ds, text_col=args.text_col, id_col=args.id_col)
@@ -104,6 +126,13 @@ def main(argv=None) -> int:
             from .stages.curate import chunk_dedup
 
             ds = chunk_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+        elif args.dedup == "near":
+            from .stages.dedup import near_dedup
+
+            ds = near_dedup(
+                ds, threshold=args.near_threshold,
+                text_col=args.text_col, id_col=args.id_col,
+            )
         if args.decontaminate:
             from .stages.curate import decontaminate
 
@@ -135,15 +164,21 @@ def main(argv=None) -> int:
         docs_dir = os.path.join(args.output, "docs")
         ds.write_parquet(docs_dir, partition_cols=partition_cols)
 
-        out_ds = ray.data.read_parquet(docs_dir)
-        rows_out = out_ds.count()
+        wrote_any = bool(
+            glob.glob(os.path.join(docs_dir, "**", "*.parquet"),
+                      recursive=True)
+        )
+        rows_out = 0
         split_counts = {}
-        if partition_cols:
-            for r in out_ds.groupby("split").count().take_all():
-                split_counts[r["split"]] = r["count()"]
+        if wrote_any:
+            out_ds = ray.data.read_parquet(docs_dir)
+            rows_out = out_ds.count()
+            if partition_cols:
+                for r in out_ds.groupby("split").count().take_all():
+                    split_counts[r["split"]] = r["count()"]
 
         n_shards = 0
-        if args.shard_tokens > 0:
+        if wrote_any and args.shard_tokens > 0:
             from .stages.curate import token_shards
 
             shards = token_shards(

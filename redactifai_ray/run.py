@@ -66,6 +66,12 @@ def main(argv=None) -> int:
              "card, MAC, IBAN, social handle)",
     )
     ap.add_argument(
+        "--blocklist", default=None, metavar="FILE",
+        help="text file of blocked registrable domains (one per line, "
+             "# comments); pages whose url's registrable domain matches "
+             "are dropped before extraction — subdomains inherit",
+    )
+    ap.add_argument(
         "--canonical-urls", action="store_true",
         help="key url-dedup on the canonical URL form "
              "(functions.urls.canonical_url: lowercase host, strip www./"
@@ -202,9 +208,26 @@ def main(argv=None) -> int:
                 else np.empty(0, dtype=np.uint64)
             )
 
+        blocked = None
+        if args.blocklist:
+            with open(args.blocklist) as f:
+                blocked = [
+                    ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")
+                ]
+
         def build(part_files):
+            pipe_input = part_files
+            if blocked:
+                from .functions.urls import filter_blocklist
+                from .sources.pages import read_pages as _rp
+
+                pipe_input = filter_blocklist(
+                    _rp(part_files, include_text=(args.detect_on == "text")),
+                    blocked,
+                )
             return build_deidentify_pipeline(
-                part_files,
+                pipe_input,
                 masking_level=args.masking_level,
                 confidence_threshold=args.confidence_threshold,
                 mask_style=args.mask_style,
@@ -231,6 +254,12 @@ def main(argv=None) -> int:
             config_version += f"+bp{args.boilerplate_min_docs}"
         if args.canonical_urls:
             config_version += "+canon"
+        if blocked:
+            import hashlib as _hl
+
+            config_version += "+bl" + _hl.md5(
+                "\n".join(sorted(blocked)).encode()
+            ).hexdigest()[:8]
 
         summary = run_resumable(
             files,

@@ -480,3 +480,120 @@ class TestCurateCli:
         assert 3 not in ids          # decontaminated
         assert all(i % 2 == 0 or i >= 100 for i in ids if i < 200)  # wiki dropped
         assert s["rows_out"] == len(ids)
+
+
+class TestCliBlocklistAndDedupModes:
+    def test_run_blocklist_drops_domains(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.run import main
+
+        rows = []
+        for i in range(8):
+            host = "blocked.example.com" if i % 2 == 0 else f"ok{i}.org"
+            rows.append(
+                {
+                    "url": f"https://{host}/p/{i}",
+                    "warc_ts": 1_700_000_000_000_000 + i,
+                    "html": (
+                        f"<html><body><p>page {i} carries plenty of unique "
+                        "narrative words to clear extraction thresholds"
+                        "</p></body></html>"
+                    ).encode(),
+                    "text": None,
+                    "lang": "en",
+                }
+            )
+        t = pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows]),
+                "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        )
+        src = tmp_path / "pages"
+        src.mkdir()
+        pq.write_table(t, src / "a.parquet")
+        bl = tmp_path / "blocked.txt"
+        bl.write_text("# spam\nexample.com\n")
+        out = str(tmp_path / "out")
+        rc = main(["--input", str(src), "--output", out,
+                   "--blocklist", str(bl)])
+        assert rc == 0
+        con = duckdb.connect()
+        urls = [
+            r[0]
+            for r in con.sql(
+                f"select url from '{out}/pages/part=*/*.parquet'"
+            ).fetchall()
+        ]
+        assert len(urls) == 4
+        assert all("example.com" not in u for u in urls)
+
+    def test_curate_near_dedup_and_store(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        base = " ".join(f"tok{i}" for i in range(120))
+        near = base.replace("tok5 ", "tok5x ").replace("tok80 ", "changed ")
+        far = " ".join(f"other{i}" for i in range(120))
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([base, near, far], pa.string()),
+            }
+        )
+        src = tmp_path / "docs.parquet"
+        pq.write_table(t, src)
+        out = str(tmp_path / "near_out")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(["--input", str(src), "--output", out,
+                       "--dedup", "near", "--near-threshold", "0.5"])
+        assert rc == 0
+        s = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert s["rows_out"] == 2  # near-dup of doc 1 dropped
+
+        # incremental store mode across two runs
+        store = str(tmp_path / "store")
+        out1 = str(tmp_path / "inc1")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["--input", str(src), "--output", out1,
+                         "--dedup-store", store]) == 0
+        s1 = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert s1["rows_out"] == 3  # all distinct within run 1
+        # second run re-submits the same corpus → everything is seen
+        out2 = str(tmp_path / "inc2")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["--input", str(src), "--output", out2,
+                         "--dedup-store", store]) == 0
+        s2 = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert s2["rows_out"] == 0
+
+    def test_store_with_dedup_mode_rejected(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        src = tmp_path / "d.parquet"
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["x"], pa.string())}),
+            src,
+        )
+        rc = main(["--input", str(src), "--output", str(tmp_path / "o"),
+                   "--dedup", "exact", "--dedup-store", str(tmp_path / "s")])
+        assert rc == 2
