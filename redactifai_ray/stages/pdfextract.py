@@ -130,9 +130,13 @@ _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
-def _lines_of_stream(data: bytes) -> list[str]:
-    """Text lines from one content stream's BT…ET blocks."""
-    lines: list[str] = []
+def _lines_of_stream(data: bytes) -> list[list[str]]:
+    """Per-``BT``-block line groups from one content stream: the outer
+    list has one entry per BT…ET block, the inner list its text lines.
+    Grouping matters for layout: a BT block is the operator-level
+    paragraph unit, and its internal ``Td`` line breaks are typography
+    (wrapping), not structure."""
+    groups: list[list[str]] = []
     pos = 0
     n = len(data)
     while True:
@@ -143,6 +147,7 @@ def _lines_of_stream(data: bytes) -> list[str]:
         if et < 0:
             et = n
         seg = data[bt + 2 : et]
+        lines: list[str] = []
         cur: list[str] = []
         pend: list[str] = []  # operands (strings) awaiting an operator
         i = 0
@@ -203,28 +208,33 @@ def _lines_of_stream(data: bytes) -> list[str]:
                 break
         cur.extend(pend)
         flush_line()
+        if lines:
+            groups.append(lines)
         pos = et + 2
-    return lines
+    return groups
 
 
 def pdf_text_blocks(raw: bytes, min_content_chars: int = 25) -> list[dict]:
-    """PDF bytes → block dicts in the extract-stage schema (one block
-    per text line; short lines are non-content — the layout analog of
-    the DOM walk's density gate)."""
+    """PDF bytes → block dicts in the extract-stage schema. One block
+    per ``BT`` text block: its internal line breaks are typographic
+    wrapping, so the lines re-join with spaces into one paragraph (the
+    standard line-merge heuristic of PDF text extraction); short
+    paragraphs (page numbers, running headers) classify non-content —
+    the layout analog of the DOM walk's density gate."""
     from .extract import _normalize
 
     blocks = []
     for stream in _decode_streams(raw):
         if b"BT" not in stream:
             continue
-        for line in _lines_of_stream(stream):
-            text = _normalize(line)
+        for group in _lines_of_stream(stream):
+            text = _normalize(" ".join(group))
             if not text:
                 continue
             blocks.append(
                 {
                     "text": text,
-                    "tag": "pdfline",
+                    "tag": "pdfpara",
                     "link_density": 0.0,
                     "text_density": float(len(text)),
                     "is_content": len(text) >= min_content_chars,
@@ -255,6 +265,20 @@ def build_pdf(
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
+    def wrap(s: str, width: int = 60) -> list[str]:
+        # word-boundary wrap, like a text layout engine
+        out, cur = [], ""
+        for w in s.split():
+            cand = f"{cur} {w}".strip()
+            if len(cand) > width and cur:
+                out.append(cur)
+                cur = w
+            else:
+                cur = cand
+        if cur:
+            out.append(cur)
+        return out or [""]
+
     ops: list[str] = []
     y = 760
     if header_footer:
@@ -263,7 +287,7 @@ def build_pdf(
         )
         y -= 24
     for para in paragraphs:
-        lines = [para[i : i + 60] for i in range(0, len(para), 60)] or [""]
+        lines = wrap(para)
         body = f"BT /F1 11 Tf 40 {y} Td ({esc(lines[0])}) Tj"
         for ln in lines[1:]:
             body += f" 0 -14 Td ({esc(ln)}) Tj"

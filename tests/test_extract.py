@@ -168,9 +168,11 @@ class TestPdfExtract:
 
         raw = build_pdf([self.PARA1, self.PARA2])
         text, blocks = extract_pdf_content(raw)
-        assert "quick brown fox" in text
-        assert "second paragraph" in text
-        assert all(b["tag"] == "pdfline" for b in blocks)
+        # byte-exact golden: per-BT paragraph merge reconstructs the
+        # source paragraphs exactly (the byte-identical contract extends
+        # to the PDF branch)
+        assert text == self.PARA1 + "\n\n" + self.PARA2
+        assert all(b["tag"] == "pdfpara" for b in blocks)
         # offsets are constructive into the assembled text
         for b in blocks:
             if b["is_content"]:
@@ -208,10 +210,13 @@ class TestPdfExtract:
             rb" BT [(kerned) -200 (words) -20 (close)] TJ ET"
             b" BT <48656C6C6F> Tj ET"
         )
-        lines = _lines_of_stream(stream)
-        assert lines[0] == "with (parens) and \\ backslash and A octal"
-        assert lines[1] == "kerned wordsclose"
-        assert lines[2] == "Hello"
+        groups = _lines_of_stream(stream)
+        assert groups[0] == ["with (parens) and \\ backslash and A octal"]
+        assert groups[1] == ["kerned wordsclose"]
+        assert groups[2] == ["Hello"]
+        # multi-line BT block groups its Td lines together
+        multi = rb"BT (first line) Tj 0 -14 Td (second line) Tj ET"
+        assert _lines_of_stream(multi) == [["first line", "second line"]]
 
     def test_sniff_and_pipeline_route(self, ray_session):
         import ray.data
