@@ -597,3 +597,64 @@ class TestCliBlocklistAndDedupModes:
         rc = main(["--input", str(src), "--output", str(tmp_path / "o"),
                    "--dedup", "exact", "--dedup-store", str(tmp_path / "s")])
         assert rc == 2
+
+
+class TestCompaction:
+    def test_compacts_small_files(self, ray_session, tmp_path):
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.pipelines.maintenance import compact_parquet
+
+        src = tmp_path / "small"
+        src.mkdir()
+        for i in range(20):
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            list(range(i * 10, i * 10 + 10)), pa.int64()
+                        ),
+                        "text": pa.array([f"row {j}" for j in range(10)]),
+                    }
+                ),
+                src / f"f{i:03d}.parquet",
+            )
+        out = tmp_path / "compact"
+        summary = compact_parquet(str(src), str(out), target_mb=256)
+        assert summary["files_in"] == 20
+        assert summary["rows"] == 200
+        assert summary["files_planned"] == 1
+        out_files = _glob.glob(str(out / "*.parquet"))
+        assert len(out_files) <= 2  # repartition(1) → one block
+        import duckdb
+
+        con = duckdb.connect()
+        n, ids = con.sql(
+            f"select count(*), count(distinct doc_id) from '{out}/*.parquet'"
+        ).fetchone()
+        assert (n, ids) == (200, 200)
+
+    def test_column_pruning_rewrite(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.pipelines.maintenance import compact_parquet
+
+        src = tmp_path / "s"
+        src.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "keep": pa.array([1, 2], pa.int64()),
+                    "drop": pa.array(["a", "b"]),
+                }
+            ),
+            src / "x.parquet",
+        )
+        out = tmp_path / "o"
+        compact_parquet(str(src), str(out), columns=["keep"])
+        t = pq.read_table(sorted(__import__("glob").glob(str(out / "*.parquet")))[0])
+        assert t.column_names == ["keep"]
