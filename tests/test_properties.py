@@ -151,3 +151,73 @@ class TestDetectorProperties:
         assert det.detect(masked.replace("[", " ").replace("]", " ")) == [] or all(
             s["text"] not in masked for s in det.detect(text)
         )
+
+
+class TestUrlProperties:
+    @given(st.text(max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def test_canonical_never_raises_and_idempotent(self, s):
+        from redactifai_ray.functions.urls import canonical_url
+
+        once = canonical_url(s)
+        assert canonical_url(once) == once  # idempotent fixpoint
+
+    @given(
+        st.sampled_from(["http", "https"]),
+        st.from_regex(r"[a-z]{1,10}(\.[a-z]{1,8}){1,3}", fullmatch=True),
+        st.from_regex(r"(/[a-zA-Z0-9._~-]{0,12}){0,4}", fullmatch=True),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_wellformed_urls_keep_scheme_and_registrable_host(
+        self, scheme, host, path
+    ):
+        from redactifai_ray.functions.urls import (
+            canonical_url,
+            registrable_domain,
+        )
+
+        url = f"{scheme}://{host}{path}"
+        c = canonical_url(url)
+        assert c.startswith(f"{scheme}://")
+        # canonicalization never changes the registrable domain
+        assert registrable_domain(c) == registrable_domain(url)
+
+
+class TestPdfProperties:
+    @given(st.binary(max_size=4000))
+    @settings(max_examples=200, deadline=None)
+    def test_extract_fail_soft_on_fuzz(self, raw):
+        """Garbage bytes must never raise out of the PDF extractor —
+        W2's per-row failure isolation depends on it."""
+        from redactifai_ray.stages.pdfextract import extract_pdf_content
+
+        text, blocks = extract_pdf_content(b"%PDF-1.4\n" + raw)
+        assert isinstance(text, str)
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126,
+                ),
+                min_size=30,
+                max_size=120,
+            ).map(lambda s: " ".join(s.replace("\\", " ").split())),
+            min_size=1,
+            max_size=4,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_roundtrip_any_ascii_paragraphs(self, paras, compress):
+        from redactifai_ray.stages.extract import _normalize
+        from redactifai_ray.stages.pdfextract import (
+            build_pdf,
+            extract_pdf_content,
+        )
+
+        paras = [p for p in (_normalize(p) for p in paras) if len(p) >= 25]
+        if not paras:
+            return
+        text, _ = extract_pdf_content(build_pdf(paras, compress=compress))
+        assert text == "\n\n".join(paras)
