@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-free semantic dedup over text (hash embeddings → SemDeDup;
         # rows-only, determinism + keep/drop test-pinned)
         "text_semdedup": q.q_text_semdedup,
+        # grouped exact quantiles / ROLLUP hierarchy
+        "grouped_quantiles": q.q_grouped_quantiles,
+        "rollup_orders": q.q_rollup_orders,
     }
 
 
@@ -703,6 +706,22 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rolling_mean
             FROM events
             ORDER BY user_id, event_id
+        """,
+        "grouped_quantiles": """
+            SELECT o_orderstatus,
+                   quantile_disc(cast(round(o_totalprice*100) AS BIGINT), 0.5)
+                       / 100.0 AS p50,
+                   quantile_disc(cast(round(o_totalprice*100) AS BIGINT), 0.9)
+                       / 100.0 AS p90
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "rollup_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*)::BIGINT AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
         # embedding_near_dup / extract_pages / deidentify_pages /

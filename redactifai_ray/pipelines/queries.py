@@ -1686,3 +1686,85 @@ def q_text_semdedup(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return agg.sort_values("cluster_id").reset_index(drop=True)
+
+
+def q_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact quantiles (p50/p90 of order totalprice per
+    orderstatus) via the per-group value-histogram fold: one slim
+    (status, price-cent) exchange, per-group vectorized cumulative-rank
+    select — quantile_disc semantics. Prices quantize to exact cents so
+    the histogram stays value-bounded and the compare is bit-exact."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch["o_totalprice"], 100))
+        t = pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": pc.cast(cents, pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderstatus", "cents"]).aggregate([("cents", "count")])
+        return g.rename_columns(["o_orderstatus", "cents", "cnt"])
+
+    def qsel(g: pd.DataFrame) -> pd.DataFrame:
+        if "o_orderstatus" not in g.columns:  # schema-less empty partition
+            return pd.DataFrame(
+                {
+                    "o_orderstatus": pd.Series(dtype="object"),
+                    "p50": pd.Series(dtype="float64"),
+                    "p90": pd.Series(dtype="float64"),
+                }
+            )
+        rows = []
+        for status, grp in g.groupby("o_orderstatus", sort=True):
+            grp = (
+                grp.groupby("cents", as_index=False)["cnt"].sum()
+                .sort_values("cents")
+            )
+            n = int(grp["cnt"].sum())
+            cum = grp["cnt"].cumsum()
+            out = {}
+            for label, q in (("p50", 0.5), ("p90", 0.9)):
+                rank = max(0, int(np.ceil(q * n)) - 1)
+                idx = int((cum > rank).idxmax())
+                out[label] = grp.loc[idx, "cents"] / 100.0
+            rows.append({"o_orderstatus": status, **out})
+        return pd.DataFrame(rows)
+
+    out = (
+        orders.map_batches(hist, batch_format="pyarrow")
+        .groupby("o_orderstatus", num_partitions=8)
+        .map_groups(qsel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def q_rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP-style hierarchical aggregation (status, priority) →
+    (status) → grand total, as a union of three partial-agg groupbys —
+    the Ray Data expression of GROUP BY ROLLUP. NULL group keys render
+    as 'ALL' so the schema stays string-typed and hash-comparable."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    lvl2 = (
+        orders.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    lvl1 = (
+        lvl2.groupby("o_orderstatus", as_index=False)["n"].sum()
+        .assign(o_orderpriority="ALL")
+    )
+    lvl0 = pd.DataFrame(
+        {"o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+         "n": [int(lvl2["n"].sum())]}
+    )
+    out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
