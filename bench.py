@@ -220,6 +220,57 @@ def run_bench() -> dict:
         ).count(),
     )
 
+    # PDF/layout branch throughput: deterministic cached PDF corpus
+    # (sf-scaled), routed through the SAME extract stage as html
+    n_pdfs = max(200, int(50_000 * sf))
+    pdf_dir = f"/tmp/rrx_pdfs_n{n_pdfs}_seed{SEED}"
+    if not os.path.exists(os.path.join(pdf_dir, "pdfs.parquet")):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from redactifai_ray.functions.hashing import stable_hash64
+        from redactifai_ray.stages.pdfextract import build_pdf
+
+        WORDS = (
+            "table value part hash merge batch scan filter window group "
+            "stream column vector query order line level result press work"
+        ).split()
+
+        def para(i, j):
+            h = stable_hash64(f"pdf{i}:{j}", SEED)
+            return " ".join(
+                WORDS[(h >> (k * 3)) % len(WORDS)] for k in range(18)
+            )
+
+        os.makedirs(pdf_dir, exist_ok=True)
+        urls, blobs = [], []
+        for i in range(n_pdfs):
+            paras = [para(i, j) for j in range(2 + i % 3)]
+            urls.append(f"https://pdf.example.com/{i}.pdf")
+            blobs.append(build_pdf(paras, compress=(i % 2 == 0)))
+        _pq.write_table(
+            _pa.table(
+                {
+                    "url": _pa.array(urls),
+                    "warc_ts": _pa.array([1] * n_pdfs, _pa.timestamp("us")),
+                    "html": _pa.array(blobs, _pa.binary()),
+                    "lang": _pa.array(["en"] * n_pdfs),
+                }
+            ),
+            os.path.join(pdf_dir, "pdfs.parquet"),
+        )
+
+    def extract_pdf():
+        from redactifai_ray.stages.extract import make_extract_batch
+
+        ray.data.read_parquet(pdf_dir).map_batches(
+            make_extract_batch(), batch_format="pyarrow"
+        ).map_batches(
+            lambda t: t.select(["url", "n_chars"]), batch_format="pyarrow"
+        ).sum("n_chars")
+
+    timed("extract_pdf", extract_pdf)
+
     headline = timings["flagship_deidentify"]
     result = {
         "metric": "flagship deidentify wall time (extract+dedup+detect+mask+write)",
