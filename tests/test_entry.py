@@ -21,6 +21,14 @@ FAST_ORACLED = [
     "orders_per_nation",
     "events_window",
     "knn",
+    # round-3 additions (fast at sf0.001)
+    "para_dedup",
+    "token_shards",
+    "inverted_index",
+    "winsorize",
+    "user_rolling_mean",
+    "rollup_orders",
+    "grouped_quantiles",
 ]
 
 
