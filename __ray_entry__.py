@@ -139,9 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-free semantic dedup over text (hash embeddings → SemDeDup;
         # rows-only, determinism + keep/drop test-pinned)
         "text_semdedup": q.q_text_semdedup,
-        # grouped exact quantiles / ROLLUP hierarchy
+        # grouped exact quantiles / ROLLUP hierarchy / PIVOT
         "grouped_quantiles": q.q_grouped_quantiles,
         "rollup_orders": q.q_rollup_orders,
+        "pivot_events": q.q_pivot_events,
     }
 
 
@@ -722,6 +723,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
         # embedding_near_dup / extract_pages / deidentify_pages /

@@ -1768,3 +1768,37 @@ def q_rollup_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["o_orderstatus", "o_orderpriority"]
     ).reset_index(drop=True)
+
+
+def q_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """PIVOT: one wide row per user with a count column per event type.
+    Shape: per-batch conditional-count partials (one row per user per
+    batch, five int columns) → one groupby-sum — the exchange carries
+    the already-wide partials, never event-scale rows; the column set is
+    the (small, known) category domain, as pivot requires."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch["user_id"]}
+        tbl = pa.table(cols)
+        aggs = []
+        for t in types:
+            flag = pc.cast(
+                pc.equal(batch["event_type"], t), pa.int64()
+            )
+            tbl = tbl.append_column(f"n_{t}", flag)
+        g = tbl.group_by("user_id").aggregate(
+            [(f"n_{t}", "sum") for t in types]
+        )
+        return g.rename_columns(["user_id"] + [f"n_{t}" for t in types])
+
+    out = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
