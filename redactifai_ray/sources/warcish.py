@@ -16,14 +16,13 @@ records — mirrors WARC's "just keep reading records" layout):
     lang_len u16 | lang utf-8 bytes
     html_len u32 | html bytes
 
-Scale shape: ``ray.data.read_binary_files`` assigns one read task per
-archive, and each task parses its archive into record rows in a single
-pass — the ingest parallelism equals the archive count, exactly like
-real WARC processing (CC publishes ~64k archives per crawl, far more
-than cluster cores, so per-file tasks saturate). A mid-file split would
-need a record index sidecar (CC's cdx role); documented, not
-implemented — archives are written bounded (``records_per_file``) so a
-file is one sensible task.
+Scale shape: ``read_warcish`` assigns one read task per archive — the
+ingest parallelism equals the archive count, exactly like real WARC
+processing (CC publishes ~64k archives per crawl, far more than cluster
+cores, so per-file tasks saturate). For the few-huge-archives layout,
+``read_warcish_split`` uses the ``.idx`` record-offset sidecar (CC's
+cdx analog, written alongside every archive) to fan ONE archive out
+into byte-range tasks.
 
 Reference analog: the TIFF-loader source (SURVEY §2.1 S1,
 ``src/services/image_loading_service.py``) — bytes-in, structured
@@ -72,6 +71,7 @@ def write_warcish(
                 f.write(struct.pack("<I", len(html)))
                 f.write(html)
         paths.append(path)
+        write_warcish_index(path)
     return paths
 
 
@@ -126,7 +126,11 @@ def read_warcish(path: str, **kwargs) -> ray.data.Dataset:
     emitting one Arrow block. Feed the result straight into
     ``make_extract_batch`` — the schema matches ``read_pages`` (minus the
     crawl-provided ``text`` column, which the extractor derives anyway)."""
-    raw = ray.data.read_binary_files(path, include_paths=True, **kwargs)
+    raw = ray.data.read_binary_files(
+        path, include_paths=True,
+        file_extensions=["warcish"],  # never ingest .idx sidecars as data
+        **kwargs,
+    )
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = [
@@ -147,3 +151,95 @@ def read_warcish(path: str, **kwargs) -> ray.data.Dataset:
         return pa.concat_tables(tables)
 
     return raw.map_batches(parse, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- index + ranged read
+
+
+def write_warcish_index(archive_path: str) -> str:
+    """Write the ``.idx`` sidecar for one archive: little-endian u64
+    byte offsets, one per record (the cdx analog — what makes a huge
+    archive splittable mid-file). ``write_warcish`` calls this for every
+    archive it writes; run it once over legacy archives to retrofit."""
+    offsets = []
+    with open(archive_path, "rb") as f:
+        blob = f.read()
+    off, n = 0, len(blob)
+    while off < n:
+        if blob[off : off + 2] != _MAGIC:
+            raise ValueError(f"corrupt record at {off} in {archive_path!r}")
+        offsets.append(off)
+        off += 2
+        (url_len,) = struct.unpack_from("<I", blob, off)
+        off += 4 + url_len
+        off += 8  # ts
+        (lang_len,) = struct.unpack_from("<H", blob, off)
+        off += 2 + lang_len
+        (html_len,) = struct.unpack_from("<I", blob, off)
+        off += 4 + html_len
+    idx_path = archive_path + ".idx"
+    with open(idx_path, "wb") as f:
+        f.write(struct.pack(f"<{len(offsets)}Q", *offsets))
+    return idx_path
+
+
+def _read_index(idx_path: str) -> list[int]:
+    raw = open(idx_path, "rb").read()
+    return list(struct.unpack(f"<{len(raw) // 8}Q", raw))
+
+
+def read_warcish_split(
+    path: str,
+    records_per_task: int = 1000,
+) -> ray.data.Dataset:
+    """Mid-archive-splittable warcish reader: each ``.idx``-indexed
+    archive fans out into byte-range tasks of ``records_per_task``
+    records, so ONE huge archive parallelizes across the cluster (the
+    limitation :func:`read_warcish` documents). Archives without a
+    sidecar fall back to one task.
+
+    Shape: the driver builds a tiny (path, start_byte, end_byte) task
+    table from the sidecars alone (8 B/record read, no archive bytes);
+    ``from_items`` of that table drives the parallel parse — each task
+    reads ONLY its byte slice. Requires worker-visible storage paths
+    (shared fs / object store), like every distributed file read."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        archives = sorted(_glob.glob(_os.path.join(path, "*.warcish")))
+    else:
+        archives = [path]
+    tasks = []
+    for a in archives:
+        size = _os.path.getsize(a)
+        idx = a + ".idx"
+        if _os.path.exists(idx):
+            offs = _read_index(idx)
+            for s in range(0, len(offs), records_per_task):
+                start = offs[s]
+                end = (
+                    offs[s + records_per_task]
+                    if s + records_per_task < len(offs)
+                    else size
+                )
+                tasks.append({"path": a, "start": start, "end": end})
+        else:
+            tasks.append({"path": a, "start": 0, "end": size})
+
+    def parse_slice(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p, s, e in zip(
+            batch["path"].to_pylist(),
+            batch["start"].to_pylist(),
+            batch["end"].to_pylist(),
+        ):
+            with open(p, "rb") as f:
+                f.seek(s)
+                blob = f.read(e - s)
+            tables.append(parse_warcish(blob, f"{p}[{s}:{e}]"))
+        return pa.concat_tables(tables) if tables else parse_warcish(b"")
+
+    return ray.data.from_items(tasks).map_batches(
+        parse_slice, batch_format="pyarrow", batch_size=1
+    )

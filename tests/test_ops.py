@@ -1401,3 +1401,57 @@ class TestHashEmbedding:
         )
         assert bool(out.loc[0, "keep"]) and not bool(out.loc[1, "keep"])
         assert bool(out.loc[2, "keep"])
+
+
+class TestWarcishSplitRead:
+    def test_split_equals_whole_and_parallelizes(self, ray_session, tmp_path):
+        from redactifai_ray.sources.warcish import (
+            read_warcish,
+            read_warcish_split,
+            write_warcish,
+        )
+
+        rows = [
+            {
+                "url": f"https://ex.com/{i}",
+                "warc_ts": 1_700_000_000_000_000 + i,
+                "lang": "en",
+                "html": f"<html><body><p>record {i} with some body text "
+                        f"payload</p></body></html>",
+            }
+            for i in range(50)
+        ]
+        # ONE big archive
+        write_warcish(str(tmp_path), rows, records_per_file=50)
+        whole = (
+            read_warcish(str(tmp_path))
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        split = (
+            read_warcish_split(str(tmp_path), records_per_task=7)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(whole, split)
+        assert len(split) == 50
+
+    def test_missing_index_falls_back(self, ray_session, tmp_path):
+        import os
+
+        from redactifai_ray.sources.warcish import (
+            read_warcish_split,
+            write_warcish,
+        )
+
+        write_warcish(str(tmp_path), [
+            {"url": "https://a/1", "warc_ts": 1, "lang": "en",
+             "html": "<p>x</p>"}
+        ], records_per_file=10)
+        for f in os.listdir(tmp_path):
+            if f.endswith(".idx"):
+                os.unlink(tmp_path / f)
+        out = read_warcish_split(str(tmp_path)).to_pandas()
+        assert len(out) == 1
