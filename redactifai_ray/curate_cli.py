@@ -54,6 +54,11 @@ def main(argv=None) -> int:
                          "or MinHash-LSH near-dedup (keep one per cluster)")
     ap.add_argument("--near-threshold", type=float, default=0.8,
                     help="Jaccard threshold for --dedup near")
+    ap.add_argument("--dedup-store-mode", default="exact",
+                    choices=["exact", "near"],
+                    help="incremental store flavor: exact content hashes, "
+                         "or MinHash near-dup (band+signature store, "
+                         "--near-threshold applies)")
     ap.add_argument("--dedup-store", default=None, metavar="DIR",
                     help="incremental mode: dedup this input against the "
                          "persisted content-hash store at DIR (and within "
@@ -111,13 +116,23 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
         if args.dedup_store:
-            from .stages.dedup import incremental_exact_dedup
+            run_name = os.path.basename(os.path.normpath(args.output))
+            if args.dedup_store_mode == "near":
+                from .stages.dedup import incremental_minhash_dedup
 
-            ds = incremental_exact_dedup(
-                ds, args.dedup_store,
-                text_col=args.text_col, id_col=args.id_col,
-                run_id=os.path.basename(os.path.normpath(args.output)),
-            )
+                ds = incremental_minhash_dedup(
+                    ds, args.dedup_store,
+                    text_col=args.text_col, id_col=args.id_col,
+                    run_id=run_name, threshold=args.near_threshold,
+                )
+            else:
+                from .stages.dedup import incremental_exact_dedup
+
+                ds = incremental_exact_dedup(
+                    ds, args.dedup_store,
+                    text_col=args.text_col, id_col=args.id_col,
+                    run_id=run_name,
+                )
         elif args.dedup == "exact":
             from .stages.dedup import exact_dedup
 

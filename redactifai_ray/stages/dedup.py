@@ -1566,3 +1566,193 @@ def incremental_exact_dedup(
     )
     survivors.write_parquet(out_dir)
     return deduped
+
+
+def incremental_minhash_dedup(
+    new_ds: ray.data.Dataset,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    run_id: str = "run-0",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 1,
+    max_bucket: int = 200,
+    max_pairs: int = 5_000_000,
+) -> ray.data.Dataset:
+    """NEAR-duplicate dedup of a new crawl increment against everything
+    previous increments kept — the continuous-crawl counterpart of
+    :func:`incremental_exact_dedup` for the MinHash family. Prior text
+    is never re-read: the store persists each increment's survivors as
+    slim LSH band rows (~20 B × bands per doc, what candidate generation
+    needs) plus signatures (num_perm × 8 B per doc, what verification
+    needs).
+
+    Store layout: ``store_dir/bands/run=<id>/`` (id, band_id, band_hash)
+    and ``store_dir/sigs/run=<id>/`` (id, sig). Doc ids must be unique
+    across increments (crawl-global ids — same contract as the exact
+    store).
+
+    Winner rule: a new doc verified similar (est Jaccard ≥ threshold) to
+    ANY store doc drops; clusters of only-new docs keep their minimum
+    id (union-find over the verified pair set). Candidate + verification
+    work is bounded by ``max_pairs`` — the LSH contract; above it the
+    caller should split the increment (explicit error, like the exact
+    path)."""
+    import glob as _glob
+    import os as _os
+
+    P = default_partitions()
+    sig_kwargs = dict(
+        text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k, seed=seed,
+    )
+
+    new_bands = new_ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(**sig_kwargs, emit="bands"),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+        num_cpus=1,
+    )
+
+    band_files = sorted(
+        _glob.glob(_os.path.join(store_dir, "bands", "run=*", "*.parquet"))
+    )
+    all_bands = new_bands
+    if band_files:
+        # store rows were written with the same id_col name
+        all_bands = new_bands.union(
+            ray.data.read_parquet(
+                band_files, columns=[id_col, "band_id", "band_hash"]
+            )
+        )
+
+    slim = all_bands.map_batches(
+        _add_partition_key(
+            lambda t: t.column("band_hash").to_numpy(zero_copy_only=False) % P
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = _dedupe_pairs(
+        _collision_pairs(slim, ["band_id", "band_hash"], id_col, max_bucket)
+    )
+    pair_rows = pairs.take(max_pairs + 1)
+    if len(pair_rows) > max_pairs:
+        raise ValueError(
+            f"incremental minhash dedup found >{max_pairs} candidate "
+            "pairs; split the increment (candidate pairs must stay "
+            "pair-scale — the LSH contract)"
+        )
+
+    new_id_rows = new_ds.select_columns([id_col]).take_all()
+    new_ids = {int(r[id_col]) for r in new_id_rows}
+    # only pairs touching a NEW doc matter (store-store pairs were
+    # already resolved when those increments landed)
+    cand = [
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in pair_rows
+        if int(r["id_a"]) in new_ids or int(r["id_b"]) in new_ids
+    ]
+    losers: set = set()
+    if cand:
+        wanted = {a for a, _ in cand} | {b for _, b in cand}
+        want_new = wanted & new_ids
+        want_old = wanted - new_ids
+        sigs: dict[int, np.ndarray] = {}
+        if want_new:
+            ref = ray.put(want_new)
+
+            def new_sigs(batch: pa.Table) -> pa.Table:
+                keep = ray.get(ref)
+                mask = [int(i) in keep for i in batch[id_col].to_pylist()]
+                return batch.filter(pa.array(mask, pa.bool_()))
+
+            sig_tbl = (
+                new_ds.map_batches(new_sigs, batch_format="pyarrow")
+                .map_batches(
+                    MinHashSignatures,
+                    fn_constructor_kwargs=dict(**sig_kwargs, emit="sig"),
+                    batch_format="pyarrow",
+                    concurrency=default_pool(),
+                    num_cpus=1,
+                )
+                .take_all()
+            )
+            for r in sig_tbl:
+                sigs[int(r[id_col])] = np.frombuffer(r["sig"], dtype=np.uint64)
+        if want_old:
+            sig_files = sorted(
+                _glob.glob(
+                    _os.path.join(store_dir, "sigs", "run=*", "*.parquet")
+                )
+            )
+            oref = ray.put(want_old)
+
+            def old_sigs(batch: pa.Table) -> pa.Table:
+                keep = ray.get(oref)
+                mask = [int(i) in keep for i in batch[id_col].to_pylist()]
+                return batch.filter(pa.array(mask, pa.bool_()))
+
+            for r in (
+                ray.data.read_parquet(sig_files)
+                .map_batches(old_sigs, batch_format="pyarrow")
+                .take_all()
+            ):
+                sigs[int(r[id_col])] = np.frombuffer(r["sig"], dtype=np.uint64)
+
+        verified = []
+        for a, b in cand:
+            sa, sb = sigs.get(a), sigs.get(b)
+            if sa is None or sb is None:
+                continue
+            if float(np.mean(sa == sb)) >= threshold:
+                verified.append((a, b))
+        roots = cluster_pairs(verified)
+        # resolve clusters: store member present → every new member
+        # drops; all-new cluster → keep min id. cluster_pairs only maps
+        # nodes it re-parented — the root itself may be absent, so add
+        # every endpoint explicitly.
+        by_root: dict[int, set] = {}
+        for a, b in verified:
+            for node in (a, b):
+                by_root.setdefault(roots.get(node, node), set()).add(node)
+        for members in by_root.values():
+            olds = [m for m in members if m not in new_ids]
+            news = sorted(m for m in members if m in new_ids)
+            if olds:
+                losers.update(news)
+            else:
+                losers.update(news[1:])
+
+    losers_ref = ray.put(losers)
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        drop = ray.get(losers_ref)
+        if not drop:
+            return batch
+        mask = [int(i) not in drop for i in batch[id_col].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    deduped = new_ds.map_batches(drop_losers, batch_format="pyarrow")
+
+    # persist survivors' band rows + signatures for the next increment
+    surv_bands = deduped.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(**sig_kwargs, emit="bands"),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+        num_cpus=1,
+    )
+    surv_bands.write_parquet(_os.path.join(store_dir, "bands", f"run={run_id}"))
+    surv_sigs = deduped.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(**sig_kwargs, emit="sig"),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+        num_cpus=1,
+    )
+    surv_sigs.write_parquet(_os.path.join(store_dir, "sigs", f"run={run_id}"))
+    return deduped

@@ -1455,3 +1455,67 @@ class TestWarcishSplitRead:
                 os.unlink(tmp_path / f)
         out = read_warcish_split(str(tmp_path)).to_pandas()
         assert len(out) == 1
+
+
+class TestIncrementalMinhashDedup:
+    def _mk(self, i, text):
+        return {"doc_id": i, "text": text}
+
+    def test_three_increments(self, ray_session, tmp_path):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import incremental_minhash_dedup
+
+        store = str(tmp_path / "mh_store")
+        base = " ".join(f"tok{i}" for i in range(120))
+        near = base.replace("tok5 ", "tok5x ").replace("tok80 ", "changed ")
+        near2 = base.replace("tok7 ", "tok7y ")
+        far = " ".join(f"other{i}" for i in range(120))
+
+        # increment 1: base + an in-shard near-dup + an unrelated doc
+        out1 = (
+            incremental_minhash_dedup(
+                ray.data.from_items(
+                    [self._mk(1, base), self._mk(2, near), self._mk(3, far)]
+                ),
+                store, run_id="r1", threshold=0.5,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out1["doc_id"].tolist() == [1, 3]  # in-shard near-dup drops
+
+        # increment 2: near-dup of the STORED doc 1 + a fresh doc
+        fresh = " ".join(f"fresh{i}" for i in range(120))
+        out2 = (
+            incremental_minhash_dedup(
+                ray.data.from_items(
+                    [self._mk(10, near2), self._mk(11, fresh)]
+                ),
+                store, run_id="r2", threshold=0.5,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out2["doc_id"].tolist() == [11]  # store wins vs doc 10
+
+        # increment 3: near-dup of increment 2's survivor
+        fresh_near = fresh.replace("fresh3 ", "freshX ")
+        out3 = incremental_minhash_dedup(
+            ray.data.from_items([self._mk(20, fresh_near)]),
+            store, run_id="r3", threshold=0.5,
+        )
+        assert out3.count() == 0  # near-dup of run-2's survivor drops
+
+    def test_pair_cap_raises(self, ray_session, tmp_path):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import incremental_minhash_dedup
+
+        same = " ".join(f"w{i}" for i in range(100))
+        rows = [self._mk(i, same) for i in range(6)]
+        with pytest.raises(ValueError, match="split the increment"):
+            incremental_minhash_dedup(
+                ray.data.from_items(rows), str(tmp_path / "s"),
+                max_pairs=3,
+            )
