@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": q.q_grouped_quantiles,
         "rollup_orders": q.q_rollup_orders,
         "pivot_events": q.q_pivot_events,
+        # cross-run incremental NEAR dedup (rows-only: MinHash store;
+        # three-increment chain test-pinned)
+        "incremental_near_dedup": q.q_incremental_near_dedup,
     }
 
 

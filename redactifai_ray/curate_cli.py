@@ -5,7 +5,8 @@ table — the cleaning→dedup→carve sequence a 100 TB webtext corpus runs
 between extraction/masking (``run.py``'s output) and training:
 
     python -m redactifai_ray.curate_cli --input DOCS --output DIR
-        [--normalize] [--gopher] [--dedup exact|paragraph|none]
+        [--normalize] [--gopher] [--dedup exact|paragraph|near|none]
+        [--dedup-store DIR --dedup-store-mode exact|near]
         [--decontaminate TEST_PARQUET] [--split 80,10,10]
         [--mixture source=weight,...] [--shard-tokens N]
 
@@ -15,8 +16,10 @@ pre-scans, never a full-corpus materialization):
 
 1. normalize   — NFC + lowercase + whitespace collapse (pre-hash canon)
 2. gopher      — composite quality gate (drops keep=false rows)
-3. dedup       — exact (min-id per content hash) or paragraph
-                 (chunk-level first-wins) dedup
+3. dedup       — exact (min-id per content hash), paragraph
+                 (chunk-level first-wins), MinHash near-dedup, or the
+                 incremental cross-run store (exact hash store or
+                 band+signature near store)
 4. decontaminate — drop docs sharing a 13-gram with the test set
 5. mixture     — deterministic per-source downsampling
 6. split       — md5-bucket train/val/test labels; output is

@@ -1802,3 +1802,43 @@ def q_pivot_events(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_incremental_near_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-run incremental NEAR-dedup (rows-only: MinHash/LSH is not
+    SQL-expressible): the corpus arrives as two increments (doc_id
+    parity); increment 2 near-dedups against increment 1's persisted
+    band+signature store plus itself. Returns increment 2's surviving
+    ids; the three-increment chain semantics are test-pinned."""
+    import shutil
+    import tempfile
+
+    from ..stages.dedup import incremental_minhash_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(p: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), p)
+            )
+
+        return f
+
+    shard1 = docs.map_batches(parity(0), batch_format="pyarrow")
+    shard2 = docs.map_batches(parity(1), batch_format="pyarrow")
+    store = tempfile.mkdtemp(prefix="rrx_mh_store_")
+    try:
+        incremental_minhash_dedup(
+            shard1, store, run_id="r1", threshold=0.8
+        ).count()
+        out_ds = incremental_minhash_dedup(
+            shard2, store, run_id="r2", threshold=0.8
+        )
+        ids = sorted(
+            int(r["doc_id"])
+            for r in out_ds.select_columns(["doc_id"]).take_all()
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
