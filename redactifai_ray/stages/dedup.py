@@ -279,6 +279,30 @@ class MinHashSignatures:
         )
 
 
+
+_MINHASH_CACHE: dict = {}
+
+
+def make_minhash_batch(**kwargs):
+    """Task-mode MinHashSignatures: a plain batch fn with a per-worker-
+    process instance cache (keyed by the config tuple). The stage state
+    is two seeded numpy coefficient arrays — microseconds to build — so
+    elastic tasks beat a fixed actor pool: no pool spin-up per
+    invocation, and the stage FUSES with the upstream read (an actor
+    stage cannot), keeping document text out of the object store. Same
+    doctrine as the detector's per-worker task cache (ST1-3)."""
+    key = tuple(sorted(kwargs.items()))
+
+    def minhash_batch(batch: pa.Table) -> pa.Table:
+        inst = _MINHASH_CACHE.get(key)
+        if inst is None:
+            inst = MinHashSignatures(**kwargs)
+            _MINHASH_CACHE[key] = inst
+        return inst(batch)
+
+    return minhash_batch
+
+
 def _add_partition_key(bucket_expr):
     """map_batches fn factory: append ``pkey`` = f(batch) % P so rows of
     the same LSH bucket land in the same groupby partition. Grouping on
@@ -430,11 +454,8 @@ def minhash_lsh_pairs(
         bands=bands, shingle_k=shingle_k, seed=seed,
     )
     slim = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(**sig_kwargs, emit="bands"),
+        make_minhash_batch(**sig_kwargs, emit="bands"),
         batch_format="pyarrow",
-        concurrency=default_pool(),
-        num_cpus=1,
     )
     P = default_partitions()
     slim = slim.map_batches(
@@ -479,11 +500,8 @@ def minhash_lsh_pairs(
         sig_rows = (
             ds.map_batches(filt, batch_format="pyarrow")
             .map_batches(
-                MinHashSignatures,
-                fn_constructor_kwargs=dict(**sig_kwargs, emit="sig"),
+                make_minhash_batch(**sig_kwargs, emit="sig"),
                 batch_format="pyarrow",
-                concurrency=default_pool(),
-                num_cpus=1,
             )
             .take_all()
         )
@@ -722,11 +740,8 @@ def _estimate_pairs_distributed(
     lazily over the corpus (num_perm×8 B/doc, streamed, never pinned)
     and fold through the generic join-free pair semi-join."""
     sig_all = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(**sig_kwargs, emit="sig"),
+        make_minhash_batch(**sig_kwargs, emit="sig"),
         batch_format="pyarrow",
-        concurrency=default_pool(),
-        num_cpus=1,
     )
 
     def to_payload(t: pa.Table) -> pa.Table:
@@ -1611,11 +1626,8 @@ def incremental_minhash_dedup(
     )
 
     new_bands = new_ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(**sig_kwargs, emit="bands"),
+        make_minhash_batch(**sig_kwargs, emit="bands"),
         batch_format="pyarrow",
-        concurrency=default_pool(),
-        num_cpus=1,
     )
 
     band_files = sorted(
@@ -1673,11 +1685,8 @@ def incremental_minhash_dedup(
             sig_tbl = (
                 new_ds.map_batches(new_sigs, batch_format="pyarrow")
                 .map_batches(
-                    MinHashSignatures,
-                    fn_constructor_kwargs=dict(**sig_kwargs, emit="sig"),
+                    make_minhash_batch(**sig_kwargs, emit="sig"),
                     batch_format="pyarrow",
-                    concurrency=default_pool(),
-                    num_cpus=1,
                 )
                 .take_all()
             )
@@ -1740,19 +1749,13 @@ def incremental_minhash_dedup(
 
     # persist survivors' band rows + signatures for the next increment
     surv_bands = deduped.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(**sig_kwargs, emit="bands"),
+        make_minhash_batch(**sig_kwargs, emit="bands"),
         batch_format="pyarrow",
-        concurrency=default_pool(),
-        num_cpus=1,
     )
     surv_bands.write_parquet(_os.path.join(store_dir, "bands", f"run={run_id}"))
     surv_sigs = deduped.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(**sig_kwargs, emit="sig"),
+        make_minhash_batch(**sig_kwargs, emit="sig"),
         batch_format="pyarrow",
-        concurrency=default_pool(),
-        num_cpus=1,
     )
     surv_sigs.write_parquet(_os.path.join(store_dir, "sigs", f"run={run_id}"))
     return deduped
