@@ -111,15 +111,35 @@ class TextStats:
         return out
 
 
-def add_text_stats(ds, text_col: str = "text", concurrency=(1, 8)):
+
+_STAGE_CACHE: dict = {}
+
+
+def _make_cached_batch(cls, **kwargs):
+    """Task-mode stage fn with a per-worker-process instance cache —
+    for stages whose state is compiled regexes / small tables
+    (microseconds to build): elastic tasks fuse with the upstream read
+    and skip actor-pool spin-up (same doctrine as the detector and
+    MinHash caches)."""
+    key = (cls.__name__, tuple(sorted(kwargs.items())))
+
+    def cached_batch(batch: pa.Table) -> pa.Table:
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = cls(**kwargs)
+            _STAGE_CACHE[key] = inst
+        return inst(batch)
+
+    return cached_batch
+
+
+def add_text_stats(ds, text_col: str = "text"):
     """documents → + n_tokens/n_bpe_tokens/n_punct/n_upper/n_stopwords/
-    n_words/quality_score columns (actor pool; regexes compile per actor)."""
+    n_words/quality_score columns (per-worker cached tasks; regexes
+    compile once per worker process and the stage fuses with the read)."""
     return ds.map_batches(
-        TextStats,
-        fn_constructor_kwargs={"text_col": text_col},
+        _make_cached_batch(TextStats, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
 
 
@@ -173,13 +193,10 @@ class LangId:
         return batch.append_column(self.out_col, pa.array(preds, pa.string()))
 
 
-def add_lang_pred(ds, text_col: str = "text", concurrency=(1, 8)):
+def add_lang_pred(ds, text_col: str = "text"):
     return ds.map_batches(
-        LangId,
-        fn_constructor_kwargs={"text_col": text_col},
+        _make_cached_batch(LangId, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
 
 
@@ -199,13 +216,10 @@ class Fingerprint:
         return batch.append_column(self.out_col, pa.array(fps, pa.string()))
 
 
-def add_fingerprint(ds, text_col: str = "text", k: int = 5, concurrency=(1, 8)):
+def add_fingerprint(ds, text_col: str = "text", k: int = 5):
     return ds.map_batches(
-        Fingerprint,
-        fn_constructor_kwargs={"text_col": text_col, "k": k},
+        _make_cached_batch(Fingerprint, text_col=text_col, k=k),
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
 
 
