@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..cluster import default_partitions, default_pool
+from ..cluster import default_partitions
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -80,15 +80,21 @@ def knn_topk(
     rank), rank 1-based, deterministic tie-break by vec_id."""
     queries_ref = ray.put({"ids": list(query_ids), "vectors": list(query_vectors)})
 
-    partials = emb.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=queries_ref, k=k, id_col=id_col, vec_col=vec_col
-        ),
-        batch_format="pyarrow",
-        concurrency=default_pool(),
-        num_cpus=1,
-    )
+    # per-worker cached task, not an actor pool: the stage state is one
+    # ray.get of the broadcast queries (zero-copy local) — tasks skip
+    # pool spin-up and fuse with the upstream read (MinHash doctrine)
+    _cache: dict = {}
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        inst = _cache.get("inst")
+        if inst is None:
+            inst = BruteForceTopK(
+                queries_ref=queries_ref, k=k, id_col=id_col, vec_col=vec_col
+            )
+            _cache["inst"] = inst
+        return inst(batch)
+
+    partials = emb.map_batches(topk_batch, batch_format="pyarrow")
 
     def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
