@@ -1615,7 +1615,10 @@ def incremental_minhash_dedup(
     id (union-find over the verified pair set). Candidate + verification
     work is bounded by ``max_pairs`` — the LSH contract; above it the
     caller should split the increment (explicit error, like the exact
-    path)."""
+    path). Driver memory is increment-bounded, never corpus-bounded:
+    the id set of the NEW increment is gathered once to classify pair
+    sides (increments are sized by the caller — the same contract that
+    bounds the loser broadcast in the exact store)."""
     import glob as _glob
     import os as _os
 
