@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-run incremental NEAR dedup (rows-only: MinHash store;
         # three-increment chain test-pinned)
         "incremental_near_dedup": q.q_incremental_near_dedup,
+        # crawl snapshot diff (added/removed/changed/unchanged)
+        "snapshot_diff": q.q_snapshot_diff,
     }
 
 
@@ -735,6 +737,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
                    sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS n_view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "snapshot_diff": """
+            WITH hi AS (SELECT max(doc_id) + 1 AS m FROM documents),
+            a AS (
+                SELECT doc_id, md5(text) AS h FROM documents, hi
+                WHERE doc_id < (m * 3) // 5
+            ),
+            b AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                                ELSE text END) AS h
+                FROM documents, hi
+                WHERE doc_id >= (m * 2) // 5
+            )
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.h = b.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            ORDER BY doc_id
         """,
         # lang_pred_counts / fingerprints / minhash_pairs / simhash_pairs /
         # embedding_near_dup / extract_pages / deidentify_pages /

@@ -55,3 +55,84 @@ def compact_parquet(
         "bytes_uncompressed": total_bytes,
         "files_planned": n_out,
     }
+
+
+def snapshot_diff(
+    old_ds: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Diff two crawl snapshots: per key, ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, different content hash)
+    or ``unchanged`` — the crawl-maintenance report that drives
+    incremental recrawl/reprocess decisions.
+
+    Scale shape: both sides project to slim (id, md5, flag) rows — text
+    never leaves its read task — and ONE hash-partitioned groupby on the
+    key co-locates each key's two sides; the per-partition resolve is a
+    vectorized sorted run scan. Output is key-scale (one row per
+    distinct key across both snapshots)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    def slim(flag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            md5s = [
+                hashlib.md5(
+                    (t or "").encode("utf-8", "surrogatepass")
+                ).hexdigest()
+                for t in batch[text_col].to_pylist()
+            ]
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "md5": pa.array(md5s, pa.string()),
+                    "flag": pa.array([flag] * len(md5s), pa.int8()),
+                }
+            )
+
+        return f
+
+    both = old_ds.map_batches(slim(0), batch_format="pyarrow").union(
+        new_ds.map_batches(slim(1), batch_format="pyarrow")
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in g.columns:  # schema-less empty partition
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "status": pd.Series(dtype="object"),
+                }
+            )
+        g = g.sort_values([id_col, "flag"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        flags = g["flag"].to_numpy()
+        md5s = g["md5"].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(
+            np.concatenate([[True], ids[1:] != ids[:-1]])
+        )
+        counts = np.diff(np.append(starts, n))
+        out_ids, out_status = [], []
+        for s, c in zip(starts, counts):
+            out_ids.append(ids[s])
+            if c == 1:
+                out_status.append("added" if flags[s] == 1 else "removed")
+            else:
+                out_status.append(
+                    "unchanged" if md5s[s] == md5s[s + 1] else "changed"
+                )
+        return pd.DataFrame({id_col: out_ids, "status": out_status})
+
+    return both.groupby(id_col, num_partitions=P).map_groups(
+        resolve, batch_format="pandas"
+    )

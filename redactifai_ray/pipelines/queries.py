@@ -1842,3 +1842,37 @@ def q_incremental_near_dedup(sf_dir: str) -> pd.DataFrame:
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Crawl snapshot diff: snapshot A = docs with id < 60% of max,
+    snapshot B = docs with id >= 40% of max where every 5th doc's text
+    gains an ' updated' suffix (a content change). Per-id added/removed/changed/
+    unchanged via one slim (id, md5, flag) exchange — text never
+    shuffles. Fully SQL-expressible, so the oracle checks every row."""
+    from ..pipelines.maintenance import snapshot_diff
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = 500  # sf-scaled corpora are 500 × (sf/0.01); cutoffs scale with max
+    hi = docs.max("doc_id") + 1
+    lo_cut = (hi * 3) // 5
+    hi_cut = (hi * 2) // 5
+
+    def snap_a(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["doc_id"], lo_cut))
+
+    def snap_b(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["doc_id"], hi_cut))
+        texts = [
+            (t or "") + " updated" if i % 5 == 0 else t
+            for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
+        ]
+        return b.set_column(
+            b.column_names.index("text"), "text", pa.array(texts, pa.string())
+        )
+
+    out = snapshot_diff(
+        docs.map_batches(snap_a, batch_format="pyarrow"),
+        docs.map_batches(snap_b, batch_format="pyarrow"),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
