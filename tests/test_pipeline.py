@@ -658,3 +658,33 @@ class TestCompaction:
         compact_parquet(str(src), str(out), columns=["keep"])
         t = pq.read_table(sorted(__import__("glob").glob(str(out / "*.parquet")))[0])
         assert t.column_names == ["keep"]
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.pipelines.maintenance import snapshot_diff
+
+        old = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "kept the same"},
+                {"doc_id": 2, "text": "will change"},
+                {"doc_id": 3, "text": "will be removed"},
+            ]
+        )
+        new = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "kept the same"},
+                {"doc_id": 2, "text": "has changed"},
+                {"doc_id": 4, "text": "brand new"},
+            ]
+        )
+        out = (
+            snapshot_diff(old, new).to_pandas().set_index("doc_id")["status"]
+        )
+        assert out[1] == "unchanged"
+        assert out[2] == "changed"
+        assert out[3] == "removed"
+        assert out[4] == "added"
+        assert len(out) == 4
