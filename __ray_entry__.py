@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / streaming-shaped
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
+        "tpch_q17": q.q_tpch_q17,
         "sessionize": q.q_sessionize,
         "join_priority_revenue": q.q_join_priority_revenue,
         "user_running": q.q_user_running,
@@ -258,6 +259,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate
             ORDER BY revenue DESC, l.l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q17": """
+            -- correlated scalar subquery written as aggregate-then-rejoin;
+            -- money sum via exact fixed-point int64 (q_tpch_q17 docstring)
+            WITH avgq AS (
+                SELECT l.l_partkey, 0.2 * AVG(l.l_quantity) AS thr
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#23'
+                GROUP BY l.l_partkey
+            )
+            SELECT sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 / 7.0
+                       AS avg_yearly,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN avgq a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < a.thr
         """,
         "sessionize": """
             WITH gaps AS (

@@ -1876,3 +1876,126 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
         docs.map_batches(snap_b, batch_format="pyarrow"),
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_tpch_q17(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
+    """TPC-H Q17-style correlated scalar subquery — small-quantity revenue
+    below a per-part 0.2×average threshold — as the aggregate-then-rejoin
+    plan SQL writes as a correlated subquery (reference analog: the
+    per-entity confidence/threshold predicates of `src/services/
+    masking_policy.py`, here lifted to a per-GROUP learned threshold).
+
+    Distributed shape (two slim passes over lineitem, zero shuffles of
+    fact rows):
+
+    1. the brand-filtered partkey set gathers from the part DIMENSION
+       (1/|brands| of a dimension table — the justified-broadcast case;
+       a fact-derived set would need the tpch_q3-style capped fallback);
+    2. pass 1 folds per-batch (partkey, qty_sum, cnt) partials — two
+       ints per (batch, part) ride the exchange — into a part-scaled
+       groupby, producing the threshold table broadcast once via
+       ``ray.put`` as sorted arrays (searchsorted membership per batch);
+    3. pass 2 filters lineitem rows strictly below their part's
+       threshold and folds exact fixed-point revenue cents, so the money
+       sum is independent of accumulation order (the q_tpch_q1
+       convention).  Thresholds are computed with the identical IEEE
+       expression DuckDB uses (integral double sum → one divide → one
+       multiply), so the comparison is bit-exact on both sides.
+    """
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def brand_keys(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["p_brand"], pa.scalar(brand))
+        ).select(["p_partkey"])
+
+    keys_df = part.map_batches(brand_keys, batch_format="pyarrow").to_pandas()
+    if "p_partkey" not in keys_df.columns or len(keys_df) == 0:
+        # no part carries this brand — SQL's empty aggregate row
+        return pd.DataFrame({"avg_yearly": [float("nan")], "n_items": [0]})
+    keys = np.sort(keys_df["p_partkey"].to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    def _member(pk: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_keys, pk)
+        pos_c = np.minimum(pos, max(len(sorted_keys) - 1, 0))
+        if len(sorted_keys) == 0:
+            return np.zeros(len(pk), dtype=bool), pos_c
+        return (pos < len(sorted_keys)) & (sorted_keys[pos_c] == pk), pos_c
+
+    qstate: dict = {}
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        if "keys" not in qstate:
+            qstate["keys"] = ray.get(keys_ref)
+        pk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        ok, _ = _member(pk, qstate["keys"])
+        if not ok.any():
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "qty_i": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        pk = pk[ok]
+        # quantities are integral doubles; int64 accumulation keeps the
+        # per-part sum exact under any batch split
+        qi = np.floor(np.asarray(batch["l_quantity"], np.float64)[ok] + 0.5).astype(
+            np.int64
+        )
+        upk, inv = np.unique(pk, return_inverse=True)
+        return pa.table(
+            {
+                "l_partkey": pa.array(upk, pa.int64()),
+                "qty_i": pa.array(
+                    np.bincount(inv, weights=qi).astype(np.int64), pa.int64()
+                ),
+                "cnt": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            }
+        )
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    avg_tbl = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_i", alias_name="qty_i"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("l_partkey")
+    )
+    t_pk = avg_tbl["l_partkey"].to_numpy(np.int64)
+    # same IEEE ops as SQL's 0.2 * AVG(double): exact integral sum →
+    # one divide → one multiply, so the strict-less compare is bit-exact
+    t_thr = 0.2 * (
+        avg_tbl["qty_i"].to_numpy(np.float64) / avg_tbl["cnt"].to_numpy(np.float64)
+    )
+    thr_ref = ray.put((t_pk, t_thr))
+    rstate: dict = {}
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        if "thr" not in rstate:
+            rstate["thr"] = ray.get(thr_ref)
+        s_pk, s_thr = rstate["thr"]
+        pk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        ok, pos_c = _member(pk, s_pk)
+        q = np.asarray(batch["l_quantity"], np.float64)
+        sel = ok & (q < np.where(ok, s_thr[pos_c] if len(s_pk) else 0.0, -np.inf))
+        price = np.asarray(batch["l_extendedprice"], np.float64)[sel]
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "rev_c": pa.array([int(cents.sum())], pa.int64()),
+                "n_items": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", li_cols)
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .aggregate(Sum("rev_c", alias_name="rev_c"), Sum("n_items", alias_name="n_items"))
+    )
+    rev_c = int(agg["rev_c"] or 0)
+    n_items = int(agg["n_items"] or 0)
+    avg_yearly = (rev_c / 100.0) / 7.0 if n_items else float("nan")
+    return pd.DataFrame({"avg_yearly": [avg_yearly], "n_items": [n_items]})

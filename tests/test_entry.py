@@ -17,6 +17,7 @@ FAST_ORACLED = [
     "quality",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q17",
     "sessionize",
     "orders_per_nation",
     "events_window",

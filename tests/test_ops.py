@@ -1519,3 +1519,44 @@ class TestIncrementalMinhashDedup:
                 ray.data.from_items(rows), str(tmp_path / "s"),
                 max_pairs=3,
             )
+
+
+class TestTpchQ17:
+    """Correlated-subquery (aggregate-then-rejoin) vs a serial pandas
+    brute force using the same fixed-point expressions."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        import pandas as pd
+
+        from redactifai_ray.pipelines.queries import q_tpch_q17
+
+        out = q_tpch_q17(self.SF)
+
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+        part = pd.read_parquet(
+            f"{self.SF}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        keys = set(part.loc[part["p_brand"] == "Brand#23", "p_partkey"])
+        li = li[li["l_partkey"].isin(keys)]
+        thr = 0.2 * li.groupby("l_partkey")["l_quantity"].mean()
+        sel = li[li["l_quantity"] < li["l_partkey"].map(thr)]
+        cents = np.floor(sel["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        assert int(out["n_items"].iloc[0]) == len(sel)
+        assert len(sel) > 0  # the fixture must actually exercise the path
+        assert float(out["avg_yearly"].iloc[0]) == (int(cents.sum()) / 100.0) / 7.0
+
+    def test_unknown_brand_yields_empty_aggregate(self, ray_session):
+        import math
+
+        from redactifai_ray.pipelines.queries import q_tpch_q17
+
+        out = q_tpch_q17(self.SF, brand="Brand#none")
+        assert int(out["n_items"].iloc[0]) == 0
+        assert math.isnan(float(out["avg_yearly"].iloc[0]))
