@@ -14,4 +14,4 @@ batches; no code is ported from the reference.
 
 __version__ = "0.1.0"
 
-EXTRACTOR_VERSION = "rrx-3"
+EXTRACTOR_VERSION = "rrx-4"  # rrx-4: PDF BT/ET tokenizer + stream-bounds fixes

@@ -35,7 +35,8 @@ import zlib
 # a TJ kern gap of ≥ this many thousandths of an em reads as a word break
 TJ_SPACE_GAP = 150
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 _ESCAPES = {
     ord("n"): "\n",
@@ -51,17 +52,67 @@ _ESCAPES = {
 
 def _decode_streams(raw: bytes) -> list[bytes]:
     """All stream payloads, Flate-decompressed when the preceding object
-    dict says so; undecodable streams are skipped, not fatal."""
+    dict says so; undecodable streams are skipped, not fatal.
+
+    Payload bounds come from the dict's direct ``/Length`` when it
+    verifies (``endstream`` right after), because compressed bytes can
+    themselves contain ``\\nendstream`` or end in ``\\r`` — a naive
+    regex scan mis-bounds those (round-4 hypothesis find). Without a
+    usable /Length, Flate streams self-terminate via
+    ``zlib.decompressobj`` and raw streams scan to the next
+    ``endstream`` with one trailing EOL stripped."""
     out = []
-    for m in _STREAM_RE.finditer(raw):
-        payload = m.group(1)
+    pos = 0
+    n = len(raw)
+    while True:
+        m = _STREAM_START_RE.search(raw, pos)
+        if m is None:
+            break
+        start = m.end()
         head = raw[max(0, m.start() - 400) : m.start()]
-        if b"/FlateDecode" in head:
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error:
-                continue
+        flate = b"/FlateDecode" in head
+        payload = None
+        end = start
+        lm = None
+        for cand in _LENGTH_RE.finditer(head):
+            lm = cand  # last /Length before `stream` = the owning dict
+        if lm is not None:
+            ln = int(lm.group(1))
+            if start + ln <= n and re.match(
+                rb"\s*endstream", raw[start + ln : start + ln + 12]
+            ):
+                payload = raw[start : start + ln]
+                end = start + ln
+        if payload is None and not flate:
+            e = raw.find(b"endstream", start)
+            if e < 0:
+                break
+            payload = raw[start:e]
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            elif payload.endswith((b"\n", b"\r")):
+                payload = payload[:-1]
+            end = e
+        if flate:
+            decoded = None
+            if payload is not None:
+                try:
+                    decoded = zlib.decompress(payload)
+                except zlib.error:
+                    decoded = None
+            if decoded is None:
+                # zlib streams are self-terminating: decode from the
+                # stream start and let zlib find its own end
+                d = zlib.decompressobj()
+                try:
+                    decoded = d.decompress(raw[start:])
+                    end = n - len(d.unused_data)
+                except zlib.error:
+                    pos = start + 1
+                    continue
+            payload = decoded
         out.append(payload)
+        pos = max(end, start + 1)
     return out
 
 
@@ -135,63 +186,81 @@ def _lines_of_stream(data: bytes) -> list[list[str]]:
     list has one entry per BT…ET block, the inner list its text lines.
     Grouping matters for layout: a BT block is the operator-level
     paragraph unit, and its internal ``Td`` line breaks are typography
-    (wrapping), not structure."""
+    (wrapping), not structure.
+
+    One linear tokenization pass over the stream: string literals, hex
+    strings and TJ arrays are consumed by the same parsers everywhere,
+    so ``BT``/``ET`` are recognized only as standalone operator tokens
+    — an "ET" inside ``(BUDGET)`` or ``(ET AL.)`` can never terminate
+    a block (the round-3 truncation bug)."""
     groups: list[list[str]] = []
-    pos = 0
+    lines: list[str] = []
+    cur: list[str] = []
+    pend: list[str] = []  # operands (strings) awaiting an operator
+    in_bt = False
+    i = 0
     n = len(data)
-    while True:
-        bt = data.find(b"BT", pos)
-        if bt < 0:
-            break
-        et = data.find(b"ET", bt + 2)
-        if et < 0:
-            et = n
-        seg = data[bt + 2 : et]
-        lines: list[str] = []
-        cur: list[str] = []
-        pend: list[str] = []  # operands (strings) awaiting an operator
-        i = 0
-        m = len(seg)
 
-        def flush_line():
-            if cur:
-                lines.append("".join(cur))
-                cur.clear()
+    def flush_line():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
 
-        while i < m:
-            c = seg[i : i + 1]
-            if c == b"(":
-                s, i = _parse_literal(seg, i)
+    def close_block():
+        nonlocal lines
+        cur.extend(pend)
+        pend.clear()
+        flush_line()
+        if lines:
+            groups.append(lines)
+        lines = []
+
+    while i < n:
+        c = data[i : i + 1]
+        if c == b"(":
+            s, i = _parse_literal(data, i)
+            if in_bt:
                 pend.append(s)
-            elif c == b"<" and seg[i : i + 2] != b"<<":
-                s, i = _parse_hex(seg, i)
+        elif c == b"<" and data[i : i + 2] != b"<<":
+            s, i = _parse_hex(data, i)
+            if in_bt:
                 pend.append(s)
-            elif c == b"[":
-                # TJ array: strings interleaved with kern numbers
-                j = i + 1
-                parts: list[str] = []
-                while j < m and seg[j : j + 1] != b"]":
-                    cj = seg[j : j + 1]
-                    if cj == b"(":
-                        s, j = _parse_literal(seg, j)
-                        parts.append(s)
-                    elif cj == b"<":
-                        s, j = _parse_hex(seg, j)
-                        parts.append(s)
+        elif c == b"[":
+            # TJ array: strings interleaved with kern numbers
+            j = i + 1
+            parts: list[str] = []
+            while j < n and data[j : j + 1] != b"]":
+                cj = data[j : j + 1]
+                if cj == b"(":
+                    s, j = _parse_literal(data, j)
+                    parts.append(s)
+                elif cj == b"<":
+                    s, j = _parse_hex(data, j)
+                    parts.append(s)
+                else:
+                    num = _NUM_RE.match(data, j)
+                    if num:
+                        if float(num.group()) <= -TJ_SPACE_GAP:
+                            parts.append(" ")
+                        j = num.end()
                     else:
-                        num = _NUM_RE.match(seg, j)
-                        if num:
-                            if float(num.group()) <= -TJ_SPACE_GAP:
-                                parts.append(" ")
-                            j = num.end()
-                        else:
-                            j += 1
+                        j += 1
+            if in_bt:
                 pend.append("".join(parts))
-                i = j + 1
-            else:
-                op = _OP_RE.match(seg, i)
-                if op:
-                    o = op.group()
+            i = j + 1
+        else:
+            op = _OP_RE.match(data, i)
+            if op:
+                o = op.group()
+                if o == b"BT":
+                    if in_bt:  # malformed: unterminated prior block
+                        close_block()
+                    in_bt = True
+                elif o == b"ET":
+                    if in_bt:
+                        close_block()
+                        in_bt = False
+                elif in_bt:
                     if o in (b"Td", b"TD", b"T*"):
                         flush_line()
                     elif o == b"Tj" or o == b"TJ":
@@ -201,16 +270,11 @@ def _lines_of_stream(data: bytes) -> list[list[str]]:
                         flush_line()
                         cur.extend(pend)
                         pend.clear()
-                    i = op.end()
-                else:
-                    i += 1
-            if not c:
-                break
-        cur.extend(pend)
-        flush_line()
-        if lines:
-            groups.append(lines)
-        pos = et + 2
+                i = op.end()
+            else:
+                i += 1
+    if in_bt:  # missing ET: keep what was shown (fail-soft)
+        close_block()
     return groups
 
 

@@ -202,6 +202,46 @@ class TestPdfExtract:
             for b in blocks
         )
 
+    def test_et_bt_inside_literals_roundtrip(self):
+        """Round-3 regression: uppercase 'ET'/'BT' inside shown text
+        ("NET", "GET", "BUDGET", "ET AL.") must not terminate or open a
+        BT block — the scanner must treat BT/ET as operator tokens
+        outside string literals only."""
+        from redactifai_ray.stages.pdfextract import (
+            build_pdf,
+            extract_pdf_content,
+        )
+
+        paras = [
+            "THE BUDGET REPORT SHOWS NET GAINS ACROSS EVERY MARKET "
+            "SEGMENT THIS QUARTER",
+            "See Smith ET AL. for the BT subtree analysis and the "
+            "GET endpoint documentation in the appendix",
+            "ET" * 20 + " starts and BT" + "BT" * 10 + " ends",
+        ]
+        for compress in (False, True):
+            text, _ = extract_pdf_content(build_pdf(paras, compress=compress))
+            assert text == "\n\n".join(paras)
+
+    def test_et_bt_literal_boundaries_raw_stream(self):
+        from redactifai_ray.stages.pdfextract import _lines_of_stream
+
+        # "ET" inside the literal must not end the block early
+        stream = rb"BT (BUDGET and ET AL. and NET) Tj (tail) Tj ET"
+        assert _lines_of_stream(stream) == [["BUDGET and ET AL. and NETtail"]]
+        # "BT" inside a literal must not open a bogus block
+        stream2 = rb"BT (a BT b) Tj ET BT (second block) Tj ET"
+        assert _lines_of_stream(stream2) == [["a BT b"], ["second block"]]
+        # "ET" inside a TJ array string and a hex string
+        stream3 = rb"BT [(GET) -200 (SET)] TJ ET"
+        assert _lines_of_stream(stream3) == [["GET SET"]]
+        # text outside BT..ET is not shown text
+        stream4 = rb"(orphan) Tj BT (real) Tj ET"
+        assert _lines_of_stream(stream4) == [["real"]]
+        # unterminated block keeps its shown text (fail-soft)
+        stream5 = rb"BT (kept on missing ET) Tj"
+        assert _lines_of_stream(stream5) == [["kept on missing ET"]]
+
     def test_escapes_hex_and_tj(self):
         from redactifai_ray.stages.pdfextract import _lines_of_stream
 

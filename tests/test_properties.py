@@ -4,7 +4,7 @@ strategy (SURVEY §5 notes it has no property tests)."""
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from redactifai_ray.functions.mask import BLOCK_STYLE, apply_spans, mask_text
@@ -208,7 +208,9 @@ class TestPdfProperties:
         ),
         st.booleans(),
     )
-    @settings(max_examples=100, deadline=None)
+    @example(paras=["THE BUDGET SHOWS NET GAINS, see Smith ET AL."], compress=False)
+    @example(paras=["0" * 60 + "ET", "BT " * 12 + "inner BT run"], compress=True)
+    @settings(max_examples=500, deadline=None)
     def test_roundtrip_any_ascii_paragraphs(self, paras, compress):
         from redactifai_ray.stages.extract import _normalize
         from redactifai_ray.stages.pdfextract import (
