@@ -47,34 +47,40 @@ def canonical_url(url: str | None) -> str | None:
     trailing slash from non-root paths; empty path → ``/``."""
     if url is None:
         return None
+    # the WHOLE body is guarded: urlsplit defers some validation to the
+    # property accessors (`parts.port` raises ValueError on out-of-range
+    # ports like http://x:99999/), and one malformed crawl URL must never
+    # fail the job — it falls back to exact-string dedup semantics
     try:
         parts = urlsplit(url.strip())
+        if not parts.scheme or not parts.netloc:
+            return url
+        scheme = parts.scheme.lower()
+        host = parts.hostname
+        if host is None:
+            return url
+        host = host.lower()
+        if host.startswith("www.") and len(host) > 4:
+            host = host[4:]
+        if ":" in host:  # IPv6 literal: .hostname strips the brackets
+            host = f"[{host}]"
+        netloc = host
+        port = parts.port
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+            netloc = f"{host}:{port}"
+        path = parts.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path.rstrip("/") or "/"
+        kept = sorted(
+            (k, v)
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+            if k not in TRACKING_PARAMS
+            and not any(k.startswith(p) for p in _TRACKING_PREFIXES)
+        )
+        query = urlencode(kept)
+        return urlunsplit((scheme, netloc, path, query, ""))
     except ValueError:
         return url
-    if not parts.scheme or not parts.netloc:
-        return url
-    scheme = parts.scheme.lower()
-    host = parts.hostname
-    if host is None:
-        return url
-    host = host.lower()
-    if host.startswith("www.") and len(host) > 4:
-        host = host[4:]
-    netloc = host
-    port = parts.port
-    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
-        netloc = f"{host}:{port}"
-    path = parts.path or "/"
-    if len(path) > 1 and path.endswith("/"):
-        path = path.rstrip("/") or "/"
-    kept = sorted(
-        (k, v)
-        for k, v in parse_qsl(parts.query, keep_blank_values=True)
-        if k not in TRACKING_PARAMS
-        and not any(k.startswith(p) for p in _TRACKING_PREFIXES)
-    )
-    query = urlencode(kept)
-    return urlunsplit((scheme, netloc, path, query, ""))
 
 
 def add_canonical_url(ds, url_col: str = "url", out_col: str = "canonical_url"):

@@ -1176,8 +1176,15 @@ def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 
 @ray.remote(num_cpus=0)
-def _block_label_sum(t: pa.Table) -> int:
-    """Sum one pinned label block in place (convergence probe)."""
+def _block_label_sum(t) -> int:
+    """Sum one pinned label block in place (convergence probe).
+    Blocks arrive raw from ``to_arrow_refs`` and can be pandas when an
+    upstream aggregate emitted pandas (seen with pair sets folded via
+    ``_fold_pairs_distributed``) — handle both formats."""
+    if isinstance(t, pd.DataFrame):
+        if len(t) == 0 or "label" not in t.columns:
+            return 0
+        return int(t["label"].sum())
     if t.num_rows == 0 or "label" not in t.column_names:
         return 0
     return int(pc.sum(t.column("label")).as_py() or 0)
@@ -1424,13 +1431,25 @@ def near_dedup(
         raise ValueError(f"near_dedup: unknown method {method!r}")
     if not losers:
         return ds
-    losers_ref = ray.put(losers)
+    return _drop_ids(ds, losers, id_col)
+
+
+def _drop_ids(ds: ray.data.Dataset, losers, id_col: str) -> ray.data.Dataset:
+    """Anti-filter a dataset against a broadcast loser-id set —
+    vectorized ``pc.is_in`` over a per-worker-cached value set (the
+    winner-filter pattern from ``pipelines/deidentify.py``)."""
+    losers_ref = ray.put(pa.array(sorted(int(i) for i in losers), pa.int64()))
+    state: dict = {}
 
     def drop_losers(batch: pa.Table) -> pa.Table:
-        drop = ray.get(losers_ref)
-        ids = batch[id_col].to_pylist()
-        mask = [int(i) not in drop for i in ids]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        if "drop" not in state:
+            state["drop"] = ray.get(losers_ref)
+        if len(state["drop"]) == 0:
+            return batch
+        is_loser = pc.fill_null(
+            pc.is_in(batch[id_col], value_set=state["drop"]), False
+        )
+        return batch.filter(pc.invert(is_loser))
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")
 
@@ -1456,6 +1475,12 @@ def incremental_exact_dedup(
     loses if its hash is already in the store, or if a lower-id document
     in the SAME shard has the same hash. Survivors' hashes are appended
     to the store under ``run=<run_id>`` so the next increment sees them.
+
+    ``run_id`` identifies an attempt-idempotent increment: a retry of
+    the same run_id never dedups against its own prior crashed attempt
+    (that run's store subdir is excluded from the read and overwritten
+    on write), so a crash between store append and output write is safe
+    to re-run.
 
     Scale shape: the exchange carries (md5, flag, id) — store rows ride
     as (md5, flag=1) with no id, text never moves; one hash-partition
@@ -1488,11 +1513,7 @@ def incremental_exact_dedup(
 
     slim = new_ds.map_batches(slim_new, batch_format="pyarrow")
 
-    import glob as _glob
-
-    store_files = sorted(
-        _glob.glob(os.path.join(store_dir, "run=*", "*.parquet"))
-    )
+    store_files = _store_run_files(store_dir, run_id)
     if store_files:
         def tag_seen(batch: pa.Table) -> pa.Table:
             md5s = batch["text_md5"].to_pylist()
@@ -1570,8 +1591,11 @@ def incremental_exact_dedup(
 
     deduped = new_ds.map_batches(drop_losers, batch_format="pyarrow")
 
-    # append survivors' hashes to the store (slim re-projection only)
+    # append survivors' hashes to the store (slim re-projection only);
+    # overwrite, never accumulate — retries of the same run_id are
+    # idempotent (round-4 ADVICE)
     out_dir = os.path.join(store_dir, f"run={run_id}")
+    _fresh_dir(out_dir)
     survivors = (
         new_ds.map_batches(slim_new, batch_format="pyarrow")
         .map_batches(drop_losers, batch_format="pyarrow")
@@ -1581,6 +1605,29 @@ def incremental_exact_dedup(
     )
     survivors.write_parquet(out_dir)
     return deduped
+
+
+def _store_run_files(root: str, run_id: str) -> list[str]:
+    """Parquet files of every PRIOR run in an incremental store —
+    ``run=<run_id>`` is excluded so a retry of the same run never
+    dedups against its own crashed attempt's append."""
+    import glob as _glob
+    import os as _os
+
+    out: list[str] = []
+    for d in sorted(_glob.glob(_os.path.join(root, "run=*"))):
+        if _os.path.basename(d) == f"run={run_id}":
+            continue
+        out.extend(sorted(_glob.glob(_os.path.join(d, "*.parquet"))))
+    return out
+
+
+def _fresh_dir(path: str) -> None:
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    _os.makedirs(path, exist_ok=True)
 
 
 def incremental_minhash_dedup(
@@ -1612,14 +1659,24 @@ def incremental_minhash_dedup(
 
     Winner rule: a new doc verified similar (est Jaccard ≥ threshold) to
     ANY store doc drops; clusters of only-new docs keep their minimum
-    id (union-find over the verified pair set). Candidate + verification
-    work is bounded by ``max_pairs`` — the LSH contract; above it the
-    caller should split the increment (explicit error, like the exact
-    path). Driver memory is increment-bounded, never corpus-bounded:
-    the id set of the NEW increment is gathered once to classify pair
-    sides (increments are sized by the caller — the same contract that
-    bounds the loser broadcast in the exact store)."""
-    import glob as _glob
+    id. Verification is driver-side while the new-touching candidate
+    pair count is ≤ ``max_pairs`` (the normal LSH regime), and falls
+    back to the fully distributed join-free pair fold
+    (``_fold_pairs_distributed`` + ``label_propagation``) beyond — no
+    hard failure at scale (round-4: the last hard-fail path is gone).
+
+    Driver memory is increment-bounded, never corpus-bounded: the id
+    set of the NEW increment is gathered once and broadcast, and the
+    candidate pair stream is filtered to pairs touching a new doc IN A
+    DISTRIBUTED STAGE before any driver gather — store×store band
+    collisions (already resolved when those increments landed) never
+    reach the driver, so chained increments don't creep toward
+    ``max_pairs`` as the corpus grows.
+
+    ``run_id`` identifies an attempt-idempotent increment: a retry
+    never dedups against its own crashed attempt's append (that run's
+    store subdirs are excluded from the read and overwritten on write).
+    """
     import os as _os
 
     P = default_partitions()
@@ -1633,9 +1690,7 @@ def incremental_minhash_dedup(
         batch_format="pyarrow",
     )
 
-    band_files = sorted(
-        _glob.glob(_os.path.join(store_dir, "bands", "run=*", "*.parquet"))
-    )
+    band_files = _store_run_files(_os.path.join(store_dir, "bands"), run_id)
     all_bands = new_bands
     if band_files:
         # store rows were written with the same id_col name
@@ -1651,114 +1706,224 @@ def incremental_minhash_dedup(
         ),
         batch_format="pyarrow",
     )
-    pairs = _dedupe_pairs(
-        _collision_pairs(slim, ["band_id", "band_hash"], id_col, max_bucket)
-    )
-    pair_rows = pairs.take(max_pairs + 1)
-    if len(pair_rows) > max_pairs:
-        raise ValueError(
-            f"incremental minhash dedup found >{max_pairs} candidate "
-            "pairs; split the increment (candidate pairs must stay "
-            "pair-scale — the LSH contract)"
-        )
 
     new_id_rows = new_ds.select_columns([id_col]).take_all()
     new_ids = {int(r[id_col]) for r in new_id_rows}
-    # only pairs touching a NEW doc matter (store-store pairs were
-    # already resolved when those increments landed)
-    cand = [
-        (int(r["id_a"]), int(r["id_b"]))
-        for r in pair_rows
-        if int(r["id_a"]) in new_ids or int(r["id_b"]) in new_ids
-    ]
-    losers: set = set()
-    if cand:
-        wanted = {a for a, _ in cand} | {b for _, b in cand}
-        want_new = wanted & new_ids
-        want_old = wanted - new_ids
-        sigs: dict[int, np.ndarray] = {}
-        if want_new:
-            ref = ray.put(want_new)
+    new_ids_ref = ray.put(pa.array(sorted(new_ids), pa.int64()))
+    nstate: dict = {}
 
-            def new_sigs(batch: pa.Table) -> pa.Table:
-                keep = ray.get(ref)
-                mask = [int(i) in keep for i in batch[id_col].to_pylist()]
-                return batch.filter(pa.array(mask, pa.bool_()))
-
-            sig_tbl = (
-                new_ds.map_batches(new_sigs, batch_format="pyarrow")
-                .map_batches(
-                    make_minhash_batch(**sig_kwargs, emit="sig"),
-                    batch_format="pyarrow",
-                )
-                .take_all()
-            )
-            for r in sig_tbl:
-                sigs[int(r[id_col])] = np.frombuffer(r["sig"], dtype=np.uint64)
-        if want_old:
-            sig_files = sorted(
-                _glob.glob(
-                    _os.path.join(store_dir, "sigs", "run=*", "*.parquet")
-                )
-            )
-            oref = ray.put(want_old)
-
-            def old_sigs(batch: pa.Table) -> pa.Table:
-                keep = ray.get(oref)
-                mask = [int(i) in keep for i in batch[id_col].to_pylist()]
-                return batch.filter(pa.array(mask, pa.bool_()))
-
-            for r in (
-                ray.data.read_parquet(sig_files)
-                .map_batches(old_sigs, batch_format="pyarrow")
-                .take_all()
-            ):
-                sigs[int(r[id_col])] = np.frombuffer(r["sig"], dtype=np.uint64)
-
-        verified = []
-        for a, b in cand:
-            sa, sb = sigs.get(a), sigs.get(b)
-            if sa is None or sb is None:
-                continue
-            if float(np.mean(sa == sb)) >= threshold:
-                verified.append((a, b))
-        roots = cluster_pairs(verified)
-        # resolve clusters: store member present → every new member
-        # drops; all-new cluster → keep min id. cluster_pairs only maps
-        # nodes it re-parented — the root itself may be absent, so add
-        # every endpoint explicitly.
-        by_root: dict[int, set] = {}
-        for a, b in verified:
-            for node in (a, b):
-                by_root.setdefault(roots.get(node, node), set()).add(node)
-        for members in by_root.values():
-            olds = [m for m in members if m not in new_ids]
-            news = sorted(m for m in members if m in new_ids)
-            if olds:
-                losers.update(news)
-            else:
-                losers.update(news[1:])
-
-    losers_ref = ray.put(losers)
-
-    def drop_losers(batch: pa.Table) -> pa.Table:
-        drop = ray.get(losers_ref)
-        if not drop:
+    def touching_new(batch: pa.Table) -> pa.Table:
+        # only pairs touching a NEW doc matter; filtered distributedly
+        # BEFORE any driver gather (store×store pairs never leave the
+        # cluster — round-4 ADVICE)
+        if "id_a" not in batch.column_names:
             return batch
-        mask = [int(i) not in drop for i in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        if "ids" not in nstate:
+            nstate["ids"] = ray.get(new_ids_ref)
+        a = pc.fill_null(pc.is_in(batch["id_a"], value_set=nstate["ids"]), False)
+        b = pc.fill_null(pc.is_in(batch["id_b"], value_set=nstate["ids"]), False)
+        return batch.filter(pc.or_(a, b))
 
-    deduped = new_ds.map_batches(drop_losers, batch_format="pyarrow")
+    pairs = (
+        _dedupe_pairs(
+            _collision_pairs(slim, ["band_id", "band_hash"], id_col, max_bucket)
+        )
+        .map_batches(touching_new, batch_format="pyarrow")
+        .materialize()  # new-touching pairs only: 2 ints/row
+    )
+
+    sig_files = _store_run_files(_os.path.join(store_dir, "sigs"), run_id)
+
+    losers: set = set()
+    pair_rows = pairs.take(max_pairs + 1)
+    if len(pair_rows) <= max_pairs:
+        cand = [(int(r["id_a"]), int(r["id_b"])) for r in pair_rows]
+        if cand:
+            wanted = {a for a, _ in cand} | {b for _, b in cand}
+            sigs = _gather_sigs(
+                new_ds, sig_files, wanted & new_ids, wanted - new_ids,
+                id_col, sig_kwargs,
+            )
+            verified = []
+            for a, b in cand:
+                sa, sb = sigs.get(a), sigs.get(b)
+                if sa is None or sb is None:
+                    continue
+                if float(np.mean(sa == sb)) >= threshold:
+                    verified.append((a, b))
+            roots = cluster_pairs(verified)
+            # resolve clusters: store member present → every new member
+            # drops; all-new cluster → keep min id. cluster_pairs only
+            # maps nodes it re-parented — the root itself may be absent,
+            # so add every endpoint explicitly.
+            by_root: dict[int, set] = {}
+            for a, b in verified:
+                for node in (a, b):
+                    by_root.setdefault(roots.get(node, node), set()).add(node)
+            for members in by_root.values():
+                olds = [m for m in members if m not in new_ids]
+                news = sorted(m for m in members if m in new_ids)
+                if olds:
+                    losers.update(news)
+                else:
+                    losers.update(news[1:])
+    else:
+        # scale fallback: candidate set exceeds the driver → distributed
+        # verification (join-free pair fold over new ∪ store signatures)
+        # and distributed cluster resolution; only LOSERS (bounded by
+        # the increment) ever reach the driver
+        new_sigs = new_ds.map_batches(
+            make_minhash_batch(**sig_kwargs, emit="sig"),
+            batch_format="pyarrow",
+        )
+        all_sigs = new_sigs
+        if sig_files:
+            all_sigs = new_sigs.union(
+                ray.data.read_parquet(sig_files, columns=[id_col, "sig"])
+            )
+
+        def to_payload(t: pa.Table) -> pa.Table:
+            if id_col not in t.column_names:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "payload": pa.array([], pa.binary())}
+                )
+            return pa.table(
+                {id_col: t.column(id_col), "payload": t.column("sig")}
+            )
+
+        verified_ds = _fold_pairs_distributed(
+            all_sigs.map_batches(to_payload, batch_format="pyarrow"),
+            pairs,
+            id_col,
+            _minhash_fold,
+            threshold,
+            "est_jaccard",
+        ).materialize()
+        if verified_ds.count() > 0:
+            labels = label_propagation(verified_ds)
+            losers = _resolve_increment_losers(labels, new_ids_ref, P)
+
+    deduped = _drop_ids(new_ds, losers, id_col) if losers else new_ds
 
     # persist survivors' band rows + signatures for the next increment
+    # (overwrite run=<run_id>: retries are idempotent — round-4 ADVICE)
+    bands_dir = _os.path.join(store_dir, "bands", f"run={run_id}")
+    sigs_dir = _os.path.join(store_dir, "sigs", f"run={run_id}")
+    _fresh_dir(bands_dir)
+    _fresh_dir(sigs_dir)
     surv_bands = deduped.map_batches(
         make_minhash_batch(**sig_kwargs, emit="bands"),
         batch_format="pyarrow",
     )
-    surv_bands.write_parquet(_os.path.join(store_dir, "bands", f"run={run_id}"))
+    surv_bands.write_parquet(bands_dir)
     surv_sigs = deduped.map_batches(
         make_minhash_batch(**sig_kwargs, emit="sig"),
         batch_format="pyarrow",
     )
-    surv_sigs.write_parquet(_os.path.join(store_dir, "sigs", f"run={run_id}"))
+    surv_sigs.write_parquet(sigs_dir)
     return deduped
+
+
+def _gather_sigs(
+    new_ds: ray.data.Dataset,
+    sig_files: list[str],
+    want_new: set,
+    want_old: set,
+    id_col: str,
+    sig_kwargs: dict,
+) -> dict:
+    """Candidate-bounded signature gather for the driver verify path:
+    new-doc signatures recompute from the increment, store-doc
+    signatures read from the sig store; both sides filter with the
+    vectorized broadcast ``pc.is_in`` semi-join (no per-row Python)."""
+    sigs: dict[int, np.ndarray] = {}
+
+    def filtered(ds, want):
+        ref = ray.put(pa.array(sorted(int(i) for i in want), pa.int64()))
+        state: dict = {}
+
+        def filt(batch: pa.Table) -> pa.Table:
+            if "keep" not in state:
+                state["keep"] = ray.get(ref)
+            m = pc.fill_null(
+                pc.is_in(batch[id_col], value_set=state["keep"]), False
+            )
+            return batch.filter(m)
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    if want_new:
+        sig_tbl = filtered(new_ds, want_new).map_batches(
+            make_minhash_batch(**sig_kwargs, emit="sig"),
+            batch_format="pyarrow",
+        ).take_all()
+        for r in sig_tbl:
+            sigs[int(r[id_col])] = np.frombuffer(r["sig"], dtype=np.uint64)
+    if want_old and sig_files:
+        for r in filtered(
+            ray.data.read_parquet(sig_files, columns=[id_col, "sig"]),
+            want_old,
+        ).take_all():
+            sigs[int(r[id_col])] = np.frombuffer(r["sig"], dtype=np.uint64)
+    return sigs
+
+
+def _resolve_increment_losers(
+    labels: ray.data.Dataset, new_ids_ref, P: int
+) -> set:
+    """Distributed cluster resolution for the incremental winner rule:
+    a component with any store member drops every new member; an
+    all-new component keeps its min id. Components co-locate via a
+    label-keyed partition groupby; only loser ids reach the driver."""
+
+    lstate: dict = {}
+
+    def add_flags(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64()),
+                 "is_new": pa.array([], pa.int8()),
+                 "pkey": pa.array([], pa.int64())}
+            )
+        if "ids" not in lstate:
+            lstate["ids"] = ray.get(new_ids_ref)
+        is_new = pc.fill_null(
+            pc.is_in(t["node"], value_set=lstate["ids"]), False
+        ).to_numpy(zero_copy_only=False)
+        lbl = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": t["label"],
+                "is_new": pa.array(is_new.astype(np.int8), pa.int8()),
+                "pkey": pa.array(lbl % P, pa.int64()),
+            }
+        )
+
+    def comp_losers(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"loser": pd.Series(dtype="int64")})
+        if "node" not in g.columns:
+            return empty
+        out: list = []
+        for _, grp in g.groupby("label", sort=False):
+            flags = grp["is_new"].to_numpy() != 0
+            news = np.unique(grp["node"].to_numpy(np.int64)[flags])
+            if news.size == 0:
+                continue
+            if (~flags).any():
+                out.extend(news.tolist())  # store member wins
+            else:
+                out.extend(news[1:].tolist())  # keep min new id
+        if not out:
+            return empty
+        return pd.DataFrame({"loser": pd.Series(out, dtype="int64")})
+
+    loser_rows = (
+        labels.map_batches(add_flags, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(comp_losers, batch_format="pandas")
+        .take_all()
+    )
+    return {int(r["loser"]) for r in loser_rows}

@@ -1272,6 +1272,19 @@ class TestCanonicalUrl:
         # www-stripping never empties the host
         assert cu("http://www./x") == "http://www./x"
 
+    def test_malformed_port_and_ipv6(self):
+        """Round-4 ADVICE regression: urlsplit defers port validation to
+        the .port accessor, so out-of-range ports must pass through (not
+        raise); IPv6 hosts keep their brackets and stay idempotent."""
+        from redactifai_ray.functions.urls import canonical_url as cu
+
+        assert cu("http://x:99999/") == "http://x:99999/"
+        assert cu("http://x:-1/") == "http://x:-1/"
+        assert cu("http://[::1]:8080/a/") == "http://[::1]:8080/a"
+        assert cu("https://[2001:DB8::1]:443/p/") == "https://[2001:db8::1]/p"
+        for u in ("http://[::1]:8080/a/", "http://x:99999/"):
+            assert cu(cu(u)) == cu(u)
+
     def test_dedup_merges_spelling_variants(self, ray_session, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -1507,18 +1520,85 @@ class TestIncrementalMinhashDedup:
         )
         assert out3.count() == 0  # near-dup of run-2's survivor drops
 
-    def test_pair_cap_raises(self, ray_session, tmp_path):
+    def test_distributed_fallback_equals_driver(self, ray_session, tmp_path):
+        """Above max_pairs the store no longer hard-fails (round-4): it
+        routes through the distributed pair fold + label propagation and
+        must produce the same survivors as the driver path, across the
+        full three-increment chain."""
         import ray.data
 
         from redactifai_ray.stages.dedup import incremental_minhash_dedup
 
-        same = " ".join(f"w{i}" for i in range(100))
-        rows = [self._mk(i, same) for i in range(6)]
-        with pytest.raises(ValueError, match="split the increment"):
-            incremental_minhash_dedup(
-                ray.data.from_items(rows), str(tmp_path / "s"),
-                max_pairs=3,
-            )
+        base = " ".join(f"tok{i}" for i in range(120))
+        near = base.replace("tok5 ", "tok5x ").replace("tok80 ", "changed ")
+        near2 = base.replace("tok7 ", "tok7y ")
+        far = " ".join(f"other{i}" for i in range(120))
+        fresh = " ".join(f"fresh{i}" for i in range(120))
+        fresh_near = fresh.replace("fresh3 ", "freshX ")
+        novel = " ".join(f"novel{i}" for i in range(120))
+        increments = [
+            [self._mk(1, base), self._mk(2, near), self._mk(3, far)],
+            [self._mk(10, near2), self._mk(11, fresh)],
+            [self._mk(20, fresh_near), self._mk(21, novel)],
+        ]
+
+        results = {}
+        for name, max_pairs in (("driver", 5_000_000), ("dist", 0)):
+            store = str(tmp_path / f"store_{name}")
+            outs = []
+            for k, rows in enumerate(increments):
+                out = incremental_minhash_dedup(
+                    ray.data.from_items(rows), store,
+                    run_id=f"r{k}", threshold=0.5, max_pairs=max_pairs,
+                )
+                df = out.to_pandas()
+                outs.append(
+                    sorted(df["doc_id"]) if "doc_id" in df.columns else []
+                )
+            results[name] = outs
+        assert results["driver"] == results["dist"]
+        # sanity: chain semantics actually exercised store-vs-new rules
+        assert results["driver"][0] == [1, 3]
+        assert results["driver"][1] == [11]
+        assert results["driver"][2] == [21]  # 20 near-dups r2's survivor
+
+    def test_retry_same_run_id_is_idempotent(self, ray_session, tmp_path):
+        """Round-4 ADVICE regression: the store appends before the
+        caller writes output, so a crashed run's retry must NOT dedup
+        against its own prior append (which would empty the output) and
+        must not accumulate duplicate store files."""
+        import glob
+
+        import ray.data
+
+        from redactifai_ray.stages.dedup import (
+            incremental_exact_dedup,
+            incremental_minhash_dedup,
+        )
+
+        store = str(tmp_path / "exact")
+        rows = [self._mk(1, "alpha content here"), self._mk(2, "beta text")]
+        first = incremental_exact_dedup(
+            ray.data.from_items(rows), store, run_id="rX"
+        ).to_pandas()
+        retry = incremental_exact_dedup(
+            ray.data.from_items(rows), store, run_id="rX"
+        ).to_pandas()
+        assert sorted(retry["doc_id"]) == sorted(first["doc_id"]) == [1, 2]
+
+        mstore = str(tmp_path / "mh")
+        text = " ".join(f"tok{i}" for i in range(120))
+        mrows = [self._mk(5, text)]
+        m1 = incremental_minhash_dedup(
+            ray.data.from_items(mrows), mstore, run_id="rY", threshold=0.5
+        )
+        n_band_files = len(glob.glob(f"{mstore}/bands/run=rY/*.parquet"))
+        m2 = incremental_minhash_dedup(
+            ray.data.from_items(mrows), mstore, run_id="rY", threshold=0.5
+        )
+        assert m1.count() == m2.count() == 1
+        # overwrite, not append: file count stable across retries
+        assert len(glob.glob(f"{mstore}/bands/run=rY/*.parquet")) == n_band_files
 
 
 class TestTpchQ17:

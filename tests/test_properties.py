@@ -154,6 +154,10 @@ class TestDetectorProperties:
 
 
 class TestUrlProperties:
+    @example("http://x:99999/")  # out-of-range port: urlsplit defers the
+    # ValueError to parts.port (round-4 ADVICE fix)
+    @example("http://[::1]:8080/a/")  # IPv6 brackets must survive
+    @example("https://[2001:db8::1]/path/")
     @given(st.text(max_size=200))
     @settings(max_examples=300, deadline=None)
     def test_canonical_never_raises_and_idempotent(self, s):
