@@ -38,8 +38,19 @@ def word_frequencies(ds, text_col: str = "text", sample_rows: int | None = 50_00
         )
 
     src = ds if sample_rows is None else ds.limit(sample_rows)
+    partials = src.map_batches(count_block, batch_format="pyarrow")
+    if sample_rows is None:
+        # unsampled: shuffle-reduce the vocab×blocks partials to
+        # vocab-scale before the driver gather (round-4)
+        from ray.data.aggregate import Sum
+
+        from ..cluster import default_partitions
+
+        partials = partials.groupby(
+            "word", num_partitions=default_partitions()
+        ).aggregate(Sum("n", alias_name="n"))
     total = Counter()
-    for row in src.map_batches(count_block, batch_format="pyarrow").take_all():
+    for row in partials.take_all():
         total[row["word"]] += row["n"]
     return total
 

@@ -83,9 +83,21 @@ def ngram_counts(
         )
 
     src = ds if sample_rows is None else ds.limit(sample_rows)
+    partials = src.map_batches(count_block, batch_format="pyarrow")
+    if sample_rows is None:
+        # unsampled: the gather would otherwise be vocab×blocks — one
+        # slim (gram, kind)-keyed shuffle-reduce folds the partials to
+        # vocab-scale first (round-4; the ``top_tokens`` fold pattern)
+        from ray.data.aggregate import Sum
+
+        from ..cluster import default_partitions
+
+        partials = partials.groupby(
+            ["gram", "kind"], num_partitions=default_partitions()
+        ).aggregate(Sum("n", alias_name="n"))
     uni: Counter = Counter()
     big: Counter = Counter()
-    for row in src.map_batches(count_block, batch_format="pyarrow").take_all():
+    for row in partials.take_all():
         (uni if row["kind"] == 0 else big)[row["gram"]] += row["n"]
     return uni, big
 

@@ -30,20 +30,28 @@ def compact_parquet(
     min_files: int = 1,
 ) -> dict:
     """Rewrite parquet at ``input_path`` into ≈``target_mb``-sized files
-    under ``output_dir``. Returns a summary dict (files/bytes/rows in,
-    files planned). Planning reads ONLY footer metadata."""
+    under ``output_dir`` — ``target_mb`` is ON-DISK (compressed) size.
+    Returns a summary dict (files/bytes/rows in, files planned).
+    Planning reads ONLY footer metadata: per-column
+    ``total_compressed_size`` (round-4 ADVICE — ``total_byte_size`` is
+    the UNCOMPRESSED size, which over-split output files by the
+    compression ratio)."""
     import pyarrow.dataset as pads
 
     dataset = pads.dataset(input_path, format="parquet")
     files = list(dataset.files)
     total_bytes = 0
+    total_compressed = 0
     total_rows = 0
     for frag in dataset.get_fragments():
         md = frag.metadata  # footer only
         total_rows += md.num_rows
         for i in range(md.num_row_groups):
-            total_bytes += md.row_group(i).total_byte_size
-    n_out = max(min_files, math.ceil(total_bytes / (target_mb << 20)))
+            rg = md.row_group(i)
+            total_bytes += rg.total_byte_size
+            for j in range(rg.num_columns):
+                total_compressed += rg.column(j).total_compressed_size
+    n_out = max(min_files, math.ceil(total_compressed / (target_mb << 20)))
 
     ds = ray.data.read_parquet(
         input_path, columns=list(columns) if columns else None
@@ -53,6 +61,7 @@ def compact_parquet(
         "files_in": len(files),
         "rows": total_rows,
         "bytes_uncompressed": total_bytes,
+        "bytes_compressed": total_compressed,
         "files_planned": n_out,
     }
 

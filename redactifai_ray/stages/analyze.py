@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import rolling_fingerprint
 
@@ -296,16 +298,18 @@ def tfidf_top_terms(
     Scale shape: document frequencies fold slim — each batch emits its
     per-doc-DISTINCT token vocabulary as (token, partial-df) rows, one
     groupby sums — and the df table broadcasts once via ``ray.put``
-    (8-byte count + term; vocabulary-bounded, capped at
-    ``max_broadcast_vocab`` with a hard error naming the sketch
-    alternative). The corpus then streams through one ``map_batches``
-    computing tf and the top-k per doc — no per-row shuffle, no driver
-    gather of the corpus. N comes from ``ds.count()`` which Ray serves
-    from read metadata when available.
+    (8-byte count + term; vocabulary-bounded). Above
+    ``max_broadcast_vocab`` the scoring shards by term instead
+    (``_tfidf_sharded`` — round-4: the error string became code). The
+    corpus then streams through one ``map_batches`` computing tf and
+    the top-k per doc — no per-row shuffle, no driver gather of the
+    corpus. N comes from ``ds.count()`` which Ray serves from read
+    metadata when available.
 
     Determinism: scores are tf (int) × one ``math.log`` of an exact int
     ratio; ties order (score desc, term asc). Bit-exact vs the DuckDB
-    oracle (both engines call libm ``log`` on the identical double).
+    oracle (both engines call libm ``log`` on the identical double) on
+    both paths.
     Returns a Dataset of (id_col, term, tf, df, tfidf)."""
     import math
     from collections import Counter
@@ -328,17 +332,15 @@ def tfidf_top_terms(
             }
         )
 
-    df_rows = (
+    df_ds = (
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("term", num_partitions=default_partitions())
         .aggregate(Sum("df", alias_name="df"))
-        .take(max_broadcast_vocab + 1)
+        .materialize()  # vocab-scale
     )
+    df_rows = df_ds.take(max_broadcast_vocab + 1)
     if len(df_rows) > max_broadcast_vocab:
-        raise ValueError(
-            "vocabulary exceeds the df broadcast cap; use the Misra-Gries "
-            "sketch path (functions.sketch) or raise max_broadcast_vocab"
-        )
+        return _tfidf_sharded(ds, df_ds, n_docs, k, text_col, id_col)
     df_ref = ray.put({r["term"]: r["df"] for r in df_rows})
     state: dict = {}
 
@@ -375,6 +377,201 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _tfidf_sharded(ds, df_ds, n_docs: int, k: int, text_col: str, id_col: str):
+    """Shard-by-term TF-IDF — the above-cap path. Documents explode into
+    per-doc-DISTINCT (doc, term, tf) rows; one term-keyed hash-partition
+    groupby attaches df (join-free union pattern); one doc-keyed groupby
+    ranks each document's terms with the same fixed-point score
+    expression as the broadcast path (bit-exact). The exchange carries
+    (doc × distinct-term) rows — heavier than the broadcast path (which
+    is why broadcast is the default regime) but bounded per partition
+    and with no driver gather at any vocabulary size."""
+    import math
+
+    import pandas as pd
+
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    EMPTY = pa.table(
+        {
+            "key": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "is_df": pa.array([], pa.int8()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    def doc_terms(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        if text_col not in t.column_names:
+            return EMPTY
+        ids, terms, tfs = [], [], []
+        for i, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            for w, c in Counter((txt or "").lower().split()).items():
+                ids.append(i)
+                terms.append(w)
+                tfs.append(c)
+        n = len(ids)
+        return pa.table(
+            {
+                "key": pa.array(terms, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+                "is_df": pa.array([0] * n, pa.int8()),
+                "df": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def df_side(t: pa.Table) -> pa.Table:
+        if "term" not in t.column_names:
+            return EMPTY
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("term").combine_chunks().cast(pa.string()),
+                id_col: pa.nulls(n, pa.int64()).fill_null(-1),
+                "tf": pa.nulls(n, pa.int64()).fill_null(0),
+                "is_df": pa.nulls(n, pa.int8()).fill_null(1),
+                "df": t.column("df").combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return EMPTY.append_column("pkey", pa.array([], pa.int64()))
+        return t.append_column(
+            "pkey", pa.array(_term_pkey(t.column("key").to_pylist(), P))
+        )
+
+    stream = (
+        ds.map_batches(doc_terms, batch_format="pyarrow")
+        .union(df_ds.map_batches(df_side, batch_format="pyarrow"))
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "term": pd.Series(dtype=object),
+                "tf": pd.Series(dtype="int64"),
+                "df": pd.Series(dtype="int64"),
+            }
+        )
+        if "key" not in g.columns:
+            return empty
+        dmap = dict(
+            zip(g.loc[g["is_df"] == 1, "key"], g.loc[g["is_df"] == 1, "df"])
+        )
+        side = g[g["is_df"] == 0]
+        if side.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                id_col: side[id_col].to_numpy(np.int64),
+                "term": side["key"].to_numpy(),
+                "tf": side["tf"].to_numpy(np.int64),
+                "df": np.array(
+                    [dmap.get(w, 1) for w in side["key"]], np.int64
+                ),
+            }
+        )
+
+    attached = stream.groupby("pkey", num_partitions=P).map_groups(
+        attach_df, batch_format="pandas"
+    )
+
+    def add_doc_pkey(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "pk2": pa.array([], pa.int64()),
+                }
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pk2", pa.array(ids % P, pa.int64()))
+
+    def rank_docs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "term": pd.Series(dtype=object),
+                "tf": pd.Series(dtype="int64"),
+                "df": pd.Series(dtype="int64"),
+                "tfidf": pd.Series(dtype="float64"),
+            }
+        )
+        if id_col not in g.columns or g.empty:
+            return empty
+        frames = []
+        for i, grp in g.groupby(id_col, sort=True):
+            ranked = sorted(
+                (
+                    # IDENTICAL score expression to the broadcast path
+                    (w, int(c), int(d), int(c) * math.log(n_docs / int(d)))
+                    for w, c, d in zip(grp["term"], grp["tf"], grp["df"])
+                ),
+                key=lambda r: (-r[3], r[0]),
+            )[:k]
+            if ranked:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.full(len(ranked), i, np.int64),
+                            "term": [r[0] for r in ranked],
+                            "tf": np.array([r[1] for r in ranked], np.int64),
+                            "df": np.array([r[2] for r in ranked], np.int64),
+                            "tfidf": np.array(
+                                [r[3] for r in ranked], np.float64
+                            ),
+                        }
+                    )
+                )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    out = (
+        attached.map_batches(add_doc_pkey, batch_format="pyarrow")
+        .groupby("pk2", num_partitions=P)
+        .map_groups(rank_docs, batch_format="pandas")
+    )
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        want = [id_col, "term", "tf", "df", "tfidf"]
+        if t.column_names != want:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+                "term": t.column("term").combine_chunks().cast(pa.string()),
+                "tf": t.column("tf").combine_chunks().cast(pa.int64()),
+                "df": t.column("df").combine_chunks().cast(pa.int64()),
+                "tfidf": t.column("tfidf").combine_chunks().cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(fix_schema, batch_format="pyarrow")
 
 
 def inverted_index(
@@ -561,33 +758,33 @@ def pmi_bigrams(
     Shape: two distributed count folds (unigrams, bigrams — batch-vocab
     partials, one groupby sum each); the unigram table (natural-language
     vocabularies are millions, ≪ corpus) broadcasts once with totals and
-    the bigram table streams through one scoring stage. Guarded by
-    ``max_broadcast_vocab`` — a vocabulary above it means the corpus is
-    not natural language and the caller should shard by term instead
-    (explicit error, not a silent driver OOM).
+    the bigram table streams through one scoring stage. Above
+    ``max_broadcast_vocab`` the scoring shards by term instead
+    (``_pmi_sharded`` — round-4: the error string became code): unigram
+    counts attach to each bigram side through the join-free union +
+    hash-partition groupby pattern, so no driver gather at any
+    vocabulary size.
 
     The PMI expression is written with identical operation order in
     Python and the SQL oracle (every term promoted to double at the
-    first multiply, left-associative), so results are bit-exact."""
+    first multiply, left-associative), so results are bit-exact on both
+    paths."""
     import math
 
     import ray
 
-    uni = _count_fold(ds, text_col, 1)
-    bi = _count_fold(ds, text_col, 2)
+    # both count tables materialize once (vocab-scale, ≪ corpus) so the
+    # totals folds and the scoring stages don't re-run the corpus
+    uni = _count_fold(ds, text_col, 1).materialize()
+    bi = _count_fold(ds, text_col, 2).materialize()
+    n_bi = int(bi.sum("n") or 0)
 
     uni_rows = uni.take(max_broadcast_vocab + 1)
     if len(uni_rows) > max_broadcast_vocab:
-        raise ValueError(
-            f"unigram vocabulary exceeds max_broadcast_vocab="
-            f"{max_broadcast_vocab}; shard the PMI join by term instead"
-        )
+        n_uni_total = int(uni.sum("n") or 0)
+        return _pmi_sharded(uni, bi, min_count, n_uni_total, n_bi)
     counts = {r["term"]: r["n"] for r in uni_rows}
     n_uni = sum(counts.values())
-    # bigram-count table materializes once (vocab-scale, ≪ corpus) so the
-    # total-positions fold and the scoring stage don't re-run the corpus
-    bi = bi.materialize()
-    n_bi = int(bi.sum("n") or 0)
     ref = ray.put((counts, n_uni))
     state: dict = {}
 
@@ -622,6 +819,208 @@ def pmi_bigrams(
         )
 
     return bi.map_batches(score, batch_format="pyarrow")
+
+
+def _term_pkey(values, P: int) -> np.ndarray:
+    """Deterministic vectorized string → partition key (pandas siphash
+    with its fixed default key — stable across processes and runs)."""
+    import pandas as pd
+
+    return (
+        pd.util.hash_array(np.asarray(values, dtype=object)) % np.uint64(P)
+    ).astype(np.int64)
+
+
+def _pmi_sharded(uni, bi, min_count: int, n_uni: int, n_bi: int):
+    """Shard-by-term PMI scoring — the above-cap path. Each bigram
+    emits one side row per word; one term-keyed hash-partition groupby
+    attaches the unigram count to each side (join-free union pattern,
+    as ``_semijoin_on_key``); a second bigram-keyed groupby recombines
+    the two sides and scores with the same fixed-point expression as
+    the broadcast path (bit-exact). Exchanges are vocab-scale."""
+    import math
+
+    import pandas as pd
+
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    def uni_side(t: pa.Table) -> pa.Table:
+        if "term" not in t.column_names:
+            return _PMI_EMPTY
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("term").combine_chunks().cast(pa.string()),
+                "w1": pa.nulls(n, pa.string()),
+                "w2": pa.nulls(n, pa.string()),
+                "n_xy": pa.nulls(n, pa.int64()).fill_null(0),
+                "slot": pa.nulls(n, pa.int8()).fill_null(0),
+                "c": t.column("n").combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def bi_sides(t: pa.Table) -> pa.Table:
+        if "term" not in t.column_names:
+            return _PMI_EMPTY
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        terms = t.column("term").to_pylist()
+        ns = t.column("n").to_pylist()
+        w1s, w2s = [], []
+        for term in terms:
+            a, b = term.split(" ", 1)
+            w1s.append(a)
+            w2s.append(b)
+        n = len(terms)
+        return pa.table(
+            {
+                "key": pa.array(w1s + w2s, pa.string()),
+                "w1": pa.array(w1s * 2, pa.string()),
+                "w2": pa.array(w2s * 2, pa.string()),
+                "n_xy": pa.array(ns * 2, pa.int64()),
+                "slot": pa.array([1] * n + [2] * n, pa.int8()),
+                "c": pa.array([0] * (2 * n), pa.int64()),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return _PMI_EMPTY.append_column("pkey", pa.array([], pa.int64()))
+        return t.append_column(
+            "pkey", pa.array(_term_pkey(t.column("key").to_pylist(), P))
+        )
+
+    stream = (
+        uni.map_batches(uni_side, batch_format="pyarrow")
+        .union(bi.map_batches(bi_sides, batch_format="pyarrow"))
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "w1": pd.Series(dtype=object),
+                "w2": pd.Series(dtype=object),
+                "n_xy": pd.Series(dtype="int64"),
+                "slot": pd.Series(dtype="int8"),
+                "c": pd.Series(dtype="int64"),
+            }
+        )
+        if "key" not in g.columns:
+            return empty
+        cmap = dict(
+            zip(g.loc[g["slot"] == 0, "key"], g.loc[g["slot"] == 0, "c"])
+        )
+        side = g[g["slot"] != 0]
+        if side.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "w1": side["w1"].to_numpy(),
+                "w2": side["w2"].to_numpy(),
+                "n_xy": side["n_xy"].to_numpy(np.int64),
+                "slot": side["slot"].to_numpy(np.int8),
+                "c": np.array(
+                    [cmap.get(k, 0) for k in side["key"]], np.int64
+                ),
+            }
+        )
+
+    sides = stream.groupby("pkey", num_partitions=P).map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def add_pair_pkey(t: pa.Table) -> pa.Table:
+        if "w1" not in t.column_names:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_xy": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int8()),
+                    "c": pa.array([], pa.int64()),
+                    "pk2": pa.array([], pa.int64()),
+                }
+            )
+        keys = [
+            f"{a}\x00{b}"
+            for a, b in zip(t.column("w1").to_pylist(), t.column("w2").to_pylist())
+        ]
+        return t.append_column("pk2", pa.array(_term_pkey(keys, P)))
+
+    def score_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "w1": pd.Series(dtype=object),
+                "w2": pd.Series(dtype=object),
+                "n_xy": pd.Series(dtype="int64"),
+                "pmi": pd.Series(dtype="float64"),
+            }
+        )
+        if "w1" not in g.columns or g.empty:
+            return empty
+        w1s, w2s, keep_n, pmis = [], [], [], []
+        for (a, b, c_xy), grp in g.groupby(["w1", "w2", "n_xy"], sort=True):
+            cx = grp.loc[grp["slot"] == 1, "c"]
+            cy = grp.loc[grp["slot"] == 2, "c"]
+            if cx.empty or cy.empty:
+                continue
+            c_x, c_y, c_xy = int(cx.iloc[0]), int(cy.iloc[0]), int(c_xy)
+            # IDENTICAL op order to the broadcast path — bit-exact
+            pmis.append(
+                math.log(
+                    (c_xy * 1.0 * n_uni * n_uni) / (n_bi * 1.0 * c_x * c_y)
+                )
+            )
+            w1s.append(a)
+            w2s.append(b)
+            keep_n.append(c_xy)
+        if not w1s:
+            return empty
+        return pd.DataFrame(
+            {"w1": w1s, "w2": w2s, "n_xy": keep_n, "pmi": pmis}
+        )
+
+    out = (
+        sides.map_batches(add_pair_pkey, batch_format="pyarrow")
+        .groupby("pk2", num_partitions=P)
+        .map_groups(score_pairs, batch_format="pandas")
+    )
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        want = ["w1", "w2", "n_xy", "pmi"]
+        if t.column_names != want:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_xy": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "w1": t.column("w1").combine_chunks().cast(pa.string()),
+                "w2": t.column("w2").combine_chunks().cast(pa.string()),
+                "n_xy": t.column("n_xy").combine_chunks().cast(pa.int64()),
+                "pmi": t.column("pmi").combine_chunks().cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(fix_schema, batch_format="pyarrow")
+
+
+_PMI_EMPTY = pa.table(
+    {
+        "key": pa.array([], pa.string()),
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "n_xy": pa.array([], pa.int64()),
+        "slot": pa.array([], pa.int8()),
+        "c": pa.array([], pa.int64()),
+    }
+)
 
 
 def text_hash_embedding(

@@ -23,12 +23,18 @@ HTML_MARKERS = (b"<html", b"<!doctype", b"<head", b"<body", b"<div", b"<p>", b"<
 def sniff_content_type(raw: bytes) -> str:
     """'html' | 'pdf' | 'text' | 'binary' | 'empty' — cheap deterministic
     sniff. The PDF magic may follow a short junk preamble (the spec
-    tolerates it within the first 1024 bytes)."""
+    tolerates it within the first 1024 bytes) — but an HTML marker
+    appearing BEFORE the magic wins, so an HTML page merely mentioning
+    '%PDF-' in an early script/comment is not misrouted to the PDF
+    parser (round-4 ADVICE: that fail-softed to silent content loss)."""
     if not raw:
         return "empty"
     head = raw[:4096]
-    if b"%PDF-" in head[:1024]:
-        return "pdf"
+    pdf_at = head[:1024].find(b"%PDF-")
+    if pdf_at >= 0:
+        before = head[:pdf_at].lower()
+        if not any(m in before for m in HTML_MARKERS):
+            return "pdf"
     lowered = head[:512].lstrip()[:256].lower()
     if any(m in lowered for m in HTML_MARKERS) or b"<" in lowered[:64] and b">" in lowered:
         if any(m in head.lower() for m in HTML_MARKERS):

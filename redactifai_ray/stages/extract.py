@@ -55,6 +55,14 @@ VOID_TAGS = frozenset(
     "br hr img meta link input area base col source track wbr".split()
 )
 
+# one-probe tag dispatch for the fused parser (round-4 perf pass):
+# 0 = inline/other, 1 = SKIP, 2 = BOILER, 3 = BLOCK, 4 = <a>, 5 = br/hr
+_TAG_CAT: dict[str, int] = {t: 3 for t in BLOCK_TAGS}
+_TAG_CAT.update({t: 1 for t in SKIP_TAGS})
+_TAG_CAT.update({t: 2 for t in BOILER_TAGS})
+_TAG_CAT["a"] = 4
+_TAG_CAT["br"] = _TAG_CAT["hr"] = 5
+
 # classification thresholds (deterministic; part of EXTRACTOR_VERSION)
 MIN_CONTENT_CHARS = 25
 MIN_HEADING_CHARS = 8
@@ -233,6 +241,125 @@ def _fast_events(html: str):
                 yield ("end", tag)
 
 
+def _parse_blocks_fast(html: str) -> list[_Block]:
+    """Fused tokenizer + block builder: the ``_fast_events`` regex scan
+    and the ``_BlockParser`` state machine in ONE loop — no generator
+    resumes, no per-event tuple allocation, no handler dispatch (round-4
+    perf pass; extraction was 62% of flagship wall). Semantics are
+    byte-identical to ``_fast_events`` → ``_BlockParser`` (test-pinned
+    against the stdlib path on the whole fixture corpus); ``_fast_events``
+    remains as the readable reference implementation."""
+    import html as _html
+
+    unescape = _html.unescape
+    search = _TAG_RE.search
+    cat = _TAG_CAT.get
+    blocks: list[_Block] = []
+    cur: _Block | None = None
+    skip_depth = 0
+    boiler_depth = 0
+    a_depth = 0
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            start = end = n
+        else:
+            start, end = m.span()
+        if start > pos and not skip_depth:
+            data = html[pos:start]
+            if "&" in data:
+                data = unescape(data)
+            if cur is None and data.strip():
+                cur = _Block("", boiler_depth > 0)
+            if cur is not None:
+                cur.parts.append(data)
+                if a_depth > 0:
+                    cur.link_chars += len(" ".join(data.split()))
+        if m is None:
+            break
+        closing, tag, selfclose = m.group(1, 2, 3)
+        pos = end
+        if tag is None:
+            continue  # comment/doctype/PI
+        tag = tag.lower()
+        c = cat(tag, 0)
+        if closing:
+            # -- end tag ------------------------------------------------
+            if c == 1:  # SKIP
+                if skip_depth:
+                    skip_depth -= 1
+            elif skip_depth:
+                pass
+            elif c == 2:  # BOILER
+                if cur is not None and cur.parts:
+                    blocks.append(cur)
+                cur = None
+                if boiler_depth:
+                    boiler_depth -= 1
+            elif c == 3 or c == 5:  # BLOCK (incl. br/hr)
+                if cur is not None and cur.parts:
+                    blocks.append(cur)
+                cur = None
+            elif c == 4:  # a
+                if a_depth:
+                    a_depth -= 1
+        elif selfclose:
+            # -- self-closing tag ----------------------------------------
+            if c == 5 and not skip_depth:  # br/hr
+                if cur is not None and cur.parts:
+                    blocks.append(cur)
+                cur = None
+        else:
+            # -- start tag ----------------------------------------------
+            if c == 1:  # SKIP
+                skip_depth += 1
+            elif skip_depth:
+                pass
+            elif c == 2:  # BOILER
+                if cur is not None and cur.parts:
+                    blocks.append(cur)
+                cur = None
+                boiler_depth += 1
+            elif c == 3:  # BLOCK
+                if cur is not None and cur.parts:
+                    blocks.append(cur)
+                cur = _Block(tag, boiler_depth > 0)
+            elif c == 5:  # br/hr
+                if cur is not None and cur.parts:
+                    blocks.append(cur)
+                cur = None
+            elif c == 4:  # a
+                a_depth += 1
+                if cur is not None:
+                    cur.n_tags += 1
+            elif cur is not None:
+                cur.n_tags += 1
+            # rawtext tags are SKIP (script/style/…) or cat-0 (title,
+            # textarea) — skip the dict probe for the other categories
+            rc = _RAWTEXT_CLOSE.get(tag) if c <= 1 else None
+            if rc is not None:
+                # raw-text element: skip straight to its closing tag,
+                # then apply end-tag semantics for it
+                mc = rc.search(html, pos)
+                if mc is None:
+                    halt = True
+                else:
+                    gt = html.find(">", mc.start())
+                    pos = (gt + 1) if gt >= 0 else n
+                    halt = False
+                # end-tag semantics (rawtext tags are SKIP or inline;
+                # none are BOILER/BLOCK/a)
+                if c == 1 and skip_depth:
+                    skip_depth -= 1
+                if halt:
+                    break
+    if cur is not None and cur.parts:
+        blocks.append(cur)
+    return blocks
+
+
 def _normalize(text: str) -> str:
     """Whitespace-collapse + NFC — the single normalization chosen for the
     byte-identical contract (SURVEY §7.5.1). ASCII fast path: NFC is the
@@ -251,9 +378,11 @@ def extract_blocks(
 
     Returns dicts ``{text, tag, link_density, text_density, is_content}``
     in document order; offsets are assigned later by ``assemble_text``.
-    ``parser_impl``: "fast" (regex tokenizer, default) or "stdlib"
-    (html.parser) — identical output on the whole fixture corpus (test-
-    pinned); stdlib kept as the cross-check reference.
+    ``parser_impl``: "fast" (fused regex tokenizer + block builder,
+    default), "events" (the two-stage ``_fast_events`` → ``_BlockParser``
+    pipeline the fused path must match), or "stdlib" (html.parser) —
+    identical output on the whole fixture corpus (test-pinned); the
+    slower impls are kept as cross-check references.
     ``profile``: an ``EXTRACT_PROFILES`` key selecting the classification
     thresholds (parse is shared; only block classification differs).
     """
@@ -264,8 +393,11 @@ def extract_blocks(
     min_density = prof["min_text_density"]
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
-    parser = _BlockParser()
     if parser_impl == "fast":
+        raw_blocks = _parse_blocks_fast(html)
+    elif parser_impl == "events":
+        # the readable reference pipeline the fused fast path must match
+        parser = _BlockParser()
         for kind, payload in _fast_events(html):
             if kind == "data":
                 parser.handle_data(payload)
@@ -276,12 +408,15 @@ def extract_blocks(
             else:  # startend
                 parser.handle_startendtag(payload, [])
         parser._flush()
+        raw_blocks = parser.blocks
     else:
+        parser = _BlockParser()
         parser.feed(html)
         parser.close()
+        raw_blocks = parser.blocks
 
     out: list[dict] = []
-    for b in parser.blocks:
+    for b in raw_blocks:
         text = _normalize("".join(b.parts))
         if not text:
             continue

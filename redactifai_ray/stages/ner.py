@@ -109,8 +109,23 @@ def collect_token_stats(
         )
 
     src = ds if sample_rows is None else ds.limit(sample_rows)
+    partials = src.map_batches(count_block, batch_format="pyarrow")
+    if sample_rows is None:
+        # unsampled: shuffle-reduce the vocab×blocks partials to
+        # vocab-scale before the driver gather (round-4)
+        from ray.data.aggregate import Sum
+
+        from ..cluster import default_partitions
+
+        partials = partials.groupby(
+            "tok", num_partitions=default_partitions()
+        ).aggregate(
+            Sum("cap_mid", alias_name="cap_mid"),
+            Sum("cap_any", alias_name="cap_any"),
+            Sum("lower", alias_name="lower"),
+        )
     total: dict[str, list[int]] = {}
-    for row in src.map_batches(count_block, batch_format="pyarrow").take_all():
+    for row in partials.take_all():
         e = total.setdefault(row["tok"], [0, 0, 0])
         e[0] += row["cap_mid"]
         e[1] += row["cap_any"]

@@ -28,6 +28,19 @@ class TestSniff:
     def test_empty(self):
         assert sniff_content_type(b"") == "empty"
 
+    def test_pdf_magic_with_junk_preamble(self):
+        assert sniff_content_type(b"junk\n%PDF-1.4\n1 0 obj") == "pdf"
+
+    def test_html_mentioning_pdf_magic_stays_html(self):
+        """Round-4 ADVICE regression: an HTML page whose early script/
+        comment contains the literal '%PDF-' must not be misrouted to
+        the PDF parser (which fail-softs to empty text)."""
+        raw = (
+            b"<!DOCTYPE html><html><head><script>var magic='%PDF-1.7';"
+            b"</script></head><body><p>real content</p></body></html>"
+        )
+        assert sniff_content_type(raw) == "html"
+
 
 class TestPatternsFile:
     def test_yaml_reference_schema(self, tmp_path):

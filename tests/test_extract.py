@@ -136,9 +136,32 @@ class TestFastParser:
 
         for i in range(0, 300, 3):
             rec = page_record(i)
-            assert extract_blocks(rec["html"], "fast") == extract_blocks(
-                rec["html"], "stdlib"
-            ), f"page {i}"
+            fast = extract_blocks(rec["html"], "fast")
+            assert fast == extract_blocks(rec["html"], "stdlib"), f"page {i}"
+            # the fused fast path must also match the two-stage event
+            # pipeline it replaced (round-4 perf pass)
+            assert fast == extract_blocks(rec["html"], "events"), f"page {i}"
+
+    def test_fused_equals_events_on_edge_cases(self):
+        from redactifai_ray.stages.extract import extract_blocks
+
+        cases = [
+            b"<p>unterminated <script>var x = '<p>fake</p>';",
+            b"<div><a href='#'>link text</a> and plain tail</div>",
+            b"<nav><p>menu items here</p></nav><p>body paragraph with "
+            b"plenty of characters to clear every threshold easily</p>",
+            b"text before any tag <p>then a block</p> trailing data",
+            b"<ul><li>one</li><li>two &amp; three</li></ul>",
+            b"<p>a<br/>b<br>c</p><hr><p>after rule more text here</p>",
+            b"<!-- comment --><!DOCTYPE html><?pi ?><p>content here ok</p>",
+            b"<title>skip me</title><textarea>raw</textarea><p>kept text</p>",
+            b"<header><h1>Site Head</h1></header><article><p>body copy "
+            b"long enough to classify as content for sure</p></article>",
+        ]
+        for html in cases:
+            assert extract_blocks(html, "fast") == extract_blocks(
+                html, "events"
+            ), html
 
     def test_textarea_rawtext_divergence(self):
         # the one intentional divergence: textarea content is rawtext
