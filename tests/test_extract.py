@@ -246,6 +246,48 @@ class TestPdfExtract:
             text, _ = extract_pdf_content(build_pdf(paras, compress=compress))
             assert text == "\n\n".join(paras)
 
+    def test_stream_bounds_hostile_flate_payloads(self):
+        """Round-4 hypothesis find: Flate payloads that END in a CR byte
+        or CONTAIN the literal b'\\nendstream' must still decode — naive
+        regex bounding clips or mis-bounds them."""
+        import zlib
+
+        from redactifai_ray.stages.pdfextract import _decode_streams
+
+        def obj(payload: bytes) -> bytes:
+            return (
+                b"1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(payload) + payload + b"\nendstream\nendobj\n"
+            )
+
+        # find content whose compressed form ends in \r (0x0D)
+        for i in range(50_000):
+            content = b"BT (payload %d) Tj ET" % i
+            z = zlib.compress(content)
+            if z.endswith(b"\r"):
+                got = _decode_streams(obj(z))
+                assert got == [content], "CR-terminated payload clipped"
+                break
+        else:
+            raise AssertionError("no CR-ending compressed form found")
+        # and one whose compressed form contains b"\nendstream"
+        probe = zlib.compress(b"x")  # cheap skip if never found
+        found = False
+        for i in range(200_000):
+            content = b"BT (doc %d content) Tj ET" % i
+            z = zlib.compress(content)
+            if b"\nendstream" in z:
+                assert _decode_streams(obj(z)) == [content]
+                found = True
+                break
+        if not found:  # astronomically unlikely either way — also cover
+            # the no-/Length fallback with a CR-ending payload
+            assert _decode_streams(
+                b"<< /Filter /FlateDecode >>\nstream\n" + zlib.compress(
+                    b"BT (no length key) Tj ET"
+                ) + b"\nendstream"
+            ) == [b"BT (no length key) Tj ET"]
+
     def test_et_bt_literal_boundaries_raw_stream(self):
         from redactifai_ray.stages.pdfextract import _lines_of_stream
 
