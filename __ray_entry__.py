@@ -149,6 +149,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dedup": q.q_incremental_near_dedup,
         # crawl snapshot diff (added/removed/changed/unchanged)
         "snapshot_diff": q.q_snapshot_diff,
+        # round-4: the scale-fallback paths run under the same oracle
+        # gate as their broadcast twins (caps forced to 0) — the
+        # distributed shard-by-term / semi-join / anti-join codepaths
+        # are value-oracled, not just equivalence-test-pinned
+        "pmi_sharded": q.q_pmi_sharded,
+        "tfidf_sharded": q.q_tfidf_sharded,
+        "tpch_q3_semijoin": q.q_tpch_q3_semijoin,
+        "customers_no_orders_anti": q.q_customers_no_orders_anti,
     }
 
 
@@ -159,7 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "an have not at but they you we his her its was were been has had"
     ).split()
     stop_list = ", ".join(f"'{w}'" for w in stop_en)
-    return {
+    sql = {
         "regex_counts": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '{email}', 0, 'i'))::BIGINT AS n_email,
@@ -783,3 +791,10 @@ def oracle_sql() -> dict[str, str]:
         # hashing, HTML DOM walk, trained centroids) → rows-only driver
         # checks; correctness pinned in tests/.
     }
+    # round-4 scale-fallback registrations: identical results, identical
+    # oracles — the queries only force the distributed codepaths (cap=0)
+    sql["pmi_sharded"] = sql["pmi_bigrams"]
+    sql["tfidf_sharded"] = sql["tfidf_top_terms"]
+    sql["tpch_q3_semijoin"] = sql["tpch_q3"]
+    sql["customers_no_orders_anti"] = sql["customers_no_orders"]
+    return sql

@@ -1471,6 +1471,40 @@ def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["w1", "w2"]).reset_index(drop=True)
 
 
+def q_pmi_sharded(sf_dir: str) -> pd.DataFrame:
+    """``pmi_bigrams`` with the broadcast cap forced to 0 so the
+    shard-by-term distributed path runs under the driver's oracle gate
+    (round-4: fallback paths are value-oracled, not just test-pinned).
+    Same oracle SQL as ``pmi_bigrams`` — results are bit-exact."""
+    from ..stages.analyze import pmi_bigrams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pmi_bigrams(docs, min_count=5, max_broadcast_vocab=0).to_pandas()
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def q_tfidf_sharded(sf_dir: str) -> pd.DataFrame:
+    """``tfidf_top_terms`` with the df broadcast cap forced to 0 — the
+    shard-by-term path under the oracle gate (same SQL, bit-exact)."""
+    from ..stages.analyze import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=3, max_broadcast_vocab=0).to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def q_tpch_q3_semijoin(sf_dir: str) -> pd.DataFrame:
+    """``q_tpch_q3`` with the key broadcast cap forced to 0 — the
+    join-free distributed semi-join path under the oracle gate."""
+    return q_tpch_q3(sf_dir, max_broadcast_keys=0)
+
+
+def q_customers_no_orders_anti(sf_dir: str) -> pd.DataFrame:
+    """``q_customers_no_orders`` with the cap forced to 0 — the
+    distributed ANTI-join path under the oracle gate."""
+    return q_customers_no_orders(sf_dir, max_broadcast_keys=0)
+
+
 def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     """Semantic k-means cluster sizes over the embeddings table
     (rows-only: trained centroids are not SQL-expressible; determinism

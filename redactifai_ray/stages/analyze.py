@@ -823,11 +823,19 @@ def pmi_bigrams(
 
 def _term_pkey(values, P: int) -> np.ndarray:
     """Deterministic vectorized string → partition key (pandas siphash
-    with its fixed default key — stable across processes and runs)."""
+    with its fixed default key — stable across processes and runs).
+
+    ``categorize=False`` is load-bearing: pandas 2.2's default
+    categorize path (factorize → hash categories → take) returns
+    content-dependent WRONG hashes for object arrays holding duplicate
+    strings with embedded NUL bytes (our "w1\\x00w2" pair keys) —
+    found round-4 when the sharded-PMI oracle dropped 86% of its pairs;
+    the element-wise siphash path is exact."""
     import pandas as pd
 
     return (
-        pd.util.hash_array(np.asarray(values, dtype=object)) % np.uint64(P)
+        pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+        % np.uint64(P)
     ).astype(np.int64)
 
 

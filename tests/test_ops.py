@@ -1095,6 +1095,20 @@ class TestPmiBigrams:
         pd.testing.assert_frame_equal(fast, slow)  # bit-exact
         assert len(fast) > 0
 
+    def test_term_pkey_batch_equals_elementwise(self):
+        """Round-4 regression: pandas' hash_array(categorize=True)
+        returns content-dependent WRONG hashes for object arrays with
+        duplicate NUL-bearing strings (the \\x00-joined pair keys) —
+        batch hashing must equal element-wise hashing."""
+        import numpy as np
+
+        from redactifai_ray.stages.analyze import _term_pkey
+
+        keys = [f"w{i % 7}\x00t{i % 11}" for i in range(500)]
+        batch = _term_pkey(keys, 64)
+        rowwise = np.array([_term_pkey([k], 64)[0] for k in keys])
+        assert (batch == rowwise).all()
+
     def test_tfidf_sharded_fallback_matches_broadcast(self, ray_session):
         import ray.data
 
