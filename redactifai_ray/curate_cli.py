@@ -66,9 +66,12 @@ def main(argv=None) -> int:
                     help="incremental mode: dedup this input against the "
                          "persisted content-hash store at DIR (and within "
                          "itself), then append this run's surviving hashes "
-                         "under DIR/run=<name of the output dir>. Combine "
-                         "with --dedup none; mutually exclusive with other "
-                         "dedup modes")
+                         "under DIR/run=<name of the output dir>. The run "
+                         "name identifies an attempt-idempotent increment: "
+                         "a retry with the same output dir never dedups "
+                         "against its own crashed attempt and overwrites "
+                         "its store subdir. Combine with --dedup none; "
+                         "mutually exclusive with other dedup modes")
     ap.add_argument("--decontaminate", default=None, metavar="TEST_PARQUET",
                     help="parquet of eval documents; drop training docs "
                          "sharing a 13-gram with it")
