@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate as their broadcast twins (caps forced to 0) — the
         # distributed shard-by-term / semi-join / anti-join codepaths
         # are value-oracled, not just equivalence-test-pinned
+        # ExactSubstr repeated-substring signal (Lee et al. 2022 shape)
+        "repeated_substrings": q.q_repeated_substrings,
         "pmi_sharded": q.q_pmi_sharded,
         "tfidf_sharded": q.q_tfidf_sharded,
         "tpch_q3_semijoin": q.q_tpch_q3_semijoin,
@@ -791,6 +793,26 @@ def oracle_sql() -> dict[str, str]:
         # hashing, HTML DOM walk, trained centroids) → rows-only driver
         # checks; correctness pinned in tests/.
     }
+    sql["repeated_substrings"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8
+        ),
+        wins AS (
+            SELECT doc_id, array_to_string(t[i:i+7], ' ') AS w FROM pos
+        ),
+        dup AS (
+            SELECT w FROM wins GROUP BY w
+            HAVING count(DISTINCT doc_id) > 1
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+        FROM wins WHERE w IN (SELECT w FROM dup)
+        GROUP BY doc_id ORDER BY doc_id
+    """
     # round-4 scale-fallback registrations: identical results, identical
     # oracles — the queries only force the distributed codepaths (cap=0)
     sql["pmi_sharded"] = sql["pmi_bigrams"]

@@ -72,6 +72,11 @@ def main(argv=None) -> int:
                          "against its own crashed attempt and overwrites "
                          "its store subdir. Combine with --dedup none; "
                          "mutually exclusive with other dedup modes")
+    ap.add_argument("--substr-dedup", type=int, default=None, metavar="K",
+                    help="ExactSubstr-style cross-document substring "
+                         "dedup: remove K-token windows shared with a "
+                         "lower-id document (first doc wins; runs after "
+                         "the doc-level dedup stage)")
     ap.add_argument("--decontaminate", default=None, metavar="TEST_PARQUET",
                     help="parquet of eval documents; drop training docs "
                          "sharing a 13-gram with it")
@@ -153,6 +158,13 @@ def main(argv=None) -> int:
             ds = near_dedup(
                 ds, threshold=args.near_threshold,
                 text_col=args.text_col, id_col=args.id_col,
+            )
+        if args.substr_dedup:
+            from .stages.curate import remove_repeated_substrings
+
+            ds = remove_repeated_substrings(
+                ds, text_col=args.text_col, id_col=args.id_col,
+                k=args.substr_dedup,
             )
         if args.decontaminate:
             from .stages.curate import decontaminate

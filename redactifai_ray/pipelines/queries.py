@@ -1471,6 +1471,19 @@ def q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["w1", "w2"]).reset_index(drop=True)
 
 
+def q_repeated_substrings(sf_dir: str) -> pd.DataFrame:
+    """Per-document count of 8-token windows shared with ≥ 1 other
+    document — the ExactSubstr duplication signal (Lee et al. 2022) as
+    a distributed window-hash fold. Oracle-exact: the SQL twin builds
+    the same windows with list slicing and counts windows whose
+    distinct-doc frequency exceeds 1."""
+    from ..stages.curate import repeated_window_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = repeated_window_counts(docs, k=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pmi_sharded(sf_dir: str) -> pd.DataFrame:
     """``pmi_bigrams`` with the broadcast cap forced to 0 so the
     shard-by-term distributed path runs under the driver's oracle gate

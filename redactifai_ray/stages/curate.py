@@ -1031,3 +1031,260 @@ def winsorize(
         return batch.append_column(dst, arr)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+# ------------------------------------------------ repeated substrings --
+
+
+def _window_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """stable_hash64 of every k-token window, masked into int64 range."""
+    n = len(tokens) - k + 1
+    if n <= 0:
+        return np.empty(0, np.int64)
+    out = np.empty(n, np.int64)
+    for i in range(n):
+        out[i] = stable_hash64(" ".join(tokens[i : i + k])) & 0x7FFFFFFFFFFFFFFF
+    return out
+
+
+def _winnow_positions(whashes: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing minimizer positions (Schleimer et al. 2003): for each
+    length-``w`` window over the hash sequence keep the position of the
+    RIGHTMOST minimum; consecutive duplicates collapse. Guarantee: any
+    shared token run of length ≥ k + w - 1 shares ≥ 1 selected window."""
+    n = len(whashes)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if n <= w:
+        return np.array([int(np.flatnonzero(whashes == whashes.min())[-1])])
+    keep: list[int] = []
+    prev = -1
+    for s in range(n - w + 1):
+        win = whashes[s : s + w]
+        p = s + int(np.flatnonzero(win == win.min())[-1])
+        if p != prev:
+            keep.append(p)
+            prev = p
+    return np.asarray(keep, np.int64)
+
+
+def _emit_window_rows(
+    text_col: str, id_col: str, k: int, mode: str, winnow_w: int,
+    with_starts: bool,
+):
+    """Batch fn → slim (whash, doc_id[, start], n, pkey) window rows.
+    ``exact`` emits every window (the ExactSubstr contract); ``winnow``
+    emits only minimizer windows — the 100-TB scale path (≈ 2/(w+1) of
+    the rows; detection guaranteed for shared runs ≥ k + w - 1 tokens)."""
+    P = default_partitions()
+
+    def f(batch: pa.Table) -> pa.Table:
+        whs: list[int] = []
+        dids: list[int] = []
+        starts: list[int] = []
+        ns: list[int] = []
+        for did, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = (t or "").split()
+            h = _window_hashes(toks, k)
+            if h.size == 0:
+                continue
+            pos = (
+                np.arange(h.size, dtype=np.int64)
+                if mode == "exact"
+                else _winnow_positions(h, winnow_w)
+            )
+            if with_starts:
+                for p in pos:
+                    whs.append(int(h[p]))
+                    dids.append(int(did))
+                    starts.append(int(p))
+                    ns.append(1)
+            else:
+                # combine per (window, doc) inside the batch
+                agg: dict[int, int] = {}
+                for p in pos:
+                    key = int(h[p])
+                    agg[key] = agg.get(key, 0) + 1
+                for key, n in agg.items():
+                    whs.append(key)
+                    dids.append(int(did))
+                    ns.append(n)
+        cols = {
+            "whash": pa.array(whs, pa.int64()),
+            id_col: pa.array(dids, pa.int64()),
+        }
+        if with_starts:
+            cols["start"] = pa.array(starts, pa.int64())
+        cols["n"] = pa.array(ns, pa.int64())
+        cols["pkey"] = pa.array(
+            (np.asarray(whs, np.int64) % P).astype(np.int64)
+            if whs else np.empty(0, np.int64)
+        )
+        return pa.table(cols)
+
+    return f
+
+
+def repeated_window_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    mode: str = "exact",
+    winnow_w: int = 16,
+) -> ray.data.Dataset:
+    """Per document: how many of its k-token windows ALSO occur in at
+    least one OTHER document — the ExactSubstr duplication signal (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") as a distributed fold. Returns (id_col, n_dup_windows),
+    docs with ≥ 1 duplicated window only.
+
+    Scale shape: the exchange carries one slim (whash, doc, n) row per
+    distinct (window, doc) — token-scale, which is inherent to exact
+    substring dedup — and ONE window-keyed hash-partition groupby finds
+    windows spanning ≥ 2 distinct docs (vectorized run scan); a final
+    doc-keyed groupby sums per-doc contributions (doc-scale). For
+    100-TB corpora run ``mode="winnow"``: winnowing minimizer sampling
+    cuts the exchange ≈ (w+1)/2× while guaranteeing detection of any
+    shared run of ≥ k + winnow_w - 1 tokens."""
+    from ray.data.aggregate import Sum
+
+    P = default_partitions()
+    rows = ds.map_batches(
+        _emit_window_rows(text_col, id_col, k, mode, winnow_w, False),
+        batch_format="pyarrow",
+    )
+
+    def dup_contrib(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "n_dup_windows": pd.Series(dtype="int64")}
+        )
+        if "whash" not in g.columns or g.empty:
+            return empty
+        g = g.sort_values("whash", kind="mergesort")
+        wh = g["whash"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], wh[1:] != wh[:-1]]))
+        counts = np.diff(np.append(starts, len(g)))
+        dids = g[id_col].to_numpy(np.int64)
+        ns = g["n"].to_numpy(np.int64)
+        out_d: list[int] = []
+        out_n: list[int] = []
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue  # rows are per (window, doc): c ≥ 2 ⇔ ≥ 2 docs
+            for j in range(s, s + c):
+                out_d.append(int(dids[j]))
+                out_n.append(int(ns[j]))
+        if not out_d:
+            return empty
+        return pd.DataFrame({id_col: out_d, "n_dup_windows": out_n})
+
+    return (
+        rows.groupby("pkey", num_partitions=P)
+        .map_groups(dup_contrib, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Sum("n_dup_windows", alias_name="n_dup_windows"))
+    )
+
+
+def remove_repeated_substrings(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    out_col: Optional[str] = None,
+    max_broadcast_losers: int = 5_000_000,
+) -> ray.data.Dataset:
+    """ExactSubstr-style cross-document substring dedup: for every
+    k-token window occurring in ≥ 2 distinct documents, the document
+    with the MINIMUM id keeps its occurrences; every other document has
+    the covered token range removed (overlapping ranges union before
+    cutting, so a shared passage of any length ≥ k vanishes from the
+    losers in one pass). Within-document repetition is left alone —
+    that is the Gopher repetition gate's job.
+
+    Scale shape: one slim (whash, doc, start) exchange + one
+    window-keyed groupby emits loser occurrences only (duplication
+    volume, ≪ corpus); losers broadcast once (``max_broadcast_losers``
+    cap — the same increments-must-fit contract as the dedup stores)
+    and the cut is a per-batch vectorized token mask. Text never
+    shuffles."""
+    P = default_partitions()
+    rows = ds.map_batches(
+        _emit_window_rows(text_col, id_col, k, "exact", 0, True),
+        batch_format="pyarrow",
+    )
+
+    def loser_occurrences(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "start": pd.Series(dtype="int64")}
+        )
+        if "whash" not in g.columns or g.empty:
+            return empty
+        g = g.sort_values(["whash", id_col], kind="mergesort")
+        wh = g["whash"].to_numpy(np.int64)
+        dids = g[id_col].to_numpy(np.int64)
+        sts = g["start"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.concatenate([[True], wh[1:] != wh[:-1]]))
+        counts = np.diff(np.append(bounds, len(g)))
+        out_d: list[int] = []
+        out_s: list[int] = []
+        for s, c in zip(bounds, counts):
+            run_d = dids[s : s + c]
+            if run_d[0] == run_d[-1]:  # sorted: single doc → not cross-doc
+                continue
+            winner = run_d[0]  # min doc id (sorted)
+            for j in range(s, s + c):
+                if run_d[j - s] != winner:
+                    out_d.append(int(dids[j]))
+                    out_s.append(int(sts[j]))
+        if not out_d:
+            return empty
+        return pd.DataFrame({id_col: out_d, "start": out_s})
+
+    loser_rows = (
+        rows.groupby("pkey", num_partitions=P)
+        .map_groups(loser_occurrences, batch_format="pandas")
+        .take(max_broadcast_losers + 1)
+    )
+    if len(loser_rows) > max_broadcast_losers:
+        raise ValueError(
+            f"remove_repeated_substrings found >{max_broadcast_losers} "
+            "duplicated window occurrences; raise the cap or pre-dedup "
+            "with chunk_dedup/near_dedup first (duplication volume must "
+            "stay ≪ corpus — the ExactSubstr contract)"
+        )
+    by_doc: dict[int, list[int]] = {}
+    for r in loser_rows:
+        by_doc.setdefault(int(r[id_col]), []).append(int(r["start"]))
+    ref = ray.put({d: np.asarray(sorted(s), np.int64) for d, s in by_doc.items()})
+    dst = out_col or text_col
+    state: dict = {}
+
+    def cut(batch: pa.Table) -> pa.Table:
+        if "ranges" not in state:
+            state["ranges"] = ray.get(ref)
+        ranges = state["ranges"]
+        out: list[Optional[str]] = []
+        for did, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            starts = ranges.get(int(did))
+            if starts is None or t is None:
+                out.append(t)
+                continue
+            toks = t.split()
+            keep = np.ones(len(toks), bool)
+            for st in starts:
+                keep[st : st + k] = False
+            out.append(" ".join(tok for tok, kf in zip(toks, keep) if kf))
+        arr = pa.array(out, pa.string())
+        if dst in batch.column_names:
+            return batch.set_column(batch.column_names.index(dst), dst, arr)
+        return batch.append_column(dst, arr)
+
+    return ds.map_batches(cut, batch_format="pyarrow")

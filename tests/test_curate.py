@@ -513,3 +513,99 @@ class TestInvertedIndex:
         ]
         out = inverted_index(_docs(rows), min_df=2).to_pandas()
         assert out["term"].tolist() == ["common"]
+
+
+class TestRepeatedSubstrings:
+    """ExactSubstr-style cross-document window dedup (round-4)."""
+
+    def _corpus(self):
+        shared = " ".join(f"dup{i}" for i in range(12))  # 12-token passage
+        return [
+            {"doc_id": 0, "text": f"intro words here {shared} tail zero"},
+            {"doc_id": 1, "text": f"other opening {shared} closing one"},
+            {"doc_id": 2, "text": "totally unrelated content with enough words"},
+            # within-doc repetition only: NOT cross-doc, must not count
+            {"doc_id": 3, "text": ("self rep " + " ".join(f"s{i}" for i in range(8)) + " mid " + " ".join(f"s{i}" for i in range(8)))},
+        ]
+
+    @staticmethod
+    def _brute_counts(rows, k):
+        from collections import Counter, defaultdict
+
+        win_docs = defaultdict(set)
+        per_doc = defaultdict(Counter)
+        for r in rows:
+            toks = r["text"].split()
+            for i in range(len(toks) - k + 1):
+                w = " ".join(toks[i : i + k])
+                win_docs[w].add(r["doc_id"])
+                per_doc[r["doc_id"]][w] += 1
+        out = {}
+        for d, c in per_doc.items():
+            n = sum(v for w, v in c.items() if len(win_docs[w]) > 1)
+            if n:
+                out[d] = n
+        return out
+
+    def test_counts_match_brute_force(self, ray_session):
+        from redactifai_ray.stages.curate import repeated_window_counts
+
+        rows = self._corpus()
+        out = repeated_window_counts(_docs(rows), k=8).to_pandas()
+        got = dict(zip(out["doc_id"], out["n_dup_windows"]))
+        assert got == self._brute_counts(rows, 8)
+        # a 12-token shared passage has 5 duplicated 8-token windows
+        assert got[0] == 5 and got[1] == 5
+        assert 2 not in got and 3 not in got  # unrelated + within-doc only
+
+    def test_winnow_detects_long_shared_runs(self, ray_session):
+        """Winnowing guarantee: a shared run of ≥ k + w - 1 tokens must
+        surface in winnow mode, and winnow rows are a subset signal."""
+        from redactifai_ray.stages.curate import repeated_window_counts
+
+        shared = " ".join(f"x{i}" for i in range(30))  # ≥ 8 + 16 - 1
+        rows = [
+            {"doc_id": 0, "text": f"aaa {shared} bbb"},
+            {"doc_id": 1, "text": f"ccc ddd {shared} eee"},
+            {"doc_id": 2, "text": "nothing shared in this one at all"},
+        ]
+        out = repeated_window_counts(
+            _docs(rows), k=8, mode="winnow", winnow_w=16
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["n_dup_windows"]))
+        assert 0 in got and 1 in got and 2 not in got
+        exact = repeated_window_counts(_docs(rows), k=8).to_pandas()
+        ex = dict(zip(exact["doc_id"], exact["n_dup_windows"]))
+        assert got[0] <= ex[0] and got[1] <= ex[1]  # sampled subset
+
+    def test_removal_first_doc_wins(self, ray_session):
+        from redactifai_ray.stages.curate import remove_repeated_substrings
+
+        rows = self._corpus()
+        out = (
+            remove_repeated_substrings(_docs(rows), k=8)
+            .to_pandas()
+            .set_index("doc_id")["text"]
+        )
+        shared = " ".join(f"dup{i}" for i in range(12))
+        # min doc id keeps the passage byte-for-byte
+        assert out[0] == rows[0]["text"]
+        # the loser loses the WHOLE shared passage (overlap union), the
+        # rest of the doc survives
+        assert shared not in out[1]
+        for tok in ("other", "opening", "closing", "one"):
+            assert tok in out[1]
+        assert all(f"dup{i}" not in out[1] for i in range(12))
+        # untouched docs are byte-identical
+        assert out[2] == rows[2]["text"]
+        assert out[3] == rows[3]["text"]
+
+    def test_removal_cap_raises(self, ray_session):
+        from redactifai_ray.stages.curate import remove_repeated_substrings
+
+        same = " ".join(f"w{i}" for i in range(20))
+        rows = [{"doc_id": i, "text": same} for i in range(4)]
+        with pytest.raises(ValueError, match="duplicated window"):
+            remove_repeated_substrings(
+                _docs(rows), k=8, max_broadcast_losers=2
+            )

@@ -384,6 +384,53 @@ class TestCurateCli:
         pq.write_table(t, src)
         return str(src)
 
+    def test_substr_dedup_flag(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        # flanking tokens deliberately differ between the two docs so the
+        # shared run is EXACTLY the 10 boil tokens (shared context words
+        # would legitimately extend the removed range)
+        shared = " ".join(f"boil{j}" for j in range(10))
+        rows = [
+            {"doc_id": 0, "text": f"first page {shared} alpha zero words"},
+            {"doc_id": 1, "text": f"second leaf {shared} unique one words"},
+            {"doc_id": 2, "text": "a page with nothing shared anywhere"},
+        ]
+        src = tmp_path / "ss.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                    "text": pa.array([r["text"] for r in rows], pa.string()),
+                }
+            ),
+            src,
+        )
+        out = str(tmp_path / "ss_out")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(
+                ["--input", str(src), "--output", out, "--substr-dedup", "8"]
+            )
+        assert rc == 0
+        s = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert s["rows_out"] == 3  # substring dedup edits text, keeps rows
+        con = duckdb.connect()
+        texts = dict(
+            con.sql(f"select doc_id, text from '{out}/docs/*.parquet'").fetchall()
+        )
+        assert texts[0] == rows[0]["text"]  # min-id doc keeps the passage
+        assert "boil0" not in texts[1] and "unique one words" in texts[1]
+        assert texts[2] == rows[2]["text"]
+
     def test_full_chain(self, ray_session, tmp_path):
         import io
         import json as _json
