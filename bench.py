@@ -187,6 +187,15 @@ def run_bench() -> dict:
             threshold=0.5,
         ).count(),
     )
+    from redactifai_ray.stages.curate import repeated_window_counts
+
+    timed(
+        "substr_dedup",
+        lambda: repeated_window_counts(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+            k=8,
+        ).count(),
+    )
     timed(
         "text_stats",
         lambda: add_text_stats(
