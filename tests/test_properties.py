@@ -187,6 +187,29 @@ class TestUrlProperties:
         assert registrable_domain(c) == registrable_domain(url)
 
 
+class TestFusedParserProperties:
+    @example("<p>unterminated <script>var x='<p>f</p>';")
+    @example("a<div><a href=x>l</a>t</div><nav><p>m</p></nav><p>bb</p>")
+    @example("<P >case<BR/>mix</p ><!--c--><![CDATA[x]]><?pi?>tail")
+    @example("<textarea><p>raw</p></textarea><title>t</title>rest")
+    @given(
+        st.text(
+            alphabet=st.sampled_from(
+                list("<>/ &;abpdivnavscriptstylebr=\"'!-[]?x \n\t")
+            ),
+            max_size=300,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_fused_equals_event_pipeline_on_tag_soup(self, html):
+        """The fused single-pass parser (round-4 perf path) must emit
+        byte-identical blocks to the two-stage event pipeline on ANY
+        input, including malformed tag soup."""
+        from redactifai_ray.stages.extract import extract_blocks
+
+        assert extract_blocks(html, "fast") == extract_blocks(html, "events")
+
+
 class TestPdfProperties:
     @given(st.binary(max_size=4000))
     @settings(max_examples=200, deadline=None)
