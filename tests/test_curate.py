@@ -609,3 +609,33 @@ class TestRepeatedSubstrings:
             remove_repeated_substrings(
                 _docs(rows), k=8, max_broadcast_losers=2
             )
+
+
+class TestRepeatedSubstringsProperty:
+    def test_random_corpora_match_brute_force(self, ray_session):
+        """Deterministic pseudo-random corpora over a tiny alphabet (to
+        force genuine cross-doc window collisions) must match the
+        brute-force duplicated-window counts exactly."""
+        import numpy as np
+
+        from redactifai_ray.stages.curate import repeated_window_counts
+
+        rng = np.random.RandomState(7)
+        for trial in range(8):
+            n_docs = int(rng.randint(2, 7))
+            rows = []
+            for d in range(n_docs):
+                n_tok = int(rng.randint(0, 16))
+                toks = [
+                    "abcd"[rng.randint(0, 4)] + str(rng.randint(0, 2))
+                    for _ in range(n_tok)
+                ]
+                rows.append({"doc_id": d, "text": " ".join(toks)})
+            out = repeated_window_counts(_docs(rows), k=3).to_pandas()
+            got = (
+                dict(zip(out["doc_id"], out["n_dup_windows"]))
+                if "doc_id" in out.columns
+                else {}
+            )
+            want = TestRepeatedSubstrings._brute_counts(rows, 3)
+            assert got == want, (trial, rows)

@@ -1299,6 +1299,37 @@ class TestIncrementalDedup:
                 max_broadcast_losers=2,
             )
 
+    def test_chain_equals_global_dedup(self, ray_session, tmp_path):
+        """Invariant: with ids increasing across increments (crawl-global
+        ids, the store contract), chaining incremental_exact_dedup over
+        the increments keeps exactly the docs a single global exact_dedup
+        over the concatenation keeps (min id per content)."""
+        import ray.data
+
+        from redactifai_ray.stages.dedup import (
+            exact_dedup,
+            incremental_exact_dedup,
+        )
+
+        texts = [f"content {i % 7}" for i in range(30)]  # 7 distinct
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        store = str(tmp_path / "chain")
+        survivors: list[int] = []
+        for k in range(3):  # three increments of 10
+            out = incremental_exact_dedup(
+                ray.data.from_items(rows[k * 10 : (k + 1) * 10]),
+                store,
+                run_id=f"r{k}",
+            ).to_pandas()
+            if "doc_id" in out.columns:
+                survivors.extend(int(d) for d in out["doc_id"])
+        global_ids = sorted(
+            int(d)
+            for d in exact_dedup(ray.data.from_items(rows))
+            .to_pandas()["doc_id"]
+        )
+        assert sorted(survivors) == global_ids == list(range(7))
+
 
 class TestWinsorize:
     def test_clips_to_exact_quantiles(self, ray_session):
