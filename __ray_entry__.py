@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_sharded": q.q_tfidf_sharded,
         "tpch_q3_semijoin": q.q_tpch_q3_semijoin,
         "customers_no_orders_anti": q.q_customers_no_orders_anti,
+        # round-4: six-table star join (Q5) + EXISTS semi-join (Q4-style)
+        "tpch_q5": q.q_tpch_q5,
+        "tpch_q4r": q.q_tpch_q4r,
     }
 
 
@@ -269,6 +272,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate
             ORDER BY revenue DESC, l.l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q5": """
+            -- money sum via exact fixed-point int64 (q_tpch_q5 docstring)
+            SELECT n_name,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                  + 0.5) AS BIGINT)) AS revenue_c
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue_c DESC, n_name
+        """,
+        "tpch_q4r": """
+            -- Q4-style EXISTS adapted to this schema (no commit/receipt
+            -- dates): orders with at least one returned lineitem
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "tpch_q17": """
             -- correlated scalar subquery written as aggregate-then-rejoin;

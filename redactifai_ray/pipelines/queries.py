@@ -2066,3 +2066,408 @@ def q_tpch_q17(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
     n_items = int(agg["n_items"] or 0)
     avg_yearly = (rev_c / 100.0) / 7.0 if n_items else float("nan")
     return pd.DataFrame({"avg_yearly": [avg_yearly], "n_items": [n_items]})
+
+
+def q_tpch_q5(
+    sf_dir: str,
+    region: str = "ASIA",
+    max_broadcast_keys: int = 2_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q5-style six-table join: 1996 revenue by nation within one
+    region, counting only lineitems whose supplier nation equals the
+    ordering customer's nation (reference analog: the multi-entity
+    provenance joins of `src/services/deidentification_service.py`'s
+    page→entity→policy chain, lifted to the TPC-H star schema).
+
+    Distributed shape — fact rows never gather on the driver and the
+    only full exchanges move slim integer partials:
+
+    1. region⋈nation is driver-side (≤25 rows, the justified-broadcast
+       dimension case) → {nationkey: name} for the region;
+    2. supplier is fact-scaled at real TPC-H (sf×10k): while its
+       region-filtered (suppkey, nationkey) pairs fit
+       ``max_broadcast_keys`` they broadcast as sorted arrays for a
+       searchsorted lookup inside the lineitem pass; beyond the cap the
+       suppkey→nationkey lookup becomes a join-free union +
+       hash-partition merge (the ``_semijoin_on_key`` house pattern,
+       here as a lookup join) over per-batch (orderkey, suppkey)
+       revenue partials;
+    3. lineitem pre-aggregates fixed-point revenue cents×100 per
+       (orderkey, supplier-nation) inside ``map_batches`` — the
+       exchange rides three int64 columns;
+    4. orders date-filters to [1996-01-01, 1997-01-01) and resolves the
+       customer nation through a join-free union merge on custkey with
+       the region-filtered slim customer projection (both sides are
+       fact tables — no broadcast, no ``Dataset.join``; see
+       ``_semijoin_on_key`` for why Acero's join is avoided);
+    5. the two partial streams merge join-free on orderkey; partitions
+       keep only rows with supplier-nation == customer-nation and emit
+       per-nation partial sums, so the final groupby is ≤25 rows.
+
+    Revenue uses the q_tpch_q1/q3 fixed-point convention
+    (floor(price×(1−discount)×10000 + 0.5) summed in int64), so the
+    oracle hash is exact under any accumulation order.
+    """
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    (rkeys,) = (reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy(),)
+    in_region = nation[nation["n_regionkey"].isin(rkeys)]
+    nk_to_name = dict(
+        zip(in_region["n_nationkey"].astype(int), in_region["n_name"])
+    )
+    if not nk_to_name:
+        return pd.DataFrame(
+            {"n_name": pd.Series(dtype="object"),
+             "revenue_c": pd.Series(dtype="int64")}
+        )
+    region_nk = pa.array(sorted(nk_to_name), pa.int64())
+
+    # -- supplier side: suppkey → nationkey for suppliers in the region --
+    def supp_slim(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["s_nationkey"].cast(pa.int64()), value_set=region_nk)
+        ).select(["s_suppkey", "s_nationkey"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_slim, batch_format="pyarrow"
+    )
+    supp_rows = supp.take(max_broadcast_keys + 1)
+    broadcast = len(supp_rows) <= max_broadcast_keys
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def li_empty() -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "s_nationkey": pa.array([], pa.int64()),
+                "rev_c": pa.array([], pa.int64()),
+            }
+        )
+
+    def _rev_cents(batch: pa.Table, sel: np.ndarray) -> np.ndarray:
+        price = np.asarray(batch["l_extendedprice"], np.float64)[sel]
+        disc = np.asarray(batch["l_discount"], np.float64)[sel]
+        return np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+
+    if broadcast:
+        s_pk = np.sort(
+            np.array([r["s_suppkey"] for r in supp_rows], dtype=np.int64)
+        )
+        by_key = {int(r["s_suppkey"]): int(r["s_nationkey"]) for r in supp_rows}
+        s_nk = np.array([by_key[int(k)] for k in s_pk], dtype=np.int64)
+        supp_ref = ray.put((s_pk, s_nk))
+        sstate: dict = {}
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            if "s" not in sstate:
+                sstate["s"] = ray.get(supp_ref)
+            spk, snk = sstate["s"]
+            pk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+            pos = np.searchsorted(spk, pk)
+            pos_c = np.minimum(pos, len(spk) - 1)
+            ok = (pos < len(spk)) & (spk[pos_c] == pk)
+            if not ok.any():
+                return li_empty()
+            t = pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        np.asarray(batch["l_orderkey"], np.int64)[ok], pa.int64()
+                    ),
+                    "s_nationkey": pa.array(snk[pos_c[ok]], pa.int64()),
+                    "rev_c": pa.array(_rev_cents(batch, ok), pa.int64()),
+                }
+            )
+            g = t.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+                [("rev_c", "sum")]
+            )
+            return g.rename_columns(["l_orderkey", "s_nationkey", "rev_c"])
+
+        li_part = _read(sf_dir, "lineitem", li_cols).map_batches(
+            li_partial, batch_format="pyarrow"
+        )
+    else:
+        # join-free suppkey→nationkey lookup: union per-batch
+        # (orderkey, suppkey, rev_c) partials with flagged supplier rows,
+        # hash-partition by suppkey, resolve in-partition.
+        def li_by_supp(batch: pa.Table) -> pa.Table:
+            all_sel = np.ones(batch.num_rows, dtype=bool)
+            t = pa.table(
+                {
+                    "key": batch["l_suppkey"].combine_chunks().cast(pa.int64()),
+                    "l_orderkey": batch["l_orderkey"].combine_chunks().cast(pa.int64()),
+                    "rev_c": pa.array(_rev_cents(batch, all_sel), pa.int64()),
+                }
+            )
+            g = t.group_by(["key", "l_orderkey"]).aggregate([("rev_c", "sum")])
+            t = g.rename_columns(["key", "l_orderkey", "rev_c"])
+            return t.append_column(
+                "s_nationkey", pa.nulls(t.num_rows, pa.int64())
+            ).append_column(
+                "is_dim", pa.nulls(t.num_rows, pa.int8()).fill_null(0)
+            )
+
+        def supp_dim_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "key": batch["s_suppkey"].combine_chunks().cast(pa.int64()),
+                    "l_orderkey": pa.nulls(n, pa.int64()),
+                    "rev_c": pa.nulls(n, pa.int64()),
+                    "s_nationkey": batch["s_nationkey"].combine_chunks().cast(pa.int64()),
+                    "is_dim": pa.nulls(n, pa.int8()).fill_null(1),
+                }
+            )
+
+        def add_pkey(t: pa.Table) -> pa.Table:
+            k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+        stream = (
+            _read(sf_dir, "lineitem", li_cols)
+            .map_batches(li_by_supp, batch_format="pyarrow")
+            .union(supp.map_batches(supp_dim_rows, batch_format="pyarrow"))
+            .map_batches(add_pkey, batch_format="pyarrow")
+        )
+
+        def resolve_nation(g: pd.DataFrame) -> pd.DataFrame:
+            if "key" not in g.columns:
+                return li_empty().to_pandas()
+            dim = g[g["is_dim"] == 1]
+            lut = dict(zip(dim["key"].astype(np.int64),
+                           dim["s_nationkey"].astype(np.int64)))
+            f = g[g["is_dim"] == 0]
+            nk = f["key"].map(lut)
+            keep = nk.notna()
+            out = pd.DataFrame(
+                {
+                    "l_orderkey": f.loc[keep, "l_orderkey"].astype(np.int64),
+                    "s_nationkey": nk[keep].astype(np.int64),
+                    "rev_c": f.loc[keep, "rev_c"].astype(np.int64),
+                }
+            )
+            return out
+
+        li_part = stream.groupby("pkey", num_partitions=P).map_groups(
+            resolve_nation, batch_format="pandas"
+        )
+
+    # -- orders side: (orderkey, customer nationkey) for in-range orders --
+    def ord_slim(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        return batch.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders_slim = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_slim, batch_format="pyarrow")
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["c_nationkey"].cast(pa.int64()), value_set=region_nk)
+        ).select(["c_custkey", "c_nationkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_slim, batch_format="pyarrow"
+    )
+
+    def ord_fact_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_custkey"].combine_chunks().cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "c_nationkey": pa.nulls(t.num_rows, pa.int64()),
+                "is_dim": pa.nulls(t.num_rows, pa.int8()).fill_null(0),
+            }
+        )
+
+    def cust_dim_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["c_custkey"].combine_chunks().cast(pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "c_nationkey": t["c_nationkey"].combine_chunks().cast(pa.int64()),
+                "is_dim": pa.nulls(t.num_rows, pa.int8()).fill_null(1),
+            }
+        )
+
+    def add_pkey2(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    ord_stream = (
+        orders_slim.map_batches(ord_fact_rows, batch_format="pyarrow")
+        .union(cust.map_batches(cust_dim_rows, batch_format="pyarrow"))
+        .map_batches(add_pkey2, batch_format="pyarrow")
+    )
+
+    def resolve_cust_nation(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype="int64"),
+                 "c_nationkey": pd.Series(dtype="int64")}
+            )
+        dim = g[g["is_dim"] == 1]
+        lut = dict(zip(dim["key"].astype(np.int64),
+                       dim["c_nationkey"].astype(np.int64)))
+        f = g[g["is_dim"] == 0]
+        nk = f["key"].map(lut)
+        keep = nk.notna()
+        return pd.DataFrame(
+            {
+                "o_orderkey": f.loc[keep, "o_orderkey"].astype(np.int64),
+                "c_nationkey": nk[keep].astype(np.int64),
+            }
+        )
+
+    ord_nat = ord_stream.groupby("pkey", num_partitions=P).map_groups(
+        resolve_cust_nation, batch_format="pandas"
+    )
+
+    # -- final merge on orderkey; same-nation filter; per-nation partials --
+    def li_side(t: pa.Table) -> pa.Table:
+        if "l_orderkey" not in t.column_names:  # schema-less empty block
+            t = li_empty()
+        return pa.table(
+            {
+                "key": t["l_orderkey"].combine_chunks().cast(pa.int64()),
+                "s_nationkey": t["s_nationkey"].combine_chunks().cast(pa.int64()),
+                "rev_c": t["rev_c"].combine_chunks().cast(pa.int64()),
+                "c_nationkey": pa.nulls(t.num_rows, pa.int64()),
+                "is_ord": pa.nulls(t.num_rows, pa.int8()).fill_null(0),
+            }
+        )
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        if "o_orderkey" not in t.column_names:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "s_nationkey": pa.array([], pa.int64()),
+                    "rev_c": pa.array([], pa.int64()),
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "is_ord": pa.array([], pa.int8()),
+                }
+            )
+        return pa.table(
+            {
+                "key": t["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "s_nationkey": pa.nulls(t.num_rows, pa.int64()),
+                "rev_c": pa.nulls(t.num_rows, pa.int64()),
+                "c_nationkey": t["c_nationkey"].combine_chunks().cast(pa.int64()),
+                "is_ord": pa.nulls(t.num_rows, pa.int8()).fill_null(1),
+            }
+        )
+
+    def add_pkey3(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    merged = (
+        li_part.map_batches(li_side, batch_format="pyarrow")
+        .union(ord_nat.map_batches(ord_side, batch_format="pyarrow"))
+        .map_batches(add_pkey3, batch_format="pyarrow")
+    )
+
+    def nation_partials(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"n_nationkey": pd.Series(dtype="int64"),
+             "rev_c": pd.Series(dtype="int64")}
+        )
+        if "key" not in g.columns:
+            return empty
+        ords = g[g["is_ord"] == 1]
+        lut = dict(zip(ords["key"].astype(np.int64),
+                       ords["c_nationkey"].astype(np.int64)))
+        f = g[g["is_ord"] == 0]
+        if not len(f) or not lut:
+            return empty
+        cnk = f["key"].map(lut)
+        keep = cnk.notna() & (cnk == f["s_nationkey"])
+        if not keep.any():
+            return empty
+        out = (
+            f.loc[keep]
+            .groupby(f.loc[keep, "s_nationkey"].astype(np.int64))["rev_c"]
+            .sum()
+            .rename_axis("n_nationkey")
+            .reset_index(name="rev_c")
+        )
+        out["rev_c"] = out["rev_c"].astype(np.int64)
+        return out
+
+    final = (
+        merged.groupby("pkey", num_partitions=P)
+        .map_groups(nation_partials, batch_format="pandas")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    if "n_nationkey" not in final.columns or not len(final):
+        return pd.DataFrame(
+            {"n_name": pd.Series(dtype="object"),
+             "revenue_c": pd.Series(dtype="int64")}
+        )
+    final["n_name"] = final["n_nationkey"].astype(int).map(nk_to_name)
+    final = final[["n_name", "revenue_c"]].sort_values(
+        ["revenue_c", "n_name"], ascending=[False, True]
+    )
+    final["revenue_c"] = final["revenue_c"].astype(np.int64)
+    return final.reset_index(drop=True)
+
+
+def q_tpch_q4r(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-style EXISTS semi-join, adapted to this schema (the
+    testdata lineitem carries no commit/receipt dates, so the
+    correlated predicate is "the order has at least one RETURNED
+    lineitem"): count orders per priority that have ≥1 lineitem with
+    ``l_returnflag = 'R'``.
+
+    Distributed shape: lineitem filters + per-batch-dedups to slim
+    returned-orderkey rows (one int64 column rides the exchange —
+    duplicates across batches are fine, the in-partition membership is
+    a set); orders project (orderkey, priority); the EXISTS resolves
+    through ``_semijoin_on_key`` (join-free union + hash-partition
+    membership — no driver gather at any orderkey cardinality); a
+    5-row groupby finishes.
+    """
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R")).select(
+            ["l_orderkey"]
+        )
+        g = t.group_by("l_orderkey").aggregate([])
+        return g
+
+    dim = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        returned_keys, batch_format="pyarrow"
+    )
+    fact = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    kept = _semijoin_on_key(
+        fact,
+        dim,
+        "o_orderkey",
+        "l_orderkey",
+        keep_cols=["o_orderpriority"],
+        types={"o_orderpriority": pa.string()},
+    )
+    out = (
+        kept.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    if "o_orderpriority" not in out.columns:
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series(dtype="object"),
+             "n_orders": pd.Series(dtype="int64")}
+        )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -59,7 +59,13 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
 
     if not ray.is_initialized():
@@ -78,6 +84,12 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown queries: {sorted(missing)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in only}
     oracles = entrymod.oracle_sql()
     results = {}
     for name, fn in qs.items():

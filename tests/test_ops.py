@@ -1745,3 +1745,112 @@ class TestTpchQ17:
         out = q_tpch_q17(self.SF, brand="Brand#none")
         assert int(out["n_items"].iloc[0]) == 0
         assert math.isnan(float(out["avg_yearly"].iloc[0]))
+
+
+class TestTpchQ5:
+    """Six-table star join vs a serial pandas brute force using the same
+    fixed-point revenue expression; the distributed supplier-lookup
+    fallback (cap=0-ish) must match the broadcast path exactly."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _brute(sf):
+        import pandas as pd
+
+        nation = pd.read_parquet(f"{sf}/nation.parquet")
+        region = pd.read_parquet(f"{sf}/region.parquet")
+        cust = pd.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        orders = pd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        supp = pd.read_parquet(
+            f"{sf}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        li = pd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        rk = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+        nat = nation[nation["n_regionkey"].isin(rk)]
+        orders = orders[
+            (orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (orders["o_orderdate"] < pd.Timestamp("1997-01-01"))
+        ]
+        j = (
+            li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+            .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        )
+        j = j[j["c_nationkey"] == j["s_nationkey"]]
+        rev = np.floor(
+            j["l_extendedprice"].to_numpy()
+            * (1.0 - j["l_discount"].to_numpy())
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        j = j.assign(revenue_c=rev)
+        out = (
+            j.groupby("n_name", as_index=False)["revenue_c"]
+            .sum()
+            .sort_values(["revenue_c", "n_name"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        out["revenue_c"] = out["revenue_c"].astype(np.int64)
+        return out
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q5
+
+        out = q_tpch_q5(self.SF).reset_index(drop=True)
+        want = self._brute(self.SF)
+        assert len(want) > 0  # fixture must exercise the join
+        assert out.equals(want), (out, want)
+
+    def test_distributed_supplier_fallback_matches(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q5
+
+        fast = q_tpch_q5(self.SF).reset_index(drop=True)
+        slow = q_tpch_q5(self.SF, max_broadcast_keys=1).reset_index(drop=True)
+        assert fast.equals(slow)
+
+    def test_unknown_region_is_empty(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q5
+
+        out = q_tpch_q5(self.SF, region="ATLANTIS")
+        assert len(out) == 0
+        assert list(out.columns) == ["n_name", "revenue_c"]
+
+
+class TestTpchQ4Returns:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        import pandas as pd
+
+        from redactifai_ray.pipelines.queries import q_tpch_q4r
+
+        out = q_tpch_q4r(self.SF)
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        )
+        orders = pd.read_parquet(
+            f"{self.SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        ret = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"])
+        want = (
+            orders[orders["o_orderkey"].isin(ret)]
+            .groupby("o_orderpriority", as_index=False)
+            .size()
+            .rename(columns={"size": "n_orders"})
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        want["n_orders"] = want["n_orders"].astype(np.int64)
+        assert len(want) > 0
+        assert out.equals(want), (out, want)
