@@ -214,9 +214,11 @@ def run_bench() -> dict:
         q_events_window,
         q_top_tokens,
         q_tpch_q1,
+        q_tpch_q5,
     )
 
     timed("tpch_q1", lambda: q_tpch_q1(SF_DIR))
+    timed("tpch_q5", lambda: q_tpch_q5(SF_DIR))
     timed("events_window", lambda: q_events_window(SF_DIR))
     timed("decontaminate", lambda: q_decontaminate(SF_DIR))
     timed("top_tokens", lambda: q_top_tokens(SF_DIR))

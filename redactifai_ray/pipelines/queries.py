@@ -2096,9 +2096,12 @@ def q_tpch_q5(
        (orderkey, supplier-nation) inside ``map_batches`` — the
        exchange rides three int64 columns;
     4. orders date-filters to [1996-01-01, 1997-01-01) and resolves the
-       customer nation through a join-free union merge on custkey with
-       the region-filtered slim customer projection (both sides are
-       fact tables — no broadcast, no ``Dataset.join``; see
+       customer nation: while the region-filtered (custkey, nationkey)
+       pairs fit the same cap they broadcast (sorted-array searchsorted
+       — customer is 15× smaller than orders and the region filter
+       keeps ~1/|regions| of it), making the orders side a pure map;
+       beyond the cap it becomes a join-free union merge on custkey
+       (both sides are fact tables — no ``Dataset.join``; see
        ``_semijoin_on_key`` for why Acero's join is avoided);
     5. the two partial streams merge join-free on orderkey; partitions
        keep only rows with supplier-nation == customer-nation and emit
@@ -2279,6 +2282,54 @@ def q_tpch_q5(
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         cust_slim, batch_format="pyarrow"
     )
+    cust_rows = cust.take(max_broadcast_keys + 1)
+    cust_broadcast = len(cust_rows) <= max_broadcast_keys
+
+    if cust_broadcast:
+        c_pk = np.sort(
+            np.array([r["c_custkey"] for r in cust_rows], dtype=np.int64)
+        )
+        c_by_key = {
+            int(r["c_custkey"]): int(r["c_nationkey"]) for r in cust_rows
+        }
+        c_nk = np.array([c_by_key[int(k)] for k in c_pk], dtype=np.int64)
+        cust_ref = ray.put((c_pk, c_nk))
+        cstate: dict = {}
+
+        def tag_cust_nation(batch: pa.Table) -> pa.Table:
+            if "c" not in cstate:
+                cstate["c"] = ray.get(cust_ref)
+            cpk, cnk = cstate["c"]
+            ok_empty = pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "c_nationkey": pa.array([], pa.int64()),
+                }
+            )
+            if len(cpk) == 0 or batch.num_rows == 0:
+                return ok_empty
+            pk = np.asarray(batch["o_custkey"], dtype=np.int64)
+            pos = np.searchsorted(cpk, pk)
+            pos_c = np.minimum(pos, len(cpk) - 1)
+            ok = (pos < len(cpk)) & (cpk[pos_c] == pk)
+            if not ok.any():
+                return ok_empty
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        np.asarray(batch["o_orderkey"], np.int64)[ok],
+                        pa.int64(),
+                    ),
+                    "c_nationkey": pa.array(cnk[pos_c[ok]], pa.int64()),
+                }
+            )
+
+        ord_nat = orders_slim.map_batches(
+            tag_cust_nation, batch_format="pyarrow"
+        )
+        return _q5_finish(
+            li_part, ord_nat, li_empty, nk_to_name, P
+        )
 
     def ord_fact_rows(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2332,8 +2383,20 @@ def q_tpch_q5(
     ord_nat = ord_stream.groupby("pkey", num_partitions=P).map_groups(
         resolve_cust_nation, batch_format="pandas"
     )
+    return _q5_finish(li_part, ord_nat, li_empty, nk_to_name, P)
 
-    # -- final merge on orderkey; same-nation filter; per-nation partials --
+
+def _q5_finish(
+    li_part: ray.data.Dataset,
+    ord_nat: ray.data.Dataset,
+    li_empty,
+    nk_to_name: dict,
+    P: int,
+) -> pd.DataFrame:
+    """Final q_tpch_q5 merge on orderkey: union side-flagged slim rows,
+    one hash-partition groupby, in-partition same-nation filter +
+    per-nation partial sums, ≤|nations|-row finishing groupby."""
+
     def li_side(t: pa.Table) -> pa.Table:
         if "l_orderkey" not in t.column_names:  # schema-less empty block
             t = li_empty()
