@@ -162,6 +162,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: six-table star join (Q5) + EXISTS semi-join (Q4-style)
         "tpch_q5": q.q_tpch_q5,
         "tpch_q4r": q.q_tpch_q4r,
+        # round-4: true interval join (overlapping campaign windows) +
+        # fact×fact conditional-count join (Q12) + dimension-broadcast
+        # revenue ratio (Q14)
+        "range_join": q.q_range_join,
+        "tpch_q12r": q.q_tpch_q12r,
+        "tpch_q14r": q.q_tpch_q14r,
     }
 
 
@@ -296,6 +302,62 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "range_join": """
+            -- true interval join: campaigns overlap (y2k ∩ y2k_extend),
+            -- so one order can contribute to several rows. LEFT JOIN from
+            -- the interval side mirrors the Ray plan's always-emit-k
+            -- partials (a campaign with zero orders still appears, 0/0).
+            WITH campaigns(campaign, lo, hi) AS (
+                VALUES
+                    ('holiday95', TIMESTAMP '1995-11-01', TIMESTAMP '1996-01-15'),
+                    ('summer98',  TIMESTAMP '1998-06-01', TIMESTAMP '1998-09-01'),
+                    ('y2k',       TIMESTAMP '1999-06-01', TIMESTAMP '2000-03-01'),
+                    ('y2k_extend',TIMESTAMP '1999-12-01', TIMESTAMP '2000-06-30')
+            )
+            SELECT c.campaign,
+                   count(o.o_orderdate)::BIGINT AS n_orders,
+                   coalesce(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)), 0)::BIGINT AS rev_c
+            FROM campaigns c
+            LEFT JOIN orders o
+                   ON o.o_orderdate >= c.lo AND o.o_orderdate < c.hi
+            GROUP BY c.campaign
+            ORDER BY c.campaign
+        """,
+        "tpch_q12r": """
+            -- Q12 adapted: l_linestatus stands in for shipmode (absent
+            -- from the testdata schema); CASE counts per Q12
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "tpch_q14r": """
+            -- Q14 adapted (p_type is exactly 'PROMO', no LIKE needed);
+            -- per-lineitem revenue fixes to int64 cents BEFORE the sum on
+            -- both sides, so the comparison is exact. total_rev_c is
+            -- join-independent by construction (scalar subquery without
+            -- part), mirroring the Ray single-pass plan.
+            SELECT
+                (SELECT coalesce(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                            * 10000 + 0.5) AS BIGINT)
+                            ELSE 0 END), 0)::BIGINT
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                   AND l_shipdate < TIMESTAMP '1997-10-01') AS promo_rev_c,
+                (SELECT coalesce(sum(CAST(floor(l_extendedprice
+                            * (1 - l_discount) * 10000 + 0.5) AS BIGINT)),
+                            0)::BIGINT
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                   AND l_shipdate < TIMESTAMP '1997-10-01') AS total_rev_c
         """,
         "tpch_q17": """
             -- correlated scalar subquery written as aggregate-then-rejoin;

@@ -2534,3 +2534,305 @@ def q_tpch_q4r(sf_dir: str) -> pd.DataFrame:
         )
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ range join --
+
+# Campaign windows for q_range_join. Deliberately OVERLAPPING
+# (y2k ∩ y2k_extend): an order dated 1999-12-15 matches both rows, so
+# this exercises true interval-join semantics (0..n matches per fact
+# row), not CASE banding like q_quantity_bands.
+CAMPAIGNS: list[tuple[str, str, str]] = [
+    ("holiday95", "1995-11-01", "1996-01-15"),
+    ("summer98", "1998-06-01", "1998-09-01"),
+    ("y2k", "1999-06-01", "2000-03-01"),
+    ("y2k_extend", "1999-12-01", "2000-06-30"),
+]
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: orders × a small static interval table on
+    ``lo <= o_orderdate < hi``, aggregated per campaign. The reference's
+    page→region interval containment (EntityMatcher's offset-interval
+    logic, reference src/services/entity_matching.py) generalized to a
+    relational range join — one of the brief's named custom operators.
+
+    Distributed shape: the interval side is tiny and static, so it never
+    ships at all — each batch evaluates k vectorized between-masks
+    (pyarrow.compute, no row loop) and emits ≤k partial
+    (campaign, n_orders, rev_c) rows. The exchange moves k rows per
+    batch; a k-row groupby finishes. The fact table never shuffles, and
+    an order matching multiple overlapping campaigns is counted in each
+    (flat-map semantics via the per-interval masks). At 10^12 rows this
+    is a pure map + tiny reduce — no all-to-all anywhere."""
+    bounds = [
+        (name, pd.Timestamp(lo), pd.Timestamp(hi))
+        for name, lo, hi in CAMPAIGNS
+    ]
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate")
+        price_c = np.floor(
+            np.asarray(batch["o_totalprice"], dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        names, ns, revs = [], [], []
+        for name, lo, hi in bounds:
+            m = pc.fill_null(
+                pc.and_(
+                    pc.greater_equal(ts, pa.scalar(lo)),
+                    pc.less(ts, pa.scalar(hi)),
+                ),
+                False,
+            )
+            mask = m.to_numpy(zero_copy_only=False).astype(bool)
+            names.append(name)
+            ns.append(int(mask.sum()))
+            revs.append(int(price_c[mask].sum()))
+        return pa.table(
+            {
+                "campaign": pa.array(names, pa.string()),
+                "n_orders": pa.array(ns, pa.int64()),
+                "rev_c": pa.array(revs, pa.int64()),
+            }
+        )
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("campaign")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("rev_c", alias_name="rev_c"),
+        )
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["rev_c"] = out["rev_c"].astype(np.int64)
+    return out.sort_values("campaign").reset_index(drop=True)
+
+
+def q_tpch_q12r(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12-style: for lineitems shipped inside one year, count
+    high- vs low-priority orders per linestatus (the testdata lineitem
+    has no shipmode, so l_linestatus stands in as the group key —
+    semantics otherwise per Q12's CASE aggregation).
+
+    Distributed shape: this is a fact×fact join (lineitem ⋈ orders on
+    orderkey), so neither side broadcasts. Lineitem filters to the ship
+    window and slims to (orderkey, linestatus); orders slims to
+    (orderkey, priority); both union as side-flagged rows into ONE
+    orderkey-hash-partition groupby whose in-partition pandas merge
+    emits per-partition partial (linestatus, high, low) counts — ≤2 rows
+    per partition ride to the 2-row final groupby. One shuffle total,
+    carrying two slim int/char columns, never the raw tables."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    HIGH = ("1-URGENT", "2-HIGH")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("l_orderkey").combine_chunks().cast(pa.int64()),
+                "status": t.column("l_linestatus"),
+                "prio": pa.nulls(n, pa.string()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(0),
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("o_orderkey").combine_chunks().cast(pa.int64()),
+                "status": pa.nulls(n, pa.string()),
+                "prio": t.column("o_orderpriority"),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(1),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    stream = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+                ord_rows, batch_format="pyarrow"
+            )
+        )
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+
+    empty_pd = pd.DataFrame(
+        {
+            "l_linestatus": pd.Series(dtype="object"),
+            "high_line_count": pd.Series(dtype="int64"),
+            "low_line_count": pd.Series(dtype="int64"),
+        }
+    )
+    cols = list(empty_pd.columns)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns:  # schema-less empty partition
+            return empty_pd.copy()
+        li = g[g["is_ord"] == 0][["key", "status"]]
+        ords = g[g["is_ord"] == 1][["key", "prio"]]
+        if li.empty or ords.empty:
+            return empty_pd.copy()
+        j = li.merge(ords, on="key", how="inner")
+        if j.empty:
+            return empty_pd.copy()
+        high = j["prio"].isin(HIGH)
+        out = (
+            pd.DataFrame(
+                {
+                    "l_linestatus": j["status"],
+                    "high_line_count": high.astype(np.int64),
+                    "low_line_count": (~high).astype(np.int64),
+                }
+            )
+            .groupby("l_linestatus", as_index=False)
+            .sum()
+        )
+        return out[cols].astype(empty_pd.dtypes.to_dict())
+
+    partials = stream.groupby("pkey", num_partitions=P).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def fix_schema(df: pd.DataFrame) -> pd.DataFrame:
+        if list(df.columns) != cols:
+            return empty_pd.copy()
+        return df
+
+    out = (
+        partials.map_batches(fix_schema, batch_format="pandas")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .to_pandas()
+    )
+    if "l_linestatus" not in out.columns:
+        return empty_pd
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def q_tpch_q14r(
+    sf_dir: str, max_broadcast_keys: int = 50_000_000
+) -> pd.DataFrame:
+    """TPC-H Q14-style promo revenue: of lineitems shipped in 1997-09,
+    how much revenue came from PROMO-type parts vs total. Output is two
+    exact int64 cents sums (each lineitem's revenue fixes to cents
+    BEFORE summation — no order-dependent float accumulation), so the
+    ratio is computable driver-side at full precision.
+
+    Distributed shape: part is a dimension table, so the PROMO partkey
+    set broadcasts once via ``ray.put`` and each lineitem batch tags
+    membership with one vectorized ``pc.is_in`` — both sums come out of
+    a single pass with no shuffle at all. Above ``max_broadcast_keys``
+    (a degenerate catalog) the promo side falls back to the house
+    join-free semi-join (``_semijoin_on_key``) with the total folded in
+    the same single-pass map — still no driver gather."""
+    lo, hi = pd.Timestamp("1997-09-01"), pd.Timestamp("1997-10-01")
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                pc.less(batch["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = np.floor(
+            np.asarray(t["l_extendedprice"], dtype=np.float64)
+            * (1.0 - np.asarray(t["l_discount"], dtype=np.float64))
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey").combine_chunks().cast(pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_slim, batch_format="pyarrow")
+
+    promo = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], "PROMO")).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    promo_rows = promo.take(max_broadcast_keys + 1)
+    if len(promo_rows) <= max_broadcast_keys:
+        keys_ref = ray.put(
+            pa.array([r["p_partkey"] for r in promo_rows], pa.int64())
+        )
+        state: dict = {}
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if "keys" not in state:
+                state["keys"] = ray.get(keys_ref)
+            rev = batch.column("rev_c").to_numpy(zero_copy_only=False)
+            m = (
+                pc.is_in(batch["l_partkey"], value_set=state["keys"])
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            return pa.table(
+                {
+                    "promo_rev_c": pa.array([int(rev[m].sum())], pa.int64()),
+                    "total_rev_c": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+        agg = (
+            li.map_batches(partial, batch_format="pyarrow")
+            .aggregate(
+                Sum("promo_rev_c", alias_name="promo_rev_c"),
+                Sum("total_rev_c", alias_name="total_rev_c"),
+            )
+        )
+    else:  # pragma: no cover - exercised via forced-cap test
+        total = li.aggregate(Sum("rev_c", alias_name="total_rev_c"))
+        promo_li = _semijoin_on_key(
+            li,
+            promo,
+            "l_partkey",
+            "p_partkey",
+            keep_cols=["rev_c"],
+            types={"rev_c": pa.int64()},
+        )
+        psum = promo_li.aggregate(Sum("rev_c", alias_name="promo_rev_c"))
+        agg = {
+            "promo_rev_c": psum["promo_rev_c"] or 0,
+            "total_rev_c": total["total_rev_c"] or 0,
+        }
+    return pd.DataFrame(
+        {
+            "promo_rev_c": pd.array(
+                [int(agg["promo_rev_c"] or 0)], dtype="int64"
+            ),
+            "total_rev_c": pd.array(
+                [int(agg["total_rev_c"] or 0)], dtype="int64"
+            ),
+        }
+    )

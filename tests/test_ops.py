@@ -1854,3 +1854,145 @@ class TestTpchQ4Returns:
         want["n_orders"] = want["n_orders"].astype(np.int64)
         assert len(want) > 0
         assert out.equals(want), (out, want)
+
+class TestRangeJoin:
+    SF = "/root/testdata/sf0.001"
+
+    def _brute(self, sf: str) -> pd.DataFrame:
+        from redactifai_ray.pipelines.queries import CAMPAIGNS
+
+        orders = pd.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+        cents = np.floor(
+            orders["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        rows = []
+        for name, lo, hi in CAMPAIGNS:
+            m = (orders["o_orderdate"] >= pd.Timestamp(lo)) & (
+                orders["o_orderdate"] < pd.Timestamp(hi)
+            )
+            rows.append((name, int(m.sum()), int(cents[m.to_numpy()].sum())))
+        return (
+            pd.DataFrame(rows, columns=["campaign", "n_orders", "rev_c"])
+            .astype({"n_orders": np.int64, "rev_c": np.int64})
+            .sort_values("campaign")
+            .reset_index(drop=True)
+        )
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_range_join
+
+        out = q_range_join(self.SF).reset_index(drop=True)
+        want = self._brute(self.SF)
+        assert (want["n_orders"] > 0).any()
+        assert out.equals(want), (out, want)
+
+    def test_overlapping_intervals_double_count(self, ray_session):
+        """An order in the y2k ∩ y2k_extend overlap contributes to BOTH
+        campaigns — the range join is 0..n matches per row, not banding."""
+        from redactifai_ray.pipelines.queries import q_range_join
+
+        orders = pd.read_parquet(
+            f"{self.SF}/orders.parquet", columns=["o_orderdate"]
+        )
+        overlap = (
+            (orders["o_orderdate"] >= pd.Timestamp("1999-12-01"))
+            & (orders["o_orderdate"] < pd.Timestamp("2000-03-01"))
+        ).sum()
+        assert overlap > 0  # fixture must exercise the overlap
+        out = q_range_join(self.SF).set_index("campaign")
+        # total matches exceed distinct matched orders ⇒ multi-match
+        in_any = pd.Series(False, index=orders.index)
+        from redactifai_ray.pipelines.queries import CAMPAIGNS
+
+        for _, lo, hi in CAMPAIGNS:
+            in_any |= (orders["o_orderdate"] >= pd.Timestamp(lo)) & (
+                orders["o_orderdate"] < pd.Timestamp(hi)
+            )
+        assert int(out["n_orders"].sum()) == int(in_any.sum()) + int(overlap)
+
+
+class TestTpchQ12Returns:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q12r
+
+        out = q_tpch_q12r(self.SF)
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet",
+            columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        )
+        orders = pd.read_parquet(
+            f"{self.SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        li = li[
+            (li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1997-01-01"))
+        ]
+        j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        high = j["o_orderpriority"].isin(("1-URGENT", "2-HIGH"))
+        want = (
+            pd.DataFrame(
+                {
+                    "l_linestatus": j["l_linestatus"],
+                    "high_line_count": high.astype(np.int64),
+                    "low_line_count": (~high).astype(np.int64),
+                }
+            )
+            .groupby("l_linestatus", as_index=False)
+            .sum()
+            .sort_values("l_linestatus")
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0
+        assert out.equals(want), (out, want)
+
+
+class TestTpchQ14Returns:
+    SF = "/root/testdata/sf0.001"
+
+    def _brute(self, sf: str) -> pd.DataFrame:
+        li = pd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        part = pd.read_parquet(
+            f"{sf}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        li = li[
+            (li["l_shipdate"] >= pd.Timestamp("1997-09-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1997-10-01"))
+        ]
+        rev = np.floor(
+            li["l_extendedprice"].to_numpy()
+            * (1.0 - li["l_discount"].to_numpy())
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        promo_keys = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+        is_promo = li["l_partkey"].isin(promo_keys).to_numpy()
+        return pd.DataFrame(
+            {
+                "promo_rev_c": pd.array([int(rev[is_promo].sum())], "int64"),
+                "total_rev_c": pd.array([int(rev.sum())], "int64"),
+            }
+        )
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q14r
+
+        out = q_tpch_q14r(self.SF)
+        want = self._brute(self.SF)
+        assert int(want["total_rev_c"][0]) > 0
+        assert int(want["promo_rev_c"][0]) > 0  # fixture exercises promo
+        assert out.equals(want), (out, want)
+
+    def test_semijoin_fallback_matches(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q14r
+
+        fast = q_tpch_q14r(self.SF)
+        slow = q_tpch_q14r(self.SF, max_broadcast_keys=1)
+        assert fast.equals(slow), (fast, slow)
