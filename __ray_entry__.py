@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q.q_range_join,
         "tpch_q12r": q.q_tpch_q12r,
         "tpch_q14r": q.q_tpch_q14r,
+        # round-4: BM25 ranked retrieval (exact fixed-point scores)
+        "bm25": q.q_bm25,
     }
 
 
@@ -302,6 +304,57 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "bm25": """
+            -- Okapi BM25, same tokenization as the tf-idf family
+            -- (lowercase \\S+ split). Each (doc, term) contribution
+            -- rounds to int64 micro-units with the same IEEE expression
+            -- as the Ray side BEFORE the per-doc sum, so the comparison
+            -- is exact: ints only, no order-dependent float accumulation.
+            WITH ws AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents
+            ),
+            stats AS (
+                SELECT count(*)::BIGINT AS n_docs,
+                       sum(len(w))::BIGINT AS total_tokens
+                FROM ws
+            ),
+            terms(term) AS (
+                VALUES ('hash'), ('join'), ('merge'), ('table')
+            ),
+            df AS (
+                SELECT term, count(*)::BIGINT AS df
+                FROM ws, terms
+                WHERE list_contains(w, term)
+                GROUP BY term
+            ),
+            tf AS (
+                SELECT doc_id, term,
+                       len(list_filter(w, x -> x = term))::BIGINT AS tf,
+                       len(w)::BIGINT AS dl
+                FROM ws, terms
+                WHERE len(w) > 0
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(CAST(floor(
+                           ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * (tf.tf * (1.2 + 1.0))
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * tf.dl
+                                   / (s.total_tokens * 1.0 / s.n_docs)))
+                           * 1000000.0 + 0.5) AS BIGINT)) AS bm25_u
+                FROM tf
+                JOIN df USING (term)
+                CROSS JOIN stats s
+                WHERE tf.tf > 0
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, bm25_u FROM scored
+            WHERE bm25_u > 0
+            ORDER BY bm25_u DESC, doc_id ASC
+            LIMIT 20
         """,
         "range_join": """
             -- true interval join: campaigns overlap (y2k ∩ y2k_extend),

@@ -2536,6 +2536,20 @@ def q_tpch_q4r(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+BM25_QUERY = ["hash", "join", "merge", "table"]
+
+
+def q_bm25(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 top-20 documents for a fixed 4-term query — ranked
+    full-text retrieval over the corpus (see ``bm25_topk``). Output is
+    float-free (exact int64 micro-unit scores), so the oracle compare is
+    bit-exact."""
+    from ..stages.analyze import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, BM25_QUERY, k=20)
+
+
 # ------------------------------------------------------------ range join --
 
 # Campaign windows for q_range_join. Deliberately OVERLAPPING

@@ -1076,3 +1076,125 @@ def text_hash_embedding(
         )
 
     return ds.map_batches(embed, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds,
+    query_terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 top-k document ranking for a fixed term query — the
+    retrieval-side twin of ``tfidf_top_terms`` (reference analog: the
+    entity/job lookup reports, reference src/services/reporting.py, as a
+    ranked full-text search). Tokenization matches the tf-idf family:
+    lowercase whitespace split.
+
+    Distributed shape: TWO streaming passes, no shuffle in either.
+    Pass 1 folds per-batch (n_docs, total_tokens, df per query term)
+    partials into one tiny aggregate — |query| + 2 numbers per batch ride
+    the exchange. The driver broadcasts those scalars and pass 2 scores
+    each batch independently, keeping only its local top-k, so the driver
+    gather is bounded by k × n_batches slim int rows regardless of corpus
+    size.
+
+    Scores are exact fixed-point: every (doc, term) contribution rounds
+    to int64 micro-units BEFORE summation with the same IEEE expression
+    the SQL oracle uses, so term order and batch boundaries cannot flip a
+    ranking — the output (doc_id, bm25_u) is bit-exact and float-free."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    terms = list(query_terms)
+    nt = len(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        total = 0
+        dfs = [0] * nt
+        for txt in texts:
+            toks = (txt or "").lower().split()
+            total += len(toks)
+            tokset = set(toks)
+            for i, term in enumerate(terms):
+                if term in tokset:
+                    dfs[i] += 1
+        cols = {
+            "n_docs": pa.array([len(texts)], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+        }
+        for i in range(nt):
+            cols[f"df_{i}"] = pa.array([dfs[i]], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens")]
+    aggs += [Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(nt)]
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(*aggs)
+    n_docs = int(stats["n_docs"] or 0)
+    if n_docs == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "bm25_u": pd.Series(dtype="int64")}
+        )
+    avgdl = (stats["total_tokens"] or 0) * 1.0 / n_docs
+    idfs = []
+    for i in range(nt):
+        df = int(stats[f"df_{i}"] or 0)
+        idfs.append(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_ids, out_scores = [], []
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").lower().split()
+            dl = len(toks)
+            if dl == 0:
+                continue
+            cnt = Counter(toks)
+            score_u = 0
+            for ti, term in enumerate(terms):
+                tf = cnt.get(term, 0)
+                if tf == 0:
+                    continue
+                # same IEEE expression as the oracle, term-rounded
+                s = (
+                    idfs[ti]
+                    * (tf * (k1 + 1.0))
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+                score_u += int(math.floor(s * 1000000.0 + 0.5))
+            if score_u > 0:
+                out_ids.append(i)
+                out_scores.append(score_u)
+        part = pd.DataFrame(
+            {id_col: pd.array(out_ids, dtype="int64"),
+             "bm25_u": pd.array(out_scores, dtype="int64")}
+        )
+        # local top-k: driver gather is k rows per batch, not the corpus
+        part = part.sort_values(
+            ["bm25_u", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "bm25_u": pd.Series(dtype="int64")}
+        )
+    return (
+        parts.sort_values(["bm25_u", id_col], ascending=[False, True],
+                          kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+        .astype({id_col: np.int64, "bm25_u": np.int64})
+    )

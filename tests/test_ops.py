@@ -1996,3 +1996,77 @@ class TestTpchQ14Returns:
         fast = q_tpch_q14r(self.SF)
         slow = q_tpch_q14r(self.SF, max_broadcast_keys=1)
         assert fast.equals(slow), (fast, slow)
+
+
+class TestBm25:
+    SF = "/root/testdata/sf0.001"
+
+    def _brute(self, sf: str, terms, k=20, k1=1.2, b=0.75) -> pd.DataFrame:
+        import math
+        from collections import Counter
+
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        toks = [(t or "").lower().split() for t in docs["text"]]
+        n_docs = len(toks)
+        avgdl = sum(len(t) for t in toks) * 1.0 / n_docs
+        dfs = {
+            term: sum(1 for t in toks if term in set(t)) for term in terms
+        }
+        rows = []
+        for doc_id, tk in zip(docs["doc_id"], toks):
+            dl = len(tk)
+            if dl == 0:
+                continue
+            cnt = Counter(tk)
+            score_u = 0
+            for term in terms:
+                tf = cnt.get(term, 0)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n_docs - dfs[term] + 0.5) / (dfs[term] + 0.5))
+                s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                score_u += int(math.floor(s * 1000000.0 + 0.5))
+            if score_u > 0:
+                rows.append((int(doc_id), score_u))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return pd.DataFrame(rows[:k], columns=["doc_id", "bm25_u"]).astype(
+            {"doc_id": np.int64, "bm25_u": np.int64}
+        )
+
+    def test_matches_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import BM25_QUERY, q_bm25
+
+        out = q_bm25(self.SF).reset_index(drop=True)
+        want = self._brute(self.SF, BM25_QUERY)
+        assert len(want) == 20  # fixture corpus exercises a full top-k
+        assert out.equals(want), (out, want)
+
+    def test_absent_terms_empty(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import bm25_topk
+
+        docs = ray.data.read_parquet(
+            f"{self.SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        out = bm25_topk(docs, ["zzzznotaword"], k=5)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "bm25_u"]
+
+    def test_rare_term_outranks_common_at_equal_tf(self, ray_session):
+        """IDF ordering sanity: for single-occurrence docs, the rarer
+        query term scores strictly higher."""
+        import ray.data
+
+        from redactifai_ray.stages.analyze import bm25_topk
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "raregem filler filler filler"},
+                {"doc_id": 2, "text": "common filler filler filler"},
+                {"doc_id": 3, "text": "common words here also"},
+                {"doc_id": 4, "text": "common again padding text"},
+            ]
+        )
+        out = bm25_topk(docs, ["raregem", "common"], k=4)
+        assert int(out.iloc[0]["doc_id"]) == 1
