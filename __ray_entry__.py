@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14r": q.q_tpch_q14r,
         # round-4: BM25 ranked retrieval (exact fixed-point scores)
         "bm25": q.q_bm25,
+        # round-4: Bloom-filter decontamination (rows-only: flagged set
+        # is a deterministic superset of the exact one — FP over-flagging
+        # is the documented contract; superset + FPR bound test-pinned)
+        "decontaminate_bloom": q.q_decontaminate_bloom,
     }
 
 

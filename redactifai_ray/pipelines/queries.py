@@ -1301,6 +1301,30 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontaminate_bloom(sf_dir: str) -> pd.DataFrame:
+    """Same contaminated-ids contract as ``q_decontaminate``, via the
+    constant-size Bloom broadcast path. Registered rows-only: the result
+    is deterministic but a Bloom false positive may legitimately flag a
+    clean doc (bounded by fpr), so the SQL twin would be wrong by
+    design; the superset-of-exact and FPR-bound invariants are
+    test-pinned instead."""
+    from ..stages.curate import find_contaminated_bloom
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(test: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 5 == 0
+            return t.filter(pa.array(m if test else ~m))
+
+        return f
+
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    test = docs.map_batches(part(True), batch_format="pyarrow")
+    out = find_contaminated_bloom(train, test).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_repetition(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition fractions per document (bit-exact oracle:
     fixed-order double math over exact ints)."""

@@ -302,6 +302,132 @@ def decontaminate(
     return train.map_batches(drop, batch_format="pyarrow")
 
 
+def find_contaminated_bloom(
+    train: ray.data.Dataset,
+    test: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    fpr: float = 1e-4,
+    merge_fanin: int = 64,
+) -> ray.data.Dataset:
+    """Bloom-filter variant of ``find_contaminated`` — the constant-size
+    broadcast path for huge benchmark suites.
+
+    Where the exact path broadcasts an 8-byte-per-gram hash set (GBs at
+    10^9 test grams) or falls back to a full n-gram shuffle, this builds
+    one Bloom filter over the test side's grams (~2.3 bytes/gram at
+    fpr=1e-4) and broadcasts that instead. False positives over-flag —
+    the safe direction for decontamination — and false negatives are
+    impossible, so the flagged set is always a superset of the exact
+    one, with expected excess ≈ fpr × scanned grams.
+
+    Distributed shape (mirrors ``sketch.hll_distinct``): one pass sizes
+    the filter from per-batch distinct-gram counts (summed across
+    batches — an overcount, which only oversizes); one pass folds each
+    test block into a partial filter row; a tree-merge stage ORs every
+    ``merge_fanin`` rows; the driver merges O(blocks/fanin) rows and
+    ``ray.put``s the result once. Train then streams through a single
+    membership scan. Test-set grams never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import BloomFilter
+
+    def count_grams(batch: pa.Table) -> pa.Table:
+        seen: set[int] = set()
+        for t in batch[text_col].to_pylist():
+            seen.update(_ngram_hashes(t, n))
+        return pa.table({"n_grams": pa.array([len(seen)], pa.int64())})
+
+    total = test.map_batches(count_grams, batch_format="pyarrow").aggregate(
+        Sum("n_grams", alias_name="n_grams")
+    )
+    proto = BloomFilter.for_capacity(int(total["n_grams"] or 0) or 1, fpr)
+    n_bits, k = proto.n_bits, proto.k
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, k)
+        grams: set[int] = set()
+        for t in batch[text_col].to_pylist():
+            grams.update(_ngram_hashes(t, n))
+        bf.add_hashes(np.fromiter(grams, dtype=np.uint64, count=len(grams)))
+        return pa.table({"words": pa.array([bf.to_bytes()], pa.binary())})
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        acc = BloomFilter(n_bits, k)
+        for raw in batch["words"].to_pylist():
+            acc.merge(BloomFilter.from_bytes(raw, n_bits, k))
+        return pa.table({"words": pa.array([acc.to_bytes()], pa.binary())})
+
+    rows = (
+        test.map_batches(sketch_block, batch_format="pyarrow")
+        .map_batches(merge_batch, batch_format="pyarrow",
+                     batch_size=merge_fanin)
+        .take_all()
+    )
+    acc = BloomFilter(n_bits, k)
+    for r in rows:
+        acc.merge(BloomFilter.from_bytes(r["words"], n_bits, k))
+    bloom_ref = ray.put(acc.to_bytes())
+    state: dict = {}  # per-worker cache
+
+    def flag(batch: pa.Table) -> pa.Table:
+        if "bloom" not in state:
+            state["bloom"] = BloomFilter.from_bytes(
+                ray.get(bloom_ref), n_bits, k
+            )
+        bf = state["bloom"]
+        keep = []
+        for t in batch[text_col].to_pylist():
+            hs = _ngram_hashes(t, n)
+            hit = bool(
+                bf.contains_hashes(
+                    np.asarray(hs, dtype=np.uint64)
+                ).any()
+            ) if hs else False
+            keep.append(hit)
+        return batch.select([id_col]).filter(pa.array(keep, pa.bool_()))
+
+    return train.map_batches(flag, batch_format="pyarrow")
+
+
+def decontaminate_bloom(
+    train: ray.data.Dataset,
+    test: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    fpr: float = 1e-4,
+    max_broadcast_flagged: int = 20_000_000,
+) -> ray.data.Dataset:
+    """``decontaminate`` with the constant-size Bloom broadcast: drops a
+    guaranteed superset of the exactly-contaminated docs (excess bounded
+    by the filter's FPR — tolerable over-removal in exchange for a
+    test-side broadcast that never scales with gram count)."""
+    flagged_rows = find_contaminated_bloom(
+        train, test, text_col, id_col, n, fpr
+    ).take(max_broadcast_flagged + 1)
+    if len(flagged_rows) > max_broadcast_flagged:
+        raise ValueError(
+            "flagged set exceeds broadcast cap — the corpus is mostly "
+            "contaminated; inspect before dropping"
+        )
+    flagged_ref = ray.put(sorted(r[id_col] for r in flagged_rows))
+    state: dict = {}
+
+    def drop(batch: pa.Table) -> pa.Table:
+        if "flagged" not in state:
+            state["flagged"] = pa.array(ray.get(flagged_ref))
+        if len(state["flagged"]) == 0:
+            return batch
+        hit = pc.fill_null(
+            pc.is_in(batch[id_col], value_set=state["flagged"]), False
+        )
+        return batch.filter(pc.invert(hit))
+
+    return train.map_batches(drop, batch_format="pyarrow")
+
+
 # --------------------------------------------------- repetition signals --
 
 

@@ -639,3 +639,103 @@ class TestRepeatedSubstringsProperty:
             )
             want = TestRepeatedSubstrings._brute_counts(rows, 3)
             assert got == want, (trial, rows)
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_fpr_bound(self):
+        import numpy as np
+
+        from redactifai_ray.functions.sketch import BloomFilter
+
+        bf = BloomFilter.for_capacity(5000, fpr=1e-3)
+        added = [f"in-{i}" for i in range(5000)]
+        bf.update(added)
+        assert bf.contains(added).all()  # Bloom guarantee: no FNs
+        probes = [f"out-{i}" for i in range(50000)]
+        fp_rate = bf.contains(probes).mean()
+        assert fp_rate < 5e-3, fp_rate  # ~1e-3 target with slack
+
+    def test_merge_equals_single_build(self):
+        import numpy as np
+
+        from redactifai_ray.functions.sketch import BloomFilter
+
+        whole = BloomFilter(4096, 5)
+        whole.update([f"v{i}" for i in range(300)])
+        a = BloomFilter(4096, 5)
+        a.update([f"v{i}" for i in range(150)])
+        b = BloomFilter(4096, 5)
+        b.update([f"v{i}" for i in range(150, 300)])
+        a.merge(b)
+        assert (a.words == whole.words).all()
+
+    def test_roundtrip_and_geometry_guard(self):
+        import pytest as _pytest
+
+        from redactifai_ray.functions.sketch import BloomFilter
+
+        bf = BloomFilter(1024, 3)
+        bf.update(["x", "y"])
+        back = BloomFilter.from_bytes(bf.to_bytes(), bf.n_bits, bf.k)
+        assert (back.words == bf.words).all()
+        with _pytest.raises(ValueError):
+            bf.merge(BloomFilter(2048, 3))
+
+
+class TestDecontaminateBloom:
+    def _corpus(self):
+        filler = [
+            {"doc_id": 100 + i, "text": f"unique{i} " + " ".join(f"w{i}_{j}" for j in range(15))}
+            for i in range(8)
+        ]
+        train = [
+            {"doc_id": 1, "text": "prefix words " + LONG + " suffix words"},
+            {"doc_id": 2, "text": "totally different content here " + " ".join(f"z{j}" for j in range(15))},
+            {"doc_id": 3, "text": LONG.upper()},
+        ] + filler
+        test = [{"doc_id": 900, "text": "lead in " + LONG + " trail out"}]
+        return train, test
+
+    def test_flags_superset_of_exact(self, ray_session):
+        from redactifai_ray.stages.curate import (
+            find_contaminated,
+            find_contaminated_bloom,
+        )
+
+        train, test = self._corpus()
+        exact = set(
+            find_contaminated(_docs(train), _docs(test)).to_pandas()["doc_id"]
+        )
+        bloom = set(
+            find_contaminated_bloom(_docs(train), _docs(test)).to_pandas()["doc_id"]
+        )
+        assert exact == {1, 3}
+        assert exact <= bloom  # no false negatives, ever
+        # at this corpus size the FPR makes excess flags ~impossible
+        assert bloom == exact, bloom
+
+    def test_drop_keeps_clean_docs(self, ray_session):
+        from redactifai_ray.stages.curate import decontaminate_bloom
+
+        train, test = self._corpus()
+        kept = decontaminate_bloom(_docs(train), _docs(test)).to_pandas()
+        assert sorted(kept["doc_id"]) == sorted(
+            d["doc_id"] for d in train if d["doc_id"] not in (1, 3)
+        )
+
+    def test_superset_with_bounded_excess_on_sf0001(self, ray_session):
+        """On the real corpus the bloom flags are a superset of the exact
+        contaminated set with excess bounded by the FPR contract: the
+        train side probes ~40k grams at fpr=1e-4, so expected excess is
+        ~4 docs; 20 is a >5σ ceiling. (The result is deterministic —
+        same hashes, same filter — just not byte-equal to exact.)"""
+        from redactifai_ray.pipelines.queries import (
+            q_decontaminate,
+            q_decontaminate_bloom,
+        )
+
+        exact = q_decontaminate("/root/testdata/sf0.001")
+        bloom = q_decontaminate_bloom("/root/testdata/sf0.001")
+        assert set(exact["doc_id"]) <= set(bloom["doc_id"])
+        excess = len(bloom) - len(exact)
+        assert 0 <= excess <= 20, excess
