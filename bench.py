@@ -210,8 +210,10 @@ def run_bench() -> dict:
     )
 
     from redactifai_ray.pipelines.queries import (
+        q_bm25,
         q_decontaminate,
         q_events_window,
+        q_range_join,
         q_top_tokens,
         q_tpch_q1,
         q_tpch_q5,
@@ -222,6 +224,8 @@ def run_bench() -> dict:
     timed("events_window", lambda: q_events_window(SF_DIR))
     timed("decontaminate", lambda: q_decontaminate(SF_DIR))
     timed("top_tokens", lambda: q_top_tokens(SF_DIR))
+    timed("range_join", lambda: q_range_join(SF_DIR))
+    timed("bm25", lambda: q_bm25(SF_DIR))
 
     from redactifai_ray.stages.curate import chunk_dedup
 

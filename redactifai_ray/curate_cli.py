@@ -7,7 +7,8 @@ between extraction/masking (``run.py``'s output) and training:
     python -m redactifai_ray.curate_cli --input DOCS --output DIR
         [--normalize] [--gopher] [--dedup exact|paragraph|near|none]
         [--dedup-store DIR --dedup-store-mode exact|near]
-        [--decontaminate TEST_PARQUET] [--split 80,10,10]
+        [--decontaminate TEST_PARQUET [--decontaminate-bloom]]
+        [--split 80,10,10]
         [--mixture source=weight,...] [--shard-tokens N]
 
 Stage order (each optional, all lazy — ONE streaming execution writes
@@ -21,6 +22,8 @@ pre-scans, never a full-corpus materialization):
                  incremental cross-run store (exact hash store or
                  band+signature near store)
 4. decontaminate — drop docs sharing a 13-gram with the test set
+                 (--decontaminate-bloom: constant-size Bloom broadcast,
+                 FPs over-remove at ~1e-4)
 5. mixture     — deterministic per-source downsampling
 6. split       — md5-bucket train/val/test labels; output is
                  hive-partitioned by split so each carve is one subtree
@@ -77,6 +80,10 @@ def main(argv=None) -> int:
                          "dedup: remove K-token windows shared with a "
                          "lower-id document (first doc wins; runs after "
                          "the doc-level dedup stage)")
+    ap.add_argument("--decontaminate-bloom", action="store_true",
+                    help="use the constant-size Bloom broadcast for "
+                    "--decontaminate (FPs over-remove at ~1e-4; the "
+                    "test-side broadcast stops scaling with gram count)")
     ap.add_argument("--decontaminate", default=None, metavar="TEST_PARQUET",
                     help="parquet of eval documents; drop training docs "
                          "sharing a 13-gram with it")
@@ -90,6 +97,8 @@ def main(argv=None) -> int:
                          "(~N tokens per shard)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.decontaminate_bloom and not args.decontaminate:
+        ap.error("--decontaminate-bloom requires --decontaminate TEST_PARQUET")
 
     import ray
 
@@ -167,10 +176,14 @@ def main(argv=None) -> int:
                 k=args.substr_dedup,
             )
         if args.decontaminate:
-            from .stages.curate import decontaminate
+            from .stages.curate import decontaminate, decontaminate_bloom
 
             test = ray.data.read_parquet(args.decontaminate)
-            ds = decontaminate(
+            decon = (
+                decontaminate_bloom if args.decontaminate_bloom
+                else decontaminate
+            )
+            ds = decon(
                 ds, test, text_col=args.text_col, id_col=args.id_col
             )
         if args.mixture:

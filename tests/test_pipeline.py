@@ -528,6 +528,56 @@ class TestCurateCli:
         assert all(i % 2 == 0 or i >= 100 for i in ids if i < 200)  # wiki dropped
         assert s["rows_out"] == len(ids)
 
+    def test_decontaminate_bloom_mode(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from redactifai_ray.curate_cli import main
+
+        src = self._write_docs(tmp_path)
+        text3 = pq.read_table(src).to_pydict()
+        t3 = text3["text"][3]
+        test_p = tmp_path / "evalset.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([9000], pa.int64()),
+                    "text": pa.array([t3], pa.string()),
+                }
+            ),
+            test_p,
+        )
+        out = str(tmp_path / "out_bloom")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(
+                [
+                    "--input", src,
+                    "--output", out,
+                    "--decontaminate", str(test_p),
+                    "--decontaminate-bloom",
+                ]
+            )
+        assert rc == 0
+        import duckdb
+
+        ids = {
+            r[0]
+            for r in duckdb.sql(
+                f"select doc_id from '{out}/docs/*.parquet'"
+            ).fetchall()
+        }
+        assert 3 not in ids  # bloom path decontaminated too
+
+        # bloom flag without --decontaminate is a usage error
+        with _pytest.raises(SystemExit):
+            main(["--input", src, "--output", out, "--decontaminate-bloom"])
+
 
 class TestCliBlocklistAndDedupModes:
     def test_run_blocklist_drops_domains(self, ray_session, tmp_path):
