@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14r": q.q_tpch_q14r,
         # round-4: BM25 ranked retrieval (exact fixed-point scores)
         "bm25": q.q_bm25,
+        # round-4: per-column data-quality profile (nulls/distinct/min/max)
+        "profile_docs": q.q_profile_docs,
         # round-4: Bloom-filter decontamination (rows-only: flagged set
         # is a deterministic superset of the exact one — FP over-flagging
         # is the documented contract; superset + FPR bound test-pinned)
@@ -308,6 +310,30 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "profile_docs": """
+            -- per-column profile; min/max cast to VARCHAR to mirror the
+            -- Ray side's uniform string output schema (int columns
+            -- compare zero-padded there, so order stays numeric)
+            SELECT 'lang' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(lang))::BIGINT AS n_nulls,
+                   count(DISTINCT lang)::BIGINT AS n_distinct,
+                   min(lang) AS min_v, max(lang) AS max_v
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*)::BIGINT,
+                   (count(*) - count(n_chars))::BIGINT,
+                   count(DISTINCT n_chars)::BIGINT,
+                   CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*)::BIGINT,
+                   (count(*) - count(source))::BIGINT,
+                   count(DISTINCT source)::BIGINT,
+                   min(source), max(source)
+            FROM documents
+            ORDER BY col_name
         """,
         "bm25": """
             -- Okapi BM25, same tokenization as the tf-idf family

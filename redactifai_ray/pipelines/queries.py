@@ -2560,6 +2560,17 @@ def q_tpch_q4r(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_profile_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-column data-quality profile of the documents table (see
+    ``profile_table``): rows, nulls, exact distinct, min/max for lang,
+    n_chars, source. String-typed min/max keeps the output schema
+    uniform; n_chars compares zero-padded so order stays numeric."""
+    from ..stages.analyze import profile_table
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars", "source"])
+    return profile_table(docs, ["lang", "n_chars", "source"])
+
+
 BM25_QUERY = ["hash", "join", "merge", "table"]
 
 

@@ -1198,3 +1198,124 @@ def bm25_topk(
         .reset_index(drop=True)
         .astype({id_col: np.int64, "bm25_u": np.int64})
     )
+
+
+def profile_table(
+    ds,
+    columns,
+    max_distinct_exchange: int = 50_000_000,
+):
+    """Per-column data-quality profile: row count, null count, exact
+    distinct count, lexicographic/numeric min and max — the
+    maintenance-pass twin of the reference's per-job metrics report
+    (reference src/services/reporting.py gathers per-entity counts; a
+    100 TB corpus needs the same summary per COLUMN before training).
+
+    Distributed shape: ONE pass emits two slim partial streams per
+    batch — (a) a per-column stats row (nulls/min/max over the batch:
+    ≤|columns| rows per batch, folded by a tiny groupby) and (b) the
+    batch-DISTINCT (col, value) pairs, which one hash-partition groupby
+    reduces to exact per-column distinct counts. Raw rows never
+    shuffle; the value exchange carries each distinct value once per
+    batch (the standard pre-aggregated COUNT DISTINCT shape —
+    `q_distinct_users_per_type`). ``max_distinct_exchange`` documents
+    the intended regime; above it, profile high-cardinality columns
+    with ``hll_distinct`` instead (±1.6%) — the exact path's exchange
+    is distinct-values-sized, which for id-like columns is the table
+    itself.
+
+    min/max/distinct treat values AS STRINGS for a uniform output
+    schema. Non-negative integer columns are zero-padded to 20 digits
+    before comparison so lexicographic == numeric order, then the pad
+    is stripped (schema-driven, so digit-looking STRING values are
+    never touched); negative values would break that order and raise."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    cols = list(columns)
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    int_cols = {c for c in cols if pa.types.is_integer(types[c])}
+
+    def _as_str(name: str, arr: pa.ChunkedArray) -> pa.ChunkedArray:
+        if name in int_cols:
+            if pc.min(arr).as_py() is not None and pc.min(arr).as_py() < 0:
+                raise ValueError(
+                    f"profile_table: column {name!r} has negative values —"
+                    " zero-pad ordering only holds for non-negative ints"
+                )
+            return pc.utf8_lpad(
+                pc.cast(arr.cast(pa.int64()), pa.string()), 20, "0"
+            )
+        return arr.cast(pa.string())
+
+    def partials(t: pa.Table) -> pa.Table:
+        names, nr, nn, mins, maxs = [], [], [], [], []
+        for c in cols:
+            arr = t.column(c)
+            names.append(c)
+            nr.append(t.num_rows)
+            nn.append(arr.null_count)
+            s = _as_str(c, arr.combine_chunks())
+            mm = pc.min_max(s)
+            mins.append(mm["min"].as_py())
+            maxs.append(mm["max"].as_py())
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "n_rows": pa.array(nr, pa.int64()),
+                "n_nulls": pa.array(nn, pa.int64()),
+                "min_v": pa.array(mins, pa.string()),
+                "max_v": pa.array(maxs, pa.string()),
+            }
+        )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            s = _as_str(c, t.column(c).combine_chunks())
+            for v in pc.unique(s).to_pylist():
+                if v is not None:
+                    names.append(c)
+                    vals.append(v)
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "v": pa.array(vals, pa.string()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+        .to_pandas()
+    )
+    ndist = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["col_name", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("col_name")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = stats.merge(ndist, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    for c in ("n_rows", "n_nulls"):
+        out[c] = out[c].astype(np.int64)
+    def _unpad(row, col):
+        v = row[col]
+        if row["col_name"] in int_cols and isinstance(v, str):
+            return v.lstrip("0") or "0"
+        return v
+
+    out["min_v"] = out.apply(lambda r: _unpad(r, "min_v"), axis=1)
+    out["max_v"] = out.apply(lambda r: _unpad(r, "max_v"), axis=1)
+    return out[
+        ["col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]
+    ].sort_values("col_name").reset_index(drop=True)

@@ -2070,3 +2070,69 @@ class TestBm25:
         )
         out = bm25_topk(docs, ["raregem", "common"], k=4)
         assert int(out.iloc[0]["doc_id"]) == 1
+
+
+class TestProfileTable:
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_profile_docs
+
+        out = q_profile_docs("/root/testdata/sf0.001")
+        docs = pd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["lang", "n_chars", "source"],
+        )
+        rows = []
+        for c in ["lang", "n_chars", "source"]:
+            col = docs[c]
+            vals = col.dropna()
+            as_str = vals.astype(str)
+            rows.append(
+                (
+                    c,
+                    len(col),
+                    int(col.isna().sum()),
+                    int(vals.nunique()),
+                    str(vals.min()),
+                    str(vals.max()),
+                )
+            )
+        want = pd.DataFrame(
+            rows,
+            columns=["col_name", "n_rows", "n_nulls", "n_distinct",
+                     "min_v", "max_v"],
+        ).astype({"n_rows": np.int64, "n_nulls": np.int64,
+                  "n_distinct": np.int64}).sort_values(
+            "col_name").reset_index(drop=True)
+        assert out.equals(want), (out, want)
+
+    def test_nulls_counted_and_skipped_in_minmax(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import profile_table
+
+        ds = ray.data.from_items(
+            [
+                {"s": "b", "n": 7},
+                {"s": None, "n": 100},
+                {"s": "a", "n": None},
+                {"s": "a", "n": 3},
+            ]
+        )
+        out = profile_table(ds, ["s", "n"]).set_index("col_name")
+        assert out.loc["s", "n_nulls"] == 1
+        assert out.loc["s", "n_distinct"] == 2
+        assert (out.loc["s", "min_v"], out.loc["s", "max_v"]) == ("a", "b")
+        assert out.loc["n", "n_nulls"] == 1
+        # zero-pad keeps numeric order: 100 > 7 even as strings
+        assert (out.loc["n", "min_v"], out.loc["n", "max_v"]) == ("3", "100")
+        assert (out["n_rows"] == 4).all()
+
+    def test_negative_ints_rejected(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import profile_table
+
+        ds = ray.data.from_items([{"n": -1}, {"n": 5}])
+        with pytest.raises(Exception) as ei:
+            profile_table(ds, ["n"])
+        assert "negative" in str(ei.value)
