@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q.q_bm25,
         # round-4: per-column data-quality profile (nulls/distinct/min/max)
         "profile_docs": q.q_profile_docs,
+        # round-4: grouped HLL distinct (rows-only: approximate by
+        # design; ±1.6% bound vs the exact path test-pinned)
+        "hll_users_per_type": q.q_hll_users_per_type,
         # round-4: Bloom-filter decontamination (rows-only: flagged set
         # is a deterministic superset of the exact one — FP over-flagging
         # is the documented contract; superset + FPR bound test-pinned)

@@ -457,3 +457,53 @@ class BloomFilter:
             n_bits, n_hashes,
             words=np.frombuffer(raw, dtype=np.uint64).copy(),
         )
+
+
+def hll_distinct_by(ds, key_col: str, col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT col) GROUP BY key_col — the sketch
+    twin of the exact two-shuffle `q_distinct_users_per_type` path, for
+    when the per-key value sets are too large to move (10^12 events,
+    10^9 users per event type: the exact path's first shuffle carries a
+    row per distinct (key, value) pair; this one carries a 2^p-byte
+    register row per (key, block)).
+
+    Distributed shape: each block folds its rows into ONE register row
+    per key present in the block (vectorized add_hashes per key group);
+    a key-hash groupby then max-merges registers in-partition — merge is
+    associative/commutative, so block boundaries and partition order
+    cannot change the estimate. Output: (key, n_distinct_approx)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, col]).to_pandas()
+        keys, regs = [], []
+        for k, g in df.groupby(key_col, sort=False, dropna=False):
+            h = HyperLogLog(p)
+            h.update(g[col].dropna().tolist())
+            keys.append(k)
+            regs.append(h.to_bytes())
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "registers": pa.array(regs, pa.binary()),
+            }
+        )
+
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.frombuffer(
+            b"".join(g["registers"]), dtype=np.uint8
+        ).reshape(-1, 1 << p)
+        acc = HyperLogLog(p, registers=regs.max(axis=0))
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_distinct_approx": [float(acc.count())],
+            }
+        )
+
+    return (
+        ds.map_batches(sketch_block, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_key, batch_format="pandas")
+    )

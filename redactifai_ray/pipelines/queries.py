@@ -2560,6 +2560,18 @@ def q_tpch_q4r(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_hll_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via the grouped HLL
+    sketch (``hll_distinct_by``) — the scale twin of the exact
+    ``q_distinct_users_per_type``. Rows-only: approximate by design;
+    the ±1.6% (p=12) error bound vs the exact path is test-pinned."""
+    from ..functions.sketch import hll_distinct_by
+
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = hll_distinct_by(events, "event_type", "user_id").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_profile_docs(sf_dir: str) -> pd.DataFrame:
     """Per-column data-quality profile of the documents table (see
     ``profile_table``): rows, nulls, exact distinct, min/max for lang,

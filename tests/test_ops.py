@@ -2136,3 +2136,36 @@ class TestProfileTable:
         with pytest.raises(Exception) as ei:
             profile_table(ds, ["n"])
         assert "negative" in str(ei.value)
+
+
+class TestHllDistinctBy:
+    def test_within_bound_of_exact(self, ray_session):
+        from redactifai_ray.pipelines.queries import (
+            q_distinct_users_per_type,
+            q_hll_users_per_type,
+        )
+
+        exact = q_distinct_users_per_type("/root/testdata/sf0.001")
+        approx = q_hll_users_per_type("/root/testdata/sf0.001")
+        exact_col = [c for c in exact.columns if c != "event_type"][0]
+        m = exact.merge(approx, on="event_type")
+        assert len(m) == len(exact) > 0
+        rel = (m["n_distinct_approx"] - m[exact_col]).abs() / m[exact_col]
+        # 1.04/sqrt(2^12) ≈ 1.6%; allow 3σ
+        assert (rel < 0.05).all(), m
+
+    def test_merge_order_invariant(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.sketch import hll_distinct_by
+
+        rows = [
+            {"k": f"g{i % 3}", "v": f"u{i % 500}"} for i in range(5000)
+        ]
+        a = hll_distinct_by(
+            ray.data.from_items(rows).repartition(2), "k", "v"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        b = hll_distinct_by(
+            ray.data.from_items(rows[::-1]).repartition(13), "k", "v"
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert a.equals(b), (a, b)
