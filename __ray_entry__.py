@@ -179,6 +179,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is a deterministic superset of the exact one — FP over-flagging
         # is the documented contract; superset + FPR bound test-pinned)
         "decontaminate_bloom": q.q_decontaminate_bloom,
+        # round-4: Q6 pushed-down filter-sum, Q10 returned-item top-20,
+        # Q18 large-volume customers (HAVING over a fact groupby)
+        "tpch_q6": q.q_tpch_q6,
+        "tpch_q10r": q.q_tpch_q10r,
+        "tpch_q18r": q.q_tpch_q18r,
+        # round-4: grouped statistical sufficient statistics (exact int64
+        # moments for mean/var/corr), LAG-shaped inter-arrival gaps,
+        # grouped mode/argmax
+        "lineitem_moments": q.q_lineitem_moments,
+        "events_gaps": q.q_events_gaps,
+        "top_event_type": q.q_top_event_type,
     }
 
 
@@ -994,4 +1005,89 @@ def oracle_sql() -> dict[str, str]:
     sql["tfidf_sharded"] = sql["tfidf_top_terms"]
     sql["tpch_q3_semijoin"] = sql["tpch_q3"]
     sql["customers_no_orders_anti"] = sql["customers_no_orders"]
+    sql["tpch_q6"] = """
+        -- Q6 forecasting revenue change; per-lineitem revenue fixes to
+        -- int64 fixed-point BEFORE summation on both sides (exact)
+        SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount
+                                       * 10000 + 0.5) AS BIGINT)), 0)::BIGINT
+                   AS revenue_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+    sql["tpch_q10r"] = """
+        -- Q10 returned-item report: top-20 customers by exact-cents
+        -- revenue, ties broken by custkey so the row-set is deterministic
+        SELECT c_custkey, c_name, n_name, rev_c FROM (
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000 + 0.5) AS BIGINT))::BIGINT AS rev_c
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+        ) ORDER BY rev_c DESC, c_custkey ASC LIMIT 20
+    """
+    sql["tpch_q18r"] = """
+        -- Q18 large-volume customers: quantities are integral doubles in
+        -- the data, so the HAVING sum is exact int64 on both sides
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS totalprice_c,
+               t.sum_qty
+        FROM (
+            SELECT l_orderkey,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        ) t
+        JOIN orders o   ON o.o_orderkey = t.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """
+    sql["lineitem_moments"] = """
+        -- grouped sufficient statistics, all exact int64 (discount fixed
+        -- to basis points with the same floor(x*100+0.5) as the Ray side)
+        SELECT l_returnflag,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_q,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT))::BIGINT AS sum_q2,
+               sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))::BIGINT
+                   AS sum_d,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))::BIGINT
+                   AS sum_qd
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    sql["events_gaps"] = """
+        -- LAG window shape; gaps in exact epoch microseconds (diffs of a
+        -- sorted multiset are tie-order-independent)
+        SELECT user_id,
+               sum(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_long_gaps,
+               max(gap_us)::BIGINT AS max_gap_us
+        FROM (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS gap_us
+            FROM events
+        ) WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    """
+    sql["top_event_type"] = """
+        -- grouped mode/argmax; ties broken by event_type ASC on both sides
+        SELECT user_id, event_type AS top_type, n FROM (
+            SELECT user_id, event_type, count(*)::BIGINT AS n,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type ASC) AS rk
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rk = 1
+    """
     return sql

@@ -2897,3 +2897,433 @@ def q_tpch_q14r(
             ),
         }
     )
+
+
+def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: one projected, filtered scan
+    of lineitem with an exact fixed-point sum of ``extendedprice *
+    discount`` — the minimal pushed-down-aggregate shape: zero shuffle,
+    per-batch partials, a one-row driver result. The predicate runs as
+    vectorized Arrow kernels on the pruned 4-column read; at 100 TB this
+    plan touches nothing but the four columns' row groups."""
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev = np.floor(
+            np.asarray(t["l_extendedprice"], dtype=np.float64)
+            * np.asarray(t["l_discount"], dtype=np.float64)
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table({"revenue_c": pa.array([int(rev.sum())], pa.int64())})
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+    return pd.DataFrame(
+        {"revenue_c": pd.array([int(agg["revenue_c"] or 0)], dtype="int64")}
+    )
+
+
+def q_tpch_q10r(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10-style returned-item report: top-20 customers by revenue
+    from RETURNED lineitems of orders placed in 1996Q1, with name and
+    nation attached.
+
+    Distributed shape: lineitem(R) and the windowed orders are BOTH fact
+    tables, so the orderkey equi-join runs as the house fact×fact merge —
+    slim side-flagged rows into one orderkey-hash groupby whose
+    in-partition pandas merge emits pre-aggregated (custkey, rev_c)
+    partials; a customer-cardinality groupby sums them. Only then does
+    the plan leave the cluster: the exact-cents top-20 (ties broken by
+    custkey) is 20 rows, and name/nation attach via a 20-key ``pc.is_in``
+    filtered read of customer plus the 25-row nation table — dimensions
+    never shuffle, facts never broadcast."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = np.floor(
+            np.asarray(t["l_extendedprice"], dtype=np.float64)
+            * (1.0 - np.asarray(t["l_discount"], dtype=np.float64))
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("l_orderkey").combine_chunks().cast(pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+                "custkey": pa.nulls(n, pa.int64()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(0),
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("o_orderkey").combine_chunks().cast(pa.int64()),
+                "rev_c": pa.nulls(n, pa.int64()),
+                "custkey": t.column("o_custkey").combine_chunks().cast(pa.int64()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(1),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    stream = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+            ).map_batches(ord_rows, batch_format="pyarrow")
+        )
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+
+    empty_pd = pd.DataFrame(
+        {
+            "c_custkey": pd.Series(dtype="int64"),
+            "rev_c": pd.Series(dtype="int64"),
+        }
+    )
+    cols = list(empty_pd.columns)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns:  # schema-less empty partition
+            return empty_pd.copy()
+        li = g[g["is_ord"] == 0][["key", "rev_c"]]
+        ords = g[g["is_ord"] == 1][["key", "custkey"]]
+        if li.empty or ords.empty:
+            return empty_pd.copy()
+        j = li.merge(ords, on="key", how="inner")
+        if j.empty:
+            return empty_pd.copy()
+        out = (
+            pd.DataFrame(
+                {
+                    "c_custkey": j["custkey"].astype(np.int64),
+                    "rev_c": j["rev_c"].astype(np.int64),
+                }
+            )
+            .groupby("c_custkey", as_index=False)
+            .sum()
+        )
+        return out[cols].astype(empty_pd.dtypes.to_dict())
+
+    partials = stream.groupby("pkey", num_partitions=P).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def fix_schema(df: pd.DataFrame) -> pd.DataFrame:
+        if list(df.columns) != cols:
+            return empty_pd.copy()
+        return df
+
+    custrev = (
+        partials.map_batches(fix_schema, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()
+    )
+    if custrev.empty or "c_custkey" not in custrev.columns:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object"),
+                "n_name": pd.Series(dtype="object"),
+                "rev_c": pd.Series(dtype="int64"),
+            }
+        )
+    custrev["rev_c"] = custrev["rev_c"].astype(np.int64)
+    top = custrev.sort_values(
+        ["rev_c", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+
+    keys = pa.array(sorted(int(k) for k in top["c_custkey"]), pa.int64())
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (
+        top.merge(cust, on="c_custkey", how="left")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey", how="left")
+    )
+    out = out[["c_custkey", "c_name", "n_name", "rev_c"]].reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    return out
+
+
+def q_tpch_q18r(
+    sf_dir: str, min_qty: int = 300, max_broadcast_keys: int = 2_000_000
+) -> pd.DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total lineitem
+    quantity exceeds ``min_qty``, with customer and order detail.
+
+    Distributed shape: one slim (orderkey, qty) groupby-sum is the only
+    full-fact shuffle; the HAVING filter leaves a small hot-order set by
+    construction, which broadcasts (capped; above ``max_broadcast_keys``
+    the plan falls back to the join-free ``_semijoin_on_key``) into a
+    vectorized ``pc.is_in`` filter over orders; the surviving rows are
+    result-scale and attach the customer name via a second keyed filtered
+    read. Quantities are integral in the data — sums stay exact int64."""
+    from ..cluster import default_partitions
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["l_quantity"], dtype=np.float64).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey").combine_chunks().cast(pa.int64()),
+                "sum_qty": pa.array(q, pa.int64()),
+            }
+        )
+
+    totals = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(li_slim, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["sum_qty"], pa.scalar(min_qty))),
+            batch_format="pyarrow",
+        )
+    )
+
+    hot_rows = totals.take(max_broadcast_keys + 1)
+    ocols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    if len(hot_rows) <= max_broadcast_keys:
+        qty_by_key = {int(r["o_orderkey"]): int(r["sum_qty"]) for r in hot_rows}
+        keys_ref = ray.put(pa.array(sorted(qty_by_key), pa.int64()))
+        state: dict = {}
+
+        def keep_hot(t: pa.Table) -> pa.Table:
+            if "keys" not in state:
+                state["keys"] = ray.get(keys_ref)
+            return t.filter(pc.is_in(t["o_orderkey"], value_set=state["keys"]))
+
+        hot_orders = (
+            _read(sf_dir, "orders", ocols)
+            .map_batches(keep_hot, batch_format="pyarrow")
+            .to_pandas()
+        )
+        hot_orders["sum_qty"] = (
+            hot_orders["o_orderkey"].map(qty_by_key).astype(np.int64)
+        )
+    else:  # pragma: no cover - exercised via forced-cap test
+        joined = _semijoin_on_key(
+            _read(sf_dir, "orders", ocols),
+            totals,
+            "o_orderkey",
+            "o_orderkey",
+            keep_cols=ocols,
+            types={
+                "o_orderkey": pa.int64(),
+                "o_custkey": pa.int64(),
+                "o_orderdate": pa.timestamp("us"),
+                "o_totalprice": pa.float64(),
+            },
+        ).to_pandas()
+        qty = totals.to_pandas()
+        hot_orders = joined.merge(qty, on="o_orderkey", how="inner")
+        hot_orders["sum_qty"] = hot_orders["sum_qty"].astype(np.int64)
+
+    if hot_orders.empty:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "totalprice_c": pd.Series(dtype="int64"),
+                "sum_qty": pd.Series(dtype="int64"),
+            }
+        )
+
+    ckeys = pa.array(sorted({int(k) for k in hot_orders["o_custkey"]}), pa.int64())
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=ckeys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = hot_orders.merge(
+        cust, left_on="o_custkey", right_on="c_custkey", how="left"
+    )
+    out["totalprice_c"] = np.floor(
+        out["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+    ).astype(np.int64)
+    out = out[["c_custkey", "c_name", "o_orderkey", "totalprice_c", "sum_qty"]]
+    out = out.sort_values(
+        ["sum_qty", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return out
+
+
+def q_lineitem_moments(sf_dir: str) -> pd.DataFrame:
+    """Grouped statistical sufficient statistics (mean/variance/correlation
+    moments) per l_returnflag: n, Σq, Σq², Σd, Σqd with quantity as exact
+    int64 and discount fixed to basis points — everything an analyst needs
+    for grouped mean/var/corr, computed distributedly with NO float
+    accumulation anywhere.
+
+    Shape: the canonical partial→final combiner — each batch folds to at
+    most |groups| partial rows via a vectorized pandas groupby, then one
+    tiny keyed groupby sums partials. The shuffle carries O(batches ×
+    groups) int64 rows, never the fact table."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(dtype=np.float64).astype(np.int64)
+        d = np.floor(
+            df["l_discount"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n_rows": np.ones(len(df), dtype=np.int64),
+                "sum_q": q,
+                "sum_q2": q * q,
+                "sum_d": d,
+                "sum_qd": q * d,
+            }
+        )
+        return out.groupby("l_returnflag", as_index=False).sum()
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("sum_q2", alias_name="sum_q2"),
+            Sum("sum_d", alias_name="sum_d"),
+            Sum("sum_qd", alias_name="sum_qd"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_rows", "sum_q", "sum_q2", "sum_d", "sum_qd"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_events_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-arrival gap statistics (the LAG window shape): for
+    each user with ≥2 events, the number of gaps longer than 5 minutes and
+    the maximum gap, in exact microseconds. Gaps are diffs of the
+    ts-sorted event sequence, so the answer is tie-order-independent
+    (consecutive differences of a sorted multiset are unique).
+
+    Shape: one user-keyed groupby shuffle of the pruned (user, ts)
+    columns; per-group work is a vectorized sort+diff. At scale the key
+    space (users) is large and unskewed — the right partitioning."""
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=g["user_id"].dtype),
+                    "n_long_gaps": pd.Series(dtype="int64"),
+                    "max_gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        ts = np.sort(g["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64))
+        d = np.diff(ts) // 1000  # ns → µs, exact ints
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_long_gaps": pd.array(
+                    [int((d > 300_000_000).sum())], dtype="int64"
+                ),
+                "max_gap_us": pd.array([int(d.max())], dtype="int64"),
+            }
+        )
+
+    return (
+        events.groupby("user_id", num_partitions=32)
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_top_event_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped mode / argmax: each user's most frequent event type (ties →
+    lexicographically smallest type) with its count.
+
+    Shape: per-batch (user, type) count partials fold inside
+    ``map_batches`` (vectorized pandas groupby), then ONE user-keyed
+    groupby sums partials and takes the deterministic argmax per group —
+    the shuffle carries pre-aggregated counts, never events."""
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("event_type", as_index=False)["n"].sum()
+        s = s.sort_values(["n", "event_type"], ascending=[False, True], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "top_type": [s["event_type"].iloc[0]],
+                "n": pd.array([int(s["n"].iloc[0])], dtype="int64"),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby("user_id", num_partitions=32)
+        .map_groups(argmax, batch_format="pandas")
+        .to_pandas()
+    )

@@ -30,6 +30,13 @@ FAST_ORACLED = [
     "user_rolling_mean",
     "rollup_orders",
     "grouped_quantiles",
+    # round-4 additions (fast at sf0.001)
+    "tpch_q6",
+    "tpch_q10r",
+    "tpch_q18r",
+    "lineitem_moments",
+    "events_gaps",
+    "top_event_type",
 ]
 
 
