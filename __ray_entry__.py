@@ -190,6 +190,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_moments": q.q_lineitem_moments,
         "events_gaps": q.q_events_gaps,
         "top_event_type": q.q_top_event_type,
+        # round-4: integer-arithmetic weighted priority sample (A-ES
+        # hash-race), dedup cluster-size histogram, FK-orphan validation
+        "weighted_sample": q.q_weighted_sample,
+        "dup_cluster_sizes": q.q_dup_cluster_sizes,
+        "fk_orphans": q.q_fk_orphans,
     }
 
 
@@ -1089,5 +1094,38 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY count(*) DESC, event_type ASC) AS rk
             FROM events GROUP BY user_id, event_type
         ) WHERE rk = 1
+    """
+    sql["weighted_sample"] = """
+        -- A-ES hash-race weighted sample: integer key u32 // weight (the
+        -- same md5-hex-prefix uniform as the split/mixture ops), global
+        -- 100 smallest under the strict (key, doc_id) order
+        SELECT doc_id, source, weight, race_key FROM (
+            SELECT doc_id, source,
+                   (CAST(substr(source, 4) AS BIGINT) % 4 + 1)::BIGINT
+                       AS weight,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       // (CAST(substr(source, 4) AS BIGINT) % 4 + 1)
+                       AS race_key
+            FROM documents
+        ) ORDER BY race_key ASC, doc_id ASC LIMIT 100
+    """
+    sql["dup_cluster_sizes"] = """
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+            SELECT md5(coalesce(text, '')) AS h, count(*)::BIGINT AS cluster_size
+            FROM documents GROUP BY h
+        ) GROUP BY cluster_size ORDER BY cluster_size
+    """
+    sql["fk_orphans"] = """
+        SELECT 'lineitem_orders' AS relation,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+                   AS n_orphans
+        UNION ALL
+        SELECT 'orders_customer' AS relation,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))::BIGINT
+                   AS n_orphans
     """
     return sql

@@ -3327,3 +3327,111 @@ def q_top_event_type(sf_dir: str) -> pd.DataFrame:
         .map_groups(argmax, batch_format="pandas")
         .to_pandas()
     )
+
+
+def q_weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic weighted priority sample (the hash-race variant of
+    Efraimidis–Spirakis A-ES reservoir sampling): every row draws a
+    deterministic uniform from md5(doc_id) and races with integer key
+    ``u32 // weight`` — higher-weight rows get proportionally smaller
+    keys, the global k smallest win. Pure integer arithmetic end-to-end,
+    so the sample is bit-reproducible across engines, repartitions and
+    resumes (no float pow/log whose last-ulp could flip a rank).
+
+    Shape: each batch emits only its local top-k under the strict
+    (key, doc_id) order — a total order, so the partial top-k is
+    tie-safe — and the driver folds ≤ k×batches slim rows. No shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        u32 = np.array(
+            [
+                int(__import__("hashlib").md5(str(i).encode()).hexdigest()[:8], 16)
+                for i in df["doc_id"]
+            ],
+            dtype=np.int64,
+        )
+        w = (df["source"].str.slice(3).astype(np.int64) % 4 + 1).to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "source": df["source"],
+                "weight": w.astype(np.int64),
+                "race_key": u32 // w,
+            }
+        )
+        return out.sort_values(
+            ["race_key", "doc_id"], kind="mergesort"
+        ).head(k)
+
+    parts = docs.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["race_key", "doc_id"], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def q_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster size histogram (dedup reporting): how many exact-
+    content clusters exist of each size. The exchange carries only 16-byte
+    digests — text never shuffles; the second groupby input is already
+    cluster-cardinality and its output is histogram-cardinality."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def digest(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    sizes = (
+        docs.map_batches(digest, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="cluster_size"))
+        .select_columns(["cluster_size"])
+        .groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+        .to_pandas()
+    )
+    sizes["cluster_size"] = sizes["cluster_size"].astype(np.int64)
+    sizes["n_clusters"] = sizes["n_clusters"].astype(np.int64)
+    return sizes.sort_values("cluster_size").reset_index(drop=True)
+
+
+def q_fk_orphans(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity validation (data-quality suite): count fact
+    rows whose foreign key has no parent — lineitem→orders on orderkey and
+    orders→customer on custkey. Each check is one join-free distributed
+    anti-semi-join (``_semijoin_on_key(anti=True)``) over the two slim key
+    columns, followed by a count — no driver gather, no broadcast, works
+    at any key cardinality."""
+    li_orphans = _semijoin_on_key(
+        _read(sf_dir, "lineitem", ["l_orderkey"]),
+        _read(sf_dir, "orders", ["o_orderkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        keep_cols=["l_orderkey"],
+        types={"l_orderkey": pa.int64()},
+        anti=True,
+    ).count()
+    ord_orphans = _semijoin_on_key(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey"]),
+        "o_custkey",
+        "c_custkey",
+        keep_cols=["o_custkey"],
+        types={"o_custkey": pa.int64()},
+        anti=True,
+    ).count()
+    return pd.DataFrame(
+        {
+            "relation": ["lineitem_orders", "orders_customer"],
+            "n_orphans": pd.array(
+                [int(li_orphans), int(ord_orphans)], dtype="int64"
+            ),
+        }
+    )

@@ -37,6 +37,9 @@ FAST_ORACLED = [
     "lineitem_moments",
     "events_gaps",
     "top_event_type",
+    "weighted_sample",
+    "dup_cluster_sizes",
+    "fk_orphans",
 ]
 
 
