@@ -2169,3 +2169,84 @@ class TestHllDistinctBy:
             ray.data.from_items(rows[::-1]).repartition(13), "k", "v"
         ).to_pandas().sort_values("k").reset_index(drop=True)
         assert a.equals(b), (a, b)
+
+
+class TestJsonlSource:
+    """JSONL interchange source/sink (sources/jsonl.py): roundtrips must be
+    value-identical with the Parquet representation, including binary html
+    (base64) and microsecond timestamps."""
+
+    def _pages(self, tmp_path):
+        import ray
+
+        from redactifai_ray.fixtures import write_pages_parquet
+
+        pdir = str(tmp_path / "pages_pq")
+        write_pages_parquet(pdir, 60, rows_per_file=20)
+        return pdir
+
+    def test_pages_roundtrip_value_identical(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data
+
+        from redactifai_ray.sources.jsonl import (
+            read_pages_jsonl,
+            write_pages_jsonl,
+        )
+
+        pdir = self._pages(tmp_path)
+        orig = ray.data.read_parquet(pdir).to_pandas()
+        jdir = str(tmp_path / "pages_jsonl")
+        write_pages_jsonl(ray.data.read_parquet(pdir), jdir)
+        back = read_pages_jsonl(jdir).to_pandas()
+        key = ["url"]
+        a = orig.sort_values(key).reset_index(drop=True)
+        b = back[orig.columns].sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b) == 60
+        pd.testing.assert_frame_equal(a, b)
+        # html survives byte-exact (base64 is lossless)
+        assert (a["html"] == b["html"]).all()
+        # timestamps keep microsecond precision
+        assert (a["warc_ts"] == b["warc_ts"]).all()
+
+    def test_pages_jsonl_feeds_extract_stage(self, ray_session, tmp_path):
+        import ray.data
+
+        from redactifai_ray.sources.jsonl import (
+            read_pages_jsonl,
+            write_pages_jsonl,
+        )
+        from redactifai_ray.stages.extract import make_extract_batch
+
+        pdir = self._pages(tmp_path)
+        jdir = str(tmp_path / "pages_jsonl2")
+        write_pages_jsonl(ray.data.read_parquet(pdir), jdir)
+        out = (
+            read_pages_jsonl(jdir)
+            .map_batches(make_extract_batch(), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert len(out) == 60
+        assert (out["extracted_text"].str.len() > 0).any()
+
+    def test_documents_roundtrip_and_projection(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data
+
+        from redactifai_ray.sources.jsonl import (
+            read_documents_jsonl,
+            write_documents_jsonl,
+        )
+
+        docs = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        orig = docs.to_pandas()
+        jdir = str(tmp_path / "docs_jsonl")
+        write_documents_jsonl(docs, jdir)
+        back = read_documents_jsonl(jdir).to_pandas()
+        a = orig.sort_values("doc_id").reset_index(drop=True)
+        b = back[orig.columns].sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        slim = read_documents_jsonl(jdir, columns=["doc_id", "lang"])
+        assert set(slim.schema().names) == {"doc_id", "lang"}
