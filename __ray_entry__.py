@@ -195,6 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q.q_weighted_sample,
         "dup_cluster_sizes": q.q_dup_cluster_sizes,
         "fk_orphans": q.q_fk_orphans,
+        # round-4: fixed-length sequence packing (prefix-sum scan),
+        # windowed RANK, mixture-planning token budget
+        "pack_sequences": q.q_pack_sequences,
+        "rank_in_lang": q.q_rank_in_lang,
+        "source_budget": q.q_source_budget,
     }
 
 
@@ -1114,6 +1119,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(coalesce(text, '')) AS h, count(*)::BIGINT AS cluster_size
             FROM documents GROUP BY h
         ) GROUP BY cluster_size ORDER BY cluster_size
+    """
+    sql["pack_sequences"] = """
+        -- fixed-length (512-token) sequence packing plan: exclusive
+        -- prefix sum over the id-ordered whitespace-token stream; empty
+        -- docs park in their cursor's sequence (greatest(n,1))
+        WITH c AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   coalesce(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start_pos
+            FROM c
+        )
+        SELECT doc_id, n AS n_tokens, start_pos,
+               (start_pos // 512)::BIGINT AS first_seq,
+               ((start_pos + greatest(n, 1) - 1) // 512)::BIGINT AS last_seq,
+               (start_pos % 512)::BIGINT AS offset_in_first
+        FROM s
+    """
+    sql["rank_in_lang"] = """
+        SELECT doc_id, lang,
+               rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)::BIGINT
+                   AS rnk
+        FROM documents
+    """
+    sql["source_budget"] = """
+        WITH c AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(text, '\\S+')))::BIGINT
+                       AS sum_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, sum_tokens,
+               (sum_tokens * 10000 // greatest(
+                   (SELECT sum(sum_tokens) FROM c), 1))::BIGINT AS share_bp
+        FROM c ORDER BY source
     """
     sql["fk_orphans"] = """
         SELECT 'lineitem_orders' AS relation,

@@ -3435,3 +3435,84 @@ def q_fk_orphans(sf_dir: str) -> pd.DataFrame:
             ),
         }
     )
+
+
+def q_pack_sequences(sf_dir: str, seq_len: int = 512) -> pd.DataFrame:
+    """GPT-style fixed-length sequence-packing plan over documents: where
+    each doc's tokens land when the id-ordered corpus stream is cut into
+    ``seq_len``-token training sequences. One slim distributed prefix-sum
+    exchange (``global_token_prefix``), then pure per-batch projections."""
+    from ..stages.curate import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_sequences(docs, seq_len=seq_len).to_pandas()
+    for c in out.columns:
+        if c != "doc_id":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rank_in_lang(sf_dir: str) -> pd.DataFrame:
+    """Windowed RANK (ties share a rank): each document's length rank
+    within its language — the per-partition ranking shape (vs
+    ``user_running``'s ROW_NUMBER). One lang-keyed shuffle of two slim
+    columns; per-group work is one vectorized pandas rank."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            g["n_chars"]
+            .rank(method="min", ascending=False)
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "lang": g["lang"], "rnk": r}
+        )
+
+    return (
+        docs.groupby("lang", num_partitions=8)
+        .map_groups(rank, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def q_source_budget(sf_dir: str) -> pd.DataFrame:
+    """Mixture-planning report: per-source document/token totals plus the
+    exact integer share of the corpus token budget in basis points.
+    Per-batch partials pre-aggregate before one tiny source-keyed
+    groupby; the share divides exact int64 sums driver-side (the group
+    table is mixture-cardinality by construction)."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = (
+            df["text"]
+            .fillna("")
+            .map(lambda t: len(t.split()))
+            .astype(np.int64)
+        )
+        out = pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "sum_tokens": n_tok,
+            }
+        )
+        return out.groupby("source", as_index=False).sum()
+
+    out = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_tokens"] = out["sum_tokens"].astype(np.int64)
+    total = int(out["sum_tokens"].sum())
+    out["share_bp"] = (out["sum_tokens"] * 10000 // max(total, 1)).astype(
+        np.int64
+    )
+    return out.sort_values("source").reset_index(drop=True)

@@ -999,17 +999,16 @@ def chunk_dedup(
     return out.map_batches(reassemble, batch_format="pyarrow")
 
 
-def token_shards(
+def global_token_prefix(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
-    budget: int = 10_000,
     bucket_width: int = 4096,
 ) -> ray.data.Dataset:
-    """Pack documents (in ``id`` order) into training shards of
-    ~``budget`` whitespace tokens each — the corpus-sharding step that
-    follows curation (each shard becomes one training file). A document
-    lands in shard ``floor(tokens_before_it / budget)``.
+    """Exact exclusive prefix sum of whitespace-token counts in ``id``
+    order → ``(id, n_tokens, start_pos)``: every document's position in
+    the corpus-concatenated token stream. The shared scan under
+    :func:`token_shards` and :func:`pack_sequences`.
 
     This is a distributed prefix sum (a scan — the one primitive the
     Dataset API has no native operator for), done in the classic
@@ -1021,12 +1020,10 @@ def token_shards(
        partial sums into per-bucket prefix *offsets* (broadcast once).
     2. a hash-partitioned groupby co-locates each bucket's slim rows;
        an in-partition vectorized cumsum plus the bucket offset yields
-       every document's exact global prefix, hence its shard.
+       every document's exact global prefix.
 
     Pick ``bucket_width`` ≈ sqrt(corpus docs) so both the driver table
-    and the per-group work stay ~sqrt(N) at 10^12 docs. Returns
-    ``(id, n_tokens, shard_id)`` — aggregate downstream for shard
-    manifests, or join back by id to route rows to output files."""
+    and the per-group work stay ~sqrt(N) at 10^12 docs."""
     P = default_partitions()
 
     def slim(batch: pa.Table) -> pa.Table:
@@ -1065,7 +1062,7 @@ def token_shards(
                 {
                     id_col: pd.Series(dtype="int64"),
                     "n_tokens": pd.Series(dtype="int64"),
-                    "shard_id": pd.Series(dtype="int64"),
+                    "start_pos": pd.Series(dtype="int64"),
                 }
             )
         if "off" not in state:
@@ -1081,7 +1078,7 @@ def token_shards(
                     {
                         id_col: grp[id_col].to_numpy(),
                         "n_tokens": n,
-                        "shard_id": before // budget,
+                        "start_pos": before,
                     }
                 )
             )
@@ -1089,6 +1086,79 @@ def token_shards(
 
     return counts.groupby("bucket", num_partitions=P).map_groups(
         assign, batch_format="pandas"
+    )
+
+
+def token_shards(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 10_000,
+    bucket_width: int = 4096,
+) -> ray.data.Dataset:
+    """Pack documents (in ``id`` order) into training shards of
+    ~``budget`` whitespace tokens each — the corpus-sharding step that
+    follows curation (each shard becomes one training file). A document
+    lands in shard ``floor(tokens_before_it / budget)``; the scan is
+    :func:`global_token_prefix`. Returns ``(id, n_tokens, shard_id)`` —
+    aggregate downstream for shard manifests, or join back by id to
+    route rows to output files."""
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        shard = pc.divide(t["start_pos"], budget)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"],
+                "shard_id": shard,
+            }
+        )
+
+    return global_token_prefix(ds, text_col, id_col, bucket_width).map_batches(
+        to_shard, batch_format="pyarrow"
+    )
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 1024,
+    bucket_width: int = 4096,
+) -> ray.data.Dataset:
+    """GPT-style fixed-length sequence packing plan: concatenate the
+    corpus token stream in ``id`` order and cut it into training
+    sequences of exactly ``seq_len`` tokens (documents MAY straddle a
+    boundary — the dense-packing regime, no padding). Emits per doc:
+    ``(id, n_tokens, start_pos, first_seq, last_seq, offset_in_first)``
+    — everything a writer needs to route each document's token slices
+    to its sequence files, without ever materializing the stream.
+
+    Empty documents occupy no tokens: their ``last_seq`` equals
+    ``first_seq`` (the sequence the cursor is parked in). The scan is
+    :func:`global_token_prefix`; everything after it is a vectorized
+    per-batch projection, so the whole plan adds zero shuffles on top
+    of the scan's one slim exchange."""
+
+    def to_seqs(t: pa.Table) -> pa.Table:
+        start = t.column("start_pos").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        first = start // seq_len
+        last_tok = start + np.maximum(n, 1) - 1  # empty docs park in first
+        last = last_tok // seq_len
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"],
+                "start_pos": t["start_pos"],
+                "first_seq": pa.array(first, pa.int64()),
+                "last_seq": pa.array(last, pa.int64()),
+                "offset_in_first": pa.array(start % seq_len, pa.int64()),
+            }
+        )
+
+    return global_token_prefix(ds, text_col, id_col, bucket_width).map_batches(
+        to_seqs, batch_format="pyarrow"
     )
 
 

@@ -739,3 +739,51 @@ class TestDecontaminateBloom:
         assert set(exact["doc_id"]) <= set(bloom["doc_id"])
         excess = len(bloom) - len(exact)
         assert 0 <= excess <= 20, excess
+
+
+class TestPackSequences:
+    def test_matches_serial_plan(self, ray_session):
+        from redactifai_ray.stages.curate import pack_sequences
+
+        rows = [
+            {"doc_id": i, "text": " ".join(["w"] * ((i * 5) % 13))}
+            for i in range(60)
+        ]  # includes empty docs (i*5 % 13 == 0)
+        L = 16
+        out = (
+            pack_sequences(_docs(rows), seq_len=L, bucket_width=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        cum = 0
+        for _, r in out.iterrows():
+            n = (int(r["doc_id"]) * 5) % 13
+            assert r["n_tokens"] == n
+            assert r["start_pos"] == cum
+            assert r["first_seq"] == cum // L
+            assert r["last_seq"] == (cum + max(n, 1) - 1) // L
+            assert r["offset_in_first"] == cum % L
+            cum += n
+
+    def test_straddle_and_empty_semantics(self, ray_session):
+        from redactifai_ray.stages.curate import pack_sequences
+
+        rows = [
+            {"doc_id": 0, "text": " ".join(["w"] * 10)},  # fills [0,10)
+            {"doc_id": 1, "text": ""},                    # empty at pos 10
+            {"doc_id": 2, "text": " ".join(["w"] * 10)},  # straddles 16
+        ]
+        out = (
+            pack_sequences(_docs(rows), seq_len=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        assert (out.loc[0, "first_seq"], out.loc[0, "last_seq"]) == (0, 0)
+        # empty doc occupies no tokens but parks in the cursor's sequence
+        assert (out.loc[1, "first_seq"], out.loc[1, "last_seq"]) == (0, 0)
+        assert out.loc[1, "n_tokens"] == 0
+        # doc 2: tokens [10,20) → sequences 0 and 1
+        assert (out.loc[2, "first_seq"], out.loc[2, "last_seq"]) == (0, 1)
+        assert out.loc[2, "offset_in_first"] == 10

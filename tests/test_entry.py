@@ -40,6 +40,9 @@ FAST_ORACLED = [
     "weighted_sample",
     "dup_cluster_sizes",
     "fk_orphans",
+    "pack_sequences",
+    "rank_in_lang",
+    "source_budget",
 ]
 
 
