@@ -3455,25 +3455,61 @@ def q_pack_sequences(sf_dir: str, seq_len: int = 512) -> pd.DataFrame:
 def q_rank_in_lang(sf_dir: str) -> pd.DataFrame:
     """Windowed RANK (ties share a rank): each document's length rank
     within its language — the per-partition ranking shape (vs
-    ``user_running``'s ROW_NUMBER). One lang-keyed shuffle of two slim
-    columns; per-group work is one vectorized pandas rank."""
+    ``user_running``'s ROW_NUMBER).
+
+    Scale design: a naive ``groupby(lang).map_groups(rank)`` would
+    materialize one giant pandas group per language (the whole corpus, in
+    one worker, for a 5-language crawl) — wrong at 100 TB. RANK-with-ties
+    only depends on the per-(lang, value) histogram, so this runs as the
+    house value-histogram fold (``grouped_quantiles``' shape): per-batch
+    (lang, n_chars) count partials → one tiny keyed groupby (cardinality
+    = langs × distinct lengths, bounded) → the driver converts counts to
+    rank starts → broadcast dict → one vectorized map over the fact rows.
+    No full-corpus group ever materializes; the fact table never
+    shuffles."""
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        r = (
-            g["n_chars"]
-            .rank(method="min", ascending=False)
-            .astype(np.int64)
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["lang", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
         )
-        return pd.DataFrame(
-            {"doc_id": g["doc_id"], "lang": g["lang"], "rnk": r}
-        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
-    return (
-        docs.groupby("lang", num_partitions=8)
-        .map_groups(rank, batch_format="pandas")
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    rank_map: dict[tuple, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars", ascending=False)
+        counts = g["n"].to_numpy(dtype=np.int64)
+        starts = 1 + np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for v, r in zip(g["n_chars"].to_numpy(), starts):
+            rank_map[(lang, int(v))] = int(r)
+    map_ref = ray.put(rank_map)
+    state: dict = {}
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in state:
+            state["m"] = ray.get(map_ref)
+        m = state["m"]
+        rnk = [
+            m[(lg, int(v))] for lg, v in zip(df["lang"], df["n_chars"])
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang": df["lang"],
+                "rnk": pd.array(rnk, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(attach, batch_format="pandas").to_pandas()
 
 
 def q_source_budget(sf_dir: str) -> pd.DataFrame:
