@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "rank_in_lang": q.q_rank_in_lang,
         "source_budget": q.q_source_budget,
+        # round-4: grouped KLL quantiles (rows-only: approximate by
+        # design; rank-error bound vs the exact grouped path test-pinned)
+        "kll_grouped": q.q_kll_grouped,
     }
 
 

@@ -507,3 +507,61 @@ def hll_distinct_by(ds, key_col: str, col: str, p: int = 12):
         .groupby(key_col)
         .map_groups(merge_key, batch_format="pandas")
     )
+
+
+def kll_quantiles_by(
+    ds, key_col: str, col: str, qs=(0.25, 0.5, 0.75), k: int = 256
+):
+    """Approximate grouped quantiles — the sketch twin of the exact
+    value-histogram path (``q_grouped_quantiles``), for real-valued or
+    high-cardinality columns where the per-(key, value) histogram itself
+    is too wide to exchange. Completes the sketch-through-shuffle family
+    (``hll_distinct_by`` for COUNT DISTINCT, this for quantiles).
+
+    Distributed shape: each block folds its rows into KB-scale KLL
+    compactor rows per key present in the block (``(key, level,
+    float64-blob)``); ONE key-hash groupby merges compactors
+    in-partition. Merge is level-wise concatenation + deterministic
+    compaction, so the exchange carries sketches, never values. Output:
+    one row per key with a ``q<pct>`` column per requested quantile."""
+    import pandas as pd
+    import pyarrow as pa
+
+    qcols = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, col]).to_pandas()
+        keys, levels, blobs = [], [], []
+        for kk, g in df.groupby(key_col, sort=False, dropna=False):
+            s = KllSketch(k)
+            s.add_values(g[col].to_numpy(dtype=np.float64))
+            for h, vals in enumerate(s.compactors):
+                if vals:
+                    keys.append(kk)
+                    levels.append(h)
+                    blobs.append(
+                        np.asarray(vals, dtype=np.float64).tobytes()
+                    )
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "level": pa.array(levels, pa.int32()),
+                "values": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        s = KllSketch(k)
+        for h, blob in zip(g["level"], g["values"]):
+            s.insert_level(int(h), np.frombuffer(blob, dtype=np.float64))
+        s._compress()
+        out = {key_col: [g[key_col].iloc[0]]}
+        for q, c in zip(qs, qcols):
+            out[c] = [float(s.quantile(q))]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(sketch_block, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_key, batch_format="pandas")
+    )

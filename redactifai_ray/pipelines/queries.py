@@ -3552,3 +3552,19 @@ def q_source_budget(sf_dir: str) -> pd.DataFrame:
         np.int64
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_kll_grouped(sf_dir: str) -> pd.DataFrame:
+    """Approximate grouped quantiles (p50/p90 of order totalprice per
+    orderstatus) via the grouped KLL sketch (``kll_quantiles_by``) — the
+    scale twin of the exact ``q_grouped_quantiles`` for real-valued /
+    high-cardinality columns where even the value histogram is too wide
+    to exchange. Rows-only: approximate by design; the rank-error bound
+    vs the exact path is test-pinned."""
+    from ..functions.sketch import kll_quantiles_by
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    out = kll_quantiles_by(
+        orders, "o_orderstatus", "o_totalprice", qs=(0.5, 0.9)
+    ).to_pandas()
+    return out.sort_values("o_orderstatus").reset_index(drop=True)

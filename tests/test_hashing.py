@@ -488,3 +488,46 @@ class TestPerplexity:
         # in-domain synthetic text scores far below the smoothed-uniform
         # ceiling (~vocab size)
         assert out["ppl"].median() < model["v_size"]
+
+
+class TestKllGrouped:
+    def test_grouped_tracks_exact(self, ray_session):
+        """Grouped sketch quantiles land within 10% of the exact grouped
+        value-histogram path on the real table, per group."""
+        from redactifai_ray.pipelines.queries import (
+            q_grouped_quantiles,
+            q_kll_grouped,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        exact = q_grouped_quantiles(sf).set_index("o_orderstatus")
+        est = q_kll_grouped(sf).set_index("o_orderstatus")
+        assert set(est.index) == set(exact.index)
+        for status in exact.index:
+            for ec, sc in (("p50", "q50"), ("p90", "q90")):
+                e, s = exact.loc[status, ec], est.loc[status, sc]
+                assert abs(s - e) <= 0.1 * e + 1, (status, ec, e, s)
+
+    def test_partitioning_robustness(self, ray_session):
+        """Estimates stay in-bound under different block partitionings
+        (compaction is deterministic per partitioning, and the error
+        bound holds for any)."""
+        import numpy as np
+        import ray.data
+
+        from redactifai_ray.functions.sketch import kll_quantiles_by
+
+        rng = np.random.default_rng(7)
+        rows = [
+            {"k": ["a", "b"][i % 2], "v": float(x)}
+            for i, x in enumerate(rng.permutation(20_000))
+        ]
+        for parts in (4, 32):
+            ds = ray.data.from_items(rows).repartition(parts)
+            out = (
+                kll_quantiles_by(ds, "k", "v", qs=(0.5,))
+                .to_pandas()
+                .set_index("k")
+            )
+            for k in ("a", "b"):
+                assert abs(out.loc[k, "q50"] / 20_000 - 0.5) < 0.03
