@@ -227,6 +227,11 @@ def run_bench() -> dict:
     timed("range_join", lambda: q_range_join(SF_DIR))
     timed("bm25", lambda: q_bm25(SF_DIR))
 
+    from redactifai_ray.pipelines.queries import q_pack_sequences, q_tpch_q10r
+
+    timed("tpch_q10", lambda: q_tpch_q10r(SF_DIR))
+    timed("pack_sequences", lambda: q_pack_sequences(SF_DIR))
+
     from redactifai_ray.stages.curate import chunk_dedup
 
     timed(
