@@ -10,6 +10,7 @@ between extraction/masking (``run.py``'s output) and training:
         [--decontaminate TEST_PARQUET [--decontaminate-bloom]]
         [--split 80,10,10]
         [--mixture source=weight,...] [--shard-tokens N]
+        [--pack-sequences L]
 
 Stage order (each optional, all lazy — ONE streaming execution writes
 the documents output; dedup/decontamination add their own slim
@@ -29,8 +30,12 @@ pre-scans, never a full-corpus materialization):
                  hive-partitioned by split so each carve is one subtree
 7. shard-tokens — token-budget shard manifest (distributed prefix sum)
                  written alongside as ``shards/``
+8. pack-sequences — fixed-length (L-token) dense sequence packing plan
+                 (per-doc first/last sequence + offsets) written
+                 alongside as ``sequences/``
 
-Prints ONE JSON line: rows in/out, per-split counts, shard count.
+Prints ONE JSON line: rows in/out, per-split counts, shard and
+sequence counts.
 Owns its Ray session only when it creates it (same contract as run.py).
 """
 
@@ -95,6 +100,10 @@ def main(argv=None) -> int:
     ap.add_argument("--shard-tokens", type=int, default=0, metavar="N",
                     help="also write a token-budget shard manifest "
                          "(~N tokens per shard)")
+    ap.add_argument("--pack-sequences", type=int, default=0, metavar="L",
+                    help="also write a fixed-length sequence packing plan "
+                         "(L tokens per training sequence, dense GPT-style "
+                         "packing) under sequences/")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
     if args.decontaminate_bloom and not args.decontaminate:
@@ -242,11 +251,29 @@ def main(argv=None) -> int:
                 .count()
             )
 
+        n_sequences = 0
+        if wrote_any and args.pack_sequences > 0:
+            from .stages.curate import pack_sequences
+
+            plan = pack_sequences(
+                ray.data.read_parquet(docs_dir),
+                text_col=args.text_col,
+                id_col=args.id_col,
+                seq_len=args.pack_sequences,
+            )
+            seq_dir = os.path.join(args.output, "sequences")
+            plan.write_parquet(seq_dir)
+            last = ray.data.read_parquet(
+                seq_dir, columns=["last_seq"]
+            ).max("last_seq")
+            n_sequences = int(last) + 1 if last is not None else 0
+
         print(json.dumps({
             "rows_in": rows_in,
             "rows_out": rows_out,
             "splits": split_counts,
             "n_shards": n_shards,
+            "n_sequences": n_sequences,
         }))
         return 0
     finally:

@@ -785,3 +785,53 @@ class TestSnapshotDiff:
         assert out[3] == "removed"
         assert out[4] == "added"
         assert len(out) == 4
+
+
+class TestCuratePackSequences:
+    def test_pack_sequences_flag(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        rows = [
+            {"doc_id": i, "text": " ".join(["w"] * (5 + i % 7))}
+            for i in range(30)
+        ]
+        src = tmp_path / "ps.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                    "text": pa.array([r["text"] for r in rows], pa.string()),
+                }
+            ),
+            src,
+        )
+        out = str(tmp_path / "ps_out")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(
+                ["--input", str(src), "--output", out,
+                 "--pack-sequences", "16"]
+            )
+        assert rc == 0
+        s = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        total = sum(5 + i % 7 for i in range(30))
+        want_seqs = -(-total // 16)  # ceil: dense packing, no padding
+        assert s["n_sequences"] == want_seqs
+        con = duckdb.connect()
+        plan = con.sql(
+            f"select * from '{out}/sequences/*.parquet' order by doc_id"
+        ).df()
+        assert len(plan) == 30
+        # plan is a contiguous dense stream in id order
+        cum = 0
+        for _, r in plan.iterrows():
+            assert r["start_pos"] == cum
+            cum += r["n_tokens"]
