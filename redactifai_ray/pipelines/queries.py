@@ -3059,7 +3059,10 @@ def q_tpch_q10r(sf_dir: str) -> pd.DataFrame:
 
     custrev = (
         partials.map_batches(fix_schema, batch_format="pandas")
-        .groupby("c_custkey")
+        # input is pre-aggregated (≤ customers-with-returns rows per
+        # partition) — a handful of output partitions beats paying the
+        # all-to-all's per-partition fixed cost 64× on partial rows
+        .groupby("c_custkey", num_partitions=16)
         .aggregate(Sum("rev_c", alias_name="rev_c"))
         .to_pandas()
     )
