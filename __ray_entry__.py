@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: grouped KLL quantiles (rows-only: approximate by
         # design; rank-error bound vs the exact grouped path test-pinned)
         "kll_grouped": q.q_kll_grouped,
+        # round-4: host PageRank (rows-only: iterative float algorithm;
+        # dense-power-iteration equivalence + dangling + partitioning
+        # invariance test-pinned in tests/test_graph.py)
+        "pagerank": q.q_pagerank,
     }
 
 

@@ -3571,3 +3571,35 @@ def q_kll_grouped(sf_dir: str) -> pd.DataFrame:
         orders, "o_orderstatus", "o_totalprice", qs=(0.5, 0.9)
     ).to_pandas()
     return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Host PageRank (the CC-style host-quality prior) over a
+    deterministic 53-host graph derived from the documents table's ids
+    (no external data: edge (h[id%53] → h[(id*31+7)%53]) per doc, self
+    loops dropped). Rows-only: fixed-point-free floats by nature; the
+    operator itself is pinned against a dense power iteration, dangling
+    redistribution, and partitioning invariance in tests/test_graph.py."""
+    from ..stages.graph import pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ids % 53
+        d = (ids * 31 + 7) % 53
+        keep = s != d
+        return pa.table(
+            {
+                "src_host": pa.array([f"h{x}" for x in s[keep]], pa.string()),
+                "dst_host": pa.array([f"h{x}" for x in d[keep]], pa.string()),
+            }
+        )
+
+    out = pagerank(docs.map_batches(edges, batch_format="pyarrow"))
+    out["rank_ppb"] = np.floor(out["rank"] * 1e9 + 0.5).astype(np.int64)
+    return (
+        out[["host", "rank_ppb"]]
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
