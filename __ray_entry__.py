@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dense-power-iteration equivalence + dangling + partitioning
         # invariance test-pinned in tests/test_graph.py)
         "pagerank": q.q_pagerank,
+        # round-4: intra-document line dedup (stateless, zero-shuffle)
+        "dedup_lines": q.q_dedup_lines,
     }
 
 
@@ -1166,6 +1168,32 @@ def oracle_sql() -> dict[str, str]:
                (sum_tokens * 10000 // greatest(
                    (SELECT sum(sum_tokens) FROM c), 1))::BIGINT AS share_bp
         FROM c ORDER BY source
+    """
+    sql["dedup_lines"] = """
+        -- intra-doc first-wins line dedup; empty lines are structural
+        -- (kept unconditionally); rebuilt with ORDER BY position
+        WITH ls AS (
+            SELECT doc_id, string_split(text, chr(10)) AS a FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i
+            FROM ls
+        ),
+        lines AS (SELECT doc_id, a[i] AS l, i FROM pos),
+        keep AS (
+            SELECT doc_id, l, i,
+                   CASE WHEN l = '' THEN true
+                        ELSE row_number() OVER (
+                            PARTITION BY doc_id, l ORDER BY i) = 1
+                   END AS k
+            FROM lines
+        )
+        SELECT doc_id,
+               coalesce(string_agg(l, chr(10) ORDER BY i)
+                            FILTER (WHERE k), '') AS text_dedup,
+               count(*)::BIGINT AS n_lines,
+               sum(CASE WHEN k THEN 1 ELSE 0 END)::BIGINT AS n_lines_kept
+        FROM keep GROUP BY doc_id
     """
     sql["fk_orphans"] = """
         SELECT 'lineitem_orders' AS relation,

@@ -17,6 +17,7 @@ the documents output; dedup/decontamination add their own slim
 pre-scans, never a full-corpus materialization):
 
 1. normalize   — NFC + lowercase + whitespace collapse (pre-hash canon)
+1b. dedup-lines — intra-document first-wins line dedup (zero-shuffle)
 2. gopher      — composite quality gate (drops keep=false rows)
 3. dedup       — exact (min-id per content hash), paragraph
                  (chunk-level first-wins), MinHash near-dedup, or the
@@ -55,6 +56,9 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True, help="output root")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--dedup-lines", action="store_true",
+                    help="intra-document first-wins line dedup (empty "
+                         "lines kept), before the quality gate")
     ap.add_argument("--normalize", action="store_true",
                     help="NFC+lower+whitespace-collapse the text column first")
     ap.add_argument("--gopher", action="store_true",
@@ -136,6 +140,12 @@ def main(argv=None) -> int:
             from .stages.analyze import normalize_text
 
             ds = normalize_text(ds, text_col=args.text_col)
+        if args.dedup_lines:
+            from .stages.curate import dedup_lines
+
+            ds = dedup_lines(ds, text_col=args.text_col).drop_columns(
+                ["n_lines", "n_lines_kept"]
+            )
         if args.gopher:
             from .stages.curate import gopher_gate
 

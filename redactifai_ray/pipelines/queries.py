@@ -3603,3 +3603,22 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         .sort_values("host")
         .reset_index(drop=True)
     )
+
+
+def q_dedup_lines(sf_dir: str) -> pd.DataFrame:
+    """Intra-document line dedup (first occurrence wins, empty lines
+    structural): deduped text plus line-count audit columns per doc.
+    Pure stateless map — zero shuffles; the oracle twin rebuilds the
+    kept-line stream with window functions over the split list."""
+    from ..stages.curate import dedup_lines
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_lines(docs).to_pandas()
+    out = out.rename(columns={"text": "text_dedup"})
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["n_lines_kept"] = out["n_lines_kept"].astype(np.int64)
+    return (
+        out[["doc_id", "text_dedup", "n_lines", "n_lines_kept"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -1484,3 +1484,51 @@ def remove_repeated_substrings(
         return batch.append_column(dst, arr)
 
     return ds.map_batches(cut, batch_format="pyarrow")
+
+
+def dedup_lines(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Intra-document line dedup: within each document, keep only the
+    FIRST occurrence of each exact line (order preserved) — the cheap
+    row-local cousin of the cross-document operators (``chunk_dedup``
+    dedups across docs; CCNet boilerplate removal needs corpus stats).
+    Kills per-page repeated nav/footer/listing lines at zero exchange
+    cost: a pure stateless ``map_batches``, no shuffle, no state.
+
+    Empty lines are kept unconditionally (blank lines are structure,
+    and they repeat legitimately). Adds ``n_lines`` / ``n_lines_kept``
+    audit columns."""
+
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        new, n_all, n_kept = [], [], []
+        for t in texts:
+            if t is None:
+                new.append(None)
+                n_all.append(0)
+                n_kept.append(0)
+                continue
+            lines = t.split("\n")
+            seen: set[str] = set()
+            kept = []
+            for ln in lines:
+                if ln == "":
+                    kept.append(ln)
+                    continue
+                if ln in seen:
+                    continue
+                seen.add(ln)
+                kept.append(ln)
+            new.append("\n".join(kept))
+            n_all.append(len(lines))
+            n_kept.append(len(kept))
+        k = batch.column_names.index(text_col)
+        out = batch.set_column(k, text_col, pa.array(new, pa.string()))
+        out = out.append_column("n_lines", pa.array(n_all, pa.int64()))
+        return out.append_column(
+            "n_lines_kept", pa.array(n_kept, pa.int64())
+        )
+
+    return ds.map_batches(drop_dups, batch_format="pyarrow")

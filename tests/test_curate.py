@@ -787,3 +787,60 @@ class TestPackSequences:
         # doc 2: tokens [10,20) → sequences 0 and 1
         assert (out.loc[2, "first_seq"], out.loc[2, "last_seq"]) == (0, 1)
         assert out.loc[2, "offset_in_first"] == 10
+
+
+class TestDedupLines:
+    def test_first_wins_and_empty_structural(self, ray_session):
+        from redactifai_ray.stages.curate import dedup_lines
+
+        rows = [
+            {
+                "doc_id": 0,
+                "text": "nav bar\nbody one\n\nnav bar\nbody two\n\nnav bar",
+            },
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "only line"},
+        ]
+        out = (
+            dedup_lines(_docs(rows))
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        # duplicate 'nav bar' drops (2nd+3rd), blank lines all survive
+        assert out.loc[0, "text"] == "nav bar\nbody one\n\nbody two\n"
+        assert out.loc[0, "n_lines"] == 7
+        assert out.loc[0, "n_lines_kept"] == 5
+        assert out.loc[1, "text"] == ""
+        assert out.loc[1, "n_lines"] == 1
+        assert out.loc[2, "text"] == "only line"
+
+    def test_cli_flag(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        src = tmp_path / "dl.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array(["a\nb\na\nc"], pa.string()),
+                }
+            ),
+            src,
+        )
+        out = str(tmp_path / "dl_out")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(["--input", str(src), "--output", out, "--dedup-lines"])
+        assert rc == 0
+        con = duckdb.connect()
+        (text,) = con.sql(f"select text from '{out}/docs/*.parquet'").fetchone()
+        assert text == "a\nb\nc"
