@@ -209,6 +209,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         # round-4: intra-document line dedup (stateless, zero-shuffle)
         "dedup_lines": q.q_dedup_lines,
+        # round-4: LEFT-OUTER-JOIN count distribution (TPC-H Q13 shape)
+        "tpch_q13r": q.q_tpch_q13r,
+        # round-4: aggregate-then-argmax-vs-self, tie-safe (Q15 shape)
+        "tpch_q15r": q.q_tpch_q15r,
+        # round-4: global scalar subquery + distributed anti-join (Q22)
+        "tpch_q22r": q.q_tpch_q22r,
     }
 
 
@@ -1194,6 +1200,66 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_lines,
                sum(CASE WHEN k THEN 1 ELSE 0 END)::BIGINT AS n_lines_kept
         FROM keep GROUP BY doc_id
+    """
+    sql["tpch_q13r"] = """
+        -- Q13 shape: order-count distribution per customer, zero-order
+        -- customers included (LEFT OUTER JOIN); priority filter stands
+        -- in for Q13's comment NOT LIKE (no comment column in testdata)
+        WITH c_orders AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count::BIGINT AS c_count,
+               count(*)::BIGINT AS custdist
+        FROM c_orders GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+    sql["tpch_q15r"] = """
+        -- Q15 shape: top supplier(s) by quarter revenue, tie-safe;
+        -- revenue fixes to int64 1/10000-dollar units BEFORE summation
+        -- on both sides (exact)
+        WITH revenue AS (
+            SELECT l_suppkey AS s_suppkey,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 10000 + 0.5) AS BIGINT))::BIGINT
+                       AS total_revenue_c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+        WHERE r.total_revenue_c = (SELECT max(total_revenue_c)
+                                   FROM revenue)
+        ORDER BY s.s_suppkey
+    """
+    sql["tpch_q22r"] = """
+        -- Q22 shape: above-average positive balance + NOT EXISTS
+        -- orders, by nation; the above-average predicate is the exact
+        -- integer cross-multiply bal_c * n > total_c (no float avg)
+        WITH c AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+            FROM customer
+        ),
+        s AS (
+            SELECT sum(bal_c)::BIGINT AS total_c,
+                   count(*)::BIGINT AS n
+            FROM c WHERE bal_c > 0
+        )
+        SELECT c.c_nationkey,
+               count(*)::BIGINT AS numcust,
+               sum(c.bal_c)::BIGINT AS totacctbal_c
+        FROM c, s
+        WHERE c.bal_c * s.n > s.total_c
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
     """
     sql["fk_orphans"] = """
         SELECT 'lineitem_orders' AS relation,

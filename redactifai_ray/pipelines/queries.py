@@ -3622,3 +3622,253 @@ def q_dedup_lines(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q_tpch_q13r(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13-style customer order-count distribution (custdist),
+    zero-order customers included — the LEFT-OUTER-JOIN histogram shape.
+    ``o_orderpriority <> '1-URGENT'`` stands in for Q13's comment
+    NOT LIKE filter (testdata orders carries no comment column).
+
+    Distributed shape: orders filter → per-batch (custkey, n) count
+    partials → ONE custkey groupby-sum (output is ≤ customer
+    cardinality) → per-batch (c_count, custdist) histogram partials →
+    tiny c_count groupby. The zero-order bucket is pure arithmetic:
+    total customers (a count over the 1-column pruned read) minus the
+    histogram's total — the customer table itself never shuffles and
+    orders never joins row-level against customers."""
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], "1-URGENT"))
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table(
+            {
+                "c_custkey": g.column("o_custkey").cast(pa.int64()),
+                "n": g.column("o_custkey_count").cast(pa.int64()),
+            }
+        )
+
+    per_cust = (
+        ords.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_count").aggregate([("c_count", "count")])
+        return pa.table(
+            {
+                "c_count": g.column("c_count").cast(pa.int64()),
+                "custdist": g.column("c_count_count").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    if "c_count" not in hist.columns:
+        hist = pd.DataFrame({"c_count": [], "custdist": []})
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = n_customers - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+        hist["c_count"] = hist["c_count"].astype(np.int64)
+        hist["custdist"] = hist["custdist"].astype(np.int64)
+    return (
+        hist[["c_count", "custdist"]]
+        .sort_values(
+            ["custdist", "c_count"], ascending=[False, False]
+        )
+        .reset_index(drop=True)
+    )
+
+
+def q_tpch_q15r(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15-style top supplier(s) by quarter revenue — the
+    aggregate-then-argmax-against-self shape (Q15's revenue view +
+    correlated MAX), tie-safe (all max-revenue suppliers survive).
+
+    Distributed shape: lineitem window filter → per-batch
+    (suppkey, rev_c) fixed-point partials → ONE suppkey groupby-sum
+    whose output is supplier-cardinality; that tiny table is
+    materialized once (dimension-scale, documented) so the global max
+    and the equality filter reuse the same blocks instead of
+    re-executing the fact scan. Winner names attach via a
+    ``pc.is_in``-filtered supplier read — no shuffle join anywhere;
+    revenue fixes to int64 1/10000-dollar units before summation on
+    both engine and oracle sides (bit-exact)."""
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+        slim = pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey")
+                .combine_chunks()
+                .cast(pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+            }
+        )
+        g = slim.group_by("s_suppkey").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["s_suppkey", "total_revenue_c"])
+
+    rev = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_revenue_c", alias_name="total_revenue_c"))
+        .materialize()  # supplier-cardinality — max + filter reuse blocks
+    )
+    max_rev = rev.max("total_revenue_c")
+    if max_rev is None:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series(dtype="int64"),
+                "s_name": pd.Series(dtype="object"),
+                "total_revenue_c": pd.Series(dtype="int64"),
+            }
+        )
+    winners = rev.filter(
+        lambda r: r["total_revenue_c"] == max_rev
+    ).to_pandas()
+
+    keys = ray.put(set(int(k) for k in winners["s_suppkey"]))
+
+    def pick_names(t: pa.Table) -> pa.Table:
+        want = pa.array(sorted(ray.get(keys)), pa.int64())
+        mask = pc.is_in(
+            t.column("s_suppkey").cast(pa.int64()), value_set=want
+        )
+        return t.filter(mask)
+
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(pick_names, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = winners.merge(names, on="s_suppkey", how="inner")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["total_revenue_c"] = out["total_revenue_c"].astype(np.int64)
+    return (
+        out[["s_suppkey", "s_name", "total_revenue_c"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_tpch_q22r(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22-style: customers with above-average positive account
+    balance and NO orders, grouped by nation (nationkey stands in for
+    Q22's phone country code — testdata has no phone column). The
+    global-scalar-subquery + anti-join shape.
+
+    Distributed shape: pass 1 folds two scalars (Σ positive balance
+    cents, count) from per-batch 1-row partials; the above-average
+    predicate is the integer cross-multiply ``bal_c × n > total_c`` —
+    no float division, bit-exact on both engine and oracle sides.
+    Pass 2 filters candidates vectorized and anti-joins against order
+    custkeys via the join-free union + hash-partition groupby
+    (``_semijoin_on_key(anti=True)``) — no driver gather at any
+    cardinality; a 25-row nation groupby finishes."""
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def bal_scalars(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "total_c": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    scal = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_scalars, batch_format="pyarrow")
+        .sum(["total_c", "n"])
+    )
+    total_c, n = int(scal["sum(total_c)"]), int(scal["sum(n)"])
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series(dtype="int64"),
+                "numcust": pd.Series(dtype="int64"),
+                "totacctbal_c": pd.Series(dtype="int64"),
+            }
+        )
+
+    def candidates(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        mask = cents * n > total_c
+        t = t.append_column("bal_c", pa.array(cents, pa.int64()))
+        return t.filter(pa.array(mask)).select(
+            ["c_custkey", "c_nationkey", "bal_c"]
+        )
+
+    cand = _read(sf_dir, "customer", cust_cols).map_batches(
+        candidates, batch_format="pyarrow"
+    )
+    no_orders = _semijoin_on_key(
+        cand,
+        _read(sf_dir, "orders", ["o_custkey"]),
+        fact_key="c_custkey",
+        dim_key="o_custkey",
+        keep_cols=["c_nationkey", "bal_c"],
+        types={
+            "c_custkey": pa.int64(),
+            "c_nationkey": pa.int64(),
+            "bal_c": pa.int64(),
+        },
+        anti=True,
+    )
+    out = (
+        no_orders.groupby("c_nationkey")
+        .aggregate(
+            Count(alias_name="numcust"),
+            Sum("bal_c", alias_name="totacctbal_c"),
+        )
+        .to_pandas()
+    )
+    if "c_nationkey" not in out.columns:
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series(dtype="int64"),
+                "numcust": pd.Series(dtype="int64"),
+                "totacctbal_c": pd.Series(dtype="int64"),
+            }
+        )
+    for c in ("c_nationkey", "numcust", "totacctbal_c"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["c_nationkey", "numcust", "totacctbal_c"]]
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )

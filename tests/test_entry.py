@@ -43,6 +43,10 @@ FAST_ORACLED = [
     "pack_sequences",
     "rank_in_lang",
     "source_budget",
+    "dedup_lines",
+    "tpch_q13r",
+    "tpch_q15r",
+    "tpch_q22r",
 ]
 
 
