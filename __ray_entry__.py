@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup": q.q_near_dedup,
         # similarity search
         "knn": q.q_knn,
+        # round-4: PQ/ADC compressed ANN (rows-only: trained quantizer;
+        # recall + codes-path equivalence test-pinned)
+        "pq_knn": q.q_pq_knn,
         # relational / streaming-shaped
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,

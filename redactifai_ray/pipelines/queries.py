@@ -316,6 +316,38 @@ def q_knn(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]]
 
 
+def q_pq_knn(sf_dir: str) -> pd.DataFrame:
+    """PQ-compressed (8×8-bit) approximate top-5 neighbors for queries
+    vec_id < 10 via ADC lookup tables — the corpus is scored from its
+    8-byte codes, never the raw float column. Rows-only (a trained
+    quantizer is not SQL-expressible); recall and the
+    codes-path≡inline-path contract are test-pinned."""
+    import pyarrow.compute as _pc
+
+    from ..stages.similarity import knn_topk_pq, pq_encode, train_pq_codebooks
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.map_batches(
+        lambda t: t.filter(_pc.less(t["vec_id"], 10)),
+        batch_format="pyarrow",
+    ).take(10)
+    q.sort(key=lambda r: r["vec_id"])
+    B = train_pq_codebooks(emb, m=8, nbits=8)
+    out = knn_topk_pq(
+        emb,
+        [r["vec_id"] for r in q],
+        [list(r["embedding"]) for r in q],
+        k=5,
+        codebooks=B,
+        codes=pq_encode(emb, B),
+    ).to_pandas()
+    return (
+        out[["query_id", "vec_id", "rank"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------------------ relational --
 
 

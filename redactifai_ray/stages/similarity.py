@@ -462,3 +462,203 @@ def semdedup(
         .groupby("cluster_id", num_partitions=default_partitions())
         .map_groups(dedup_cluster, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- product quantization
+
+
+def train_pq_codebooks(
+    emb: ray.data.Dataset,
+    m: int = 8,
+    nbits: int = 8,
+    sample_size: int = 10_000,
+    n_iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011): the
+    vector space splits into ``m`` contiguous subspaces and each gets an
+    independent ``2**nbits``-word k-means codebook trained on unit
+    vectors. Like ``build_ivf_centroids`` the sample is the
+    broadcast-small side (``sample_size`` × dim floats regardless of
+    corpus size) and training is a seeded driver-side numpy loop over a
+    fixed iteration count — bit-reproducible.
+
+    Returns an array of shape ``(m, ksub, dsub)``; requires dim % m == 0.
+    """
+    sample = emb.limit(sample_size).to_pandas()
+    X = _normalize(np.asarray(list(sample[vec_col]), dtype=np.float64))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = min(2**nbits, len(X))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        Xs = X[:, j * dsub : (j + 1) * dsub]
+        # deterministic init: distinct sample rows, seeded permutation
+        idx = rng.permutation(len(Xs))[:ksub]
+        C = Xs[idx].copy()
+        for _ in range(n_iters):
+            # L2 assignment via the expanded form (‖x‖² is constant per
+            # row for the argmin, so -2x·c + ‖c‖² suffices)
+            d = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = np.argmin(d, axis=1)
+            for c in range(ksub):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    emb: ray.data.Dataset,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Encode each unit vector as ``m`` uint8 code indices (nearest
+    codeword per subspace, L2). Output rides (id, m-byte binary code) —
+    at 100 TB the code table is dim×4/m smaller than the raw embedding
+    column (e.g. 64-dim float32 → 8 bytes: 32×), which is what makes
+    re-ranking sweeps and repeated ANN queries over the full corpus
+    affordable. One vectorized pass, no shuffle; the codebooks broadcast
+    once via ``ray.put``."""
+    ref = ray.put(np.ascontiguousarray(codebooks))
+    state: dict = {}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if "B" not in state:
+            state["B"] = ray.get(ref)
+        B = state["B"]
+        m, ksub, dsub = B.shape
+        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pq_code": pa.array([], pa.binary()),
+                }
+            )
+        X = _normalize(mat)
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for j in range(m):
+            Xs = X[:, j * dsub : (j + 1) * dsub]
+            d = -2.0 * (Xs @ B[j].T) + (B[j] * B[j]).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "pq_code": pa.array(
+                    [c.tobytes() for c in codes], pa.binary()
+                ),
+            }
+        )
+
+    return emb.map_batches(encode, batch_format="pyarrow")
+
+
+def knn_topk_pq(
+    emb: ray.data.Dataset,
+    query_ids: list[int],
+    query_vectors: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    codebooks: Optional[np.ndarray] = None,
+    codes: Optional[ray.data.Dataset] = None,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """PQ-compressed approximate top-k via asymmetric distance
+    computation (ADC): each query precomputes an ``(m, ksub)`` lookup
+    table of subspace inner products against the codebooks; scoring a
+    row is then ``m`` table gathers summed — no float matmul against the
+    corpus, and when ``codes`` (from ``pq_encode``) is supplied the raw
+    embedding column is never read at all. This is the scale path when
+    even the IVF probe set is too large to score in float: the LUTs
+    broadcast once, per-batch partial top-k rows merge in the same tiny
+    ``groupby(query_id)`` as the exact path.
+
+    Output: (query_id, vec_id, score_pq, rank) — ``score_pq`` is the
+    quantized cosine (approximate; rank by it, verify with the exact
+    path on the survivors if needed)."""
+    B = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(emb, m=m, nbits=nbits, vec_col=vec_col)
+    )
+    m_, ksub, dsub = B.shape
+    q_mat = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    # ADC lookup tables: luts[q, j, c] = q_sub(j) · codeword(j, c)
+    luts = np.stack(
+        [
+            q_mat[:, j * dsub : (j + 1) * dsub] @ B[j].T
+            for j in range(m_)
+        ],
+        axis=1,
+    )
+    state_ref = ray.put(
+        {"luts": luts, "q_ids": np.asarray(query_ids, dtype=np.int64)}
+    )
+    if codes is None:
+        codes = pq_encode(emb, B, id_col=id_col, vec_col=vec_col)
+    state: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "st" not in state:
+            state["st"] = ray.get(state_ref)
+        st = state["st"]
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score_pq": pa.array([], pa.float64()),
+                }
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = b"".join(batch["pq_code"].to_pylist())
+        codes_np = np.frombuffer(raw, dtype=np.uint8).reshape(n, m_)
+        lt = st["luts"]  # (nq, m, ksub)
+        nq = lt.shape[0]
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, n)
+        cols = np.arange(m_)
+        for qi in range(nq):
+            # gather-sum: score[i] = Σ_j lut[qi, j, codes[i, j]]
+            row = lt[qi][cols, codes_np].sum(axis=1)
+            kth = np.partition(row, n - kk)[n - kk]
+            cand = np.flatnonzero(row >= kth)
+            order = np.lexsort((ids[cand], -row[cand]))
+            top = cand[order[:kk]]
+            out_q.extend([int(st["q_ids"][qi])] * len(top))
+            out_id.extend(int(i) for i in ids[top])
+            out_s.extend(float(s) for s in row[top])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score_pq": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = codes.map_batches(score, batch_format="pyarrow")
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            group = group[group[id_col] != group["query_id"]]
+        group = group.sort_values(
+            ["score_pq", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        group = group.reset_index(drop=True)
+        group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group
+
+    return partials.groupby(
+        "query_id", num_partitions=default_partitions(floor=8)
+    ).map_groups(merge_topk, batch_format="pandas")
