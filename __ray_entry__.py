@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         # round-4: intra-document line dedup (stateless, zero-shuffle)
         "dedup_lines": q.q_dedup_lines,
+        # round-4: Count-Min frequency sketch fold (exact in this
+        # regime — see q_cms_lang_counts docstring)
+        "cms_lang_counts": q.q_cms_lang_counts,
         # round-4: LEFT-OUTER-JOIN count distribution (TPC-H Q13 shape)
         "tpch_q13r": q.q_tpch_q13r,
         # round-4: aggregate-then-argmax-vs-self, tie-safe (Q15 shape)
@@ -1203,6 +1206,12 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_lines,
                sum(CASE WHEN k THEN 1 ELSE 0 END)::BIGINT AS n_lines_kept
         FROM keep GROUP BY doc_id
+    """
+    sql["cms_lang_counts"] = """
+        -- Count-Min point estimates are exactly the counts here (5
+        -- distinct values, width 2048, depth-5 min; deterministic hash)
+        SELECT lang, count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY lang ORDER BY lang
     """
     sql["tpch_q13r"] = """
         -- Q13 shape: order-count distribution per customer, zero-order

@@ -565,3 +565,158 @@ def kll_quantiles_by(
         .groupby(key_col)
         .map_groups(merge_key, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- Count-Min frequency --
+
+
+class CountMinSketch:
+    """Mergeable frequency sketch (Cormode & Muthukrishnan 2005) — the
+    scale path for point-frequency queries where even the Misra-Gries
+    summary is wrong-shaped (MG tracks the top-k; CMS answers "how often
+    did THIS value occur" for arbitrary values after one pass).
+    ``depth × width`` int64 counters; estimates never underestimate and
+    overshoot by ≤ e·N/width with probability 1−e^−depth.
+
+    Probe columns come from the same murmur3-finalized double hashing as
+    ``BloomFilter`` (Kirsch & Mitzenmacher construction over one
+    ``stable_hash64`` value), so sketches built from the same values are
+    bit-identical on any node and ``merge`` (elementwise add) is
+    associative and order-independent — the HLL/Bloom tree-merge
+    contract."""
+
+    def __init__(self, width: int = 2048, depth: int = 5,
+                 counts: np.ndarray | None = None):
+        if width < 16 or depth < 1 or depth > 32:
+            raise ValueError("need width >= 16 and depth in [1, 32]")
+        self.width, self.depth = width, depth
+        self.counts = (
+            counts.copy()
+            if counts is not None
+            else np.zeros((depth, width), dtype=np.int64)
+        )
+
+    def _columns(self, hashes: np.ndarray) -> np.ndarray:
+        """(depth, n) probe columns via double hashing; the murmur3
+        finalizer keeps h2's low bits dependent on all of h (see
+        BloomFilter._positions for the observed failure without it)."""
+        h = hashes.astype(np.uint64)
+        g = h ^ (h >> np.uint64(33))
+        g = g * np.uint64(0xFF51AFD7ED558CCD)
+        g = g ^ (g >> np.uint64(33))
+        g = g * np.uint64(0xC4CEB9FE1A85EC53)
+        g = g ^ (g >> np.uint64(33))
+        h2 = g | np.uint64(1)
+        w = np.uint64(self.width)
+        return np.stack(
+            [((h + np.uint64(i) * h2) % w).astype(np.int64)
+             for i in range(self.depth)]
+        )
+
+    def add_hashes(self, hashes: np.ndarray,
+                   weights: np.ndarray | None = None) -> None:
+        if hashes.size == 0:
+            return
+        cols = self._columns(hashes)
+        w = (
+            np.ones(hashes.size, dtype=np.int64)
+            if weights is None
+            else weights.astype(np.int64)
+        )
+        for d in range(self.depth):
+            np.add.at(self.counts[d], cols[d], w)
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if hashes.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._columns(hashes)
+        ests = np.stack(
+            [self.counts[d][cols[d]] for d in range(self.depth)]
+        )
+        return ests.min(axis=0)
+
+    def _hash_values(self, values) -> np.ndarray:
+        return np.array(
+            [stable_hash64(v if isinstance(v, (str, bytes)) else str(v), 233)
+             for v in values],
+            dtype=np.uint64,
+        )
+
+    def update(self, values, weights: np.ndarray | None = None) -> None:
+        self.add_hashes(self._hash_values(values), weights)
+
+    def estimate(self, values) -> np.ndarray:
+        return self.estimate_hashes(self._hash_values(values))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("cannot merge sketches of different geometry")
+        self.counts += other.counts
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, width: int = 2048,
+                   depth: int = 5) -> "CountMinSketch":
+        return cls(
+            width, depth,
+            counts=np.frombuffer(raw, dtype=np.int64)
+            .reshape(depth, width).copy(),
+        )
+
+
+def cms_token_counts(
+    ds,
+    col: str,
+    query_values: list,
+    width: int = 2048,
+    depth: int = 5,
+    merge_fanin: int = 64,
+):
+    """Estimate per-value occurrence counts of ``query_values`` in one
+    pass with Count-Min: each block pre-folds its value counts (pyarrow
+    group_by) and adds them weighted into one sketch row; sketch rows
+    tree-merge every ``merge_fanin`` (elementwise int add — exact,
+    order-independent) so the driver folds O(blocks/fanin) rows of
+    width×depth×8 bytes and raw values never shuffle. Returns a pandas
+    DataFrame (value, est_count); estimates are exact when width far
+    exceeds the column's distinct count, and never underestimate."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        g = batch.select([col]).group_by(col).aggregate([(col, "count")])
+        s = CountMinSketch(width, depth)
+        s.update(
+            g.column(col).to_pylist(),
+            weights=np.asarray(g.column(f"{col}_count"), dtype=np.int64),
+        )
+        return pa.table({"cms": pa.array([s.to_bytes()], pa.binary())})
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        mats = np.frombuffer(
+            b"".join(batch["cms"].to_pylist()), dtype=np.int64
+        ).reshape(-1, depth, width)
+        return pa.table(
+            {"cms": pa.array([mats.sum(axis=0).tobytes()], pa.binary())}
+        )
+
+    rows = (
+        ds.map_batches(sketch_block, batch_format="pyarrow")
+        .map_batches(
+            merge_batch, batch_format="pyarrow", batch_size=merge_fanin
+        )
+        .take_all()
+    )
+    acc = CountMinSketch(width, depth)
+    for r in rows:
+        acc.merge(CountMinSketch.from_bytes(r["cms"], width, depth))
+    ests = acc.estimate(query_values)
+    return pd.DataFrame(
+        {
+            "value": [str(v) for v in query_values],
+            "est_count": ests.astype(np.int64),
+        }
+    )

@@ -3904,3 +3904,32 @@ def q_tpch_q22r(sf_dir: str) -> pd.DataFrame:
         .sort_values("c_nationkey")
         .reset_index(drop=True)
     )
+
+
+def q_cms_lang_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-language doc counts answered from ONE Count-Min sketch fold —
+    the sketch family's frequency member next to HLL (distinct), KLL
+    (quantiles), Misra-Gries (top-k) and Bloom (membership). Sketch rows
+    tree-merge; values never shuffle. Oracled EXACTLY: 5 distinct values
+    against width 2048 with depth-5 min means no colliding pair survives
+    (deterministic hashing — holds for this corpus forever); the general
+    overestimate-only/ε·N contract is test-pinned separately."""
+    from ..functions.sketch import cms_token_counts
+
+    langs = [
+        r["lang"]
+        for r in _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .count()
+        .take_all()
+    ]
+    out = cms_token_counts(
+        _read(sf_dir, "documents", ["lang"]),
+        "lang",
+        sorted(langs),
+        width=2048,
+        depth=5,
+    )
+    out = out.rename(columns={"value": "lang", "est_count": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)

@@ -3,6 +3,7 @@ SimHash locality."""
 
 import subprocess
 import sys
+import pytest
 
 import numpy as np
 
@@ -531,3 +532,86 @@ class TestKllGrouped:
             )
             for k in ("a", "b"):
                 assert abs(out.loc[k, "q50"] / 20_000 - 0.5) < 0.03
+
+
+class TestCountMin:
+    def test_never_underestimates_and_bounded(self):
+        import numpy as np
+
+        from redactifai_ray.functions.sketch import CountMinSketch
+
+        rng = np.random.default_rng(5)
+        # zipf-ish skew: value i appears ~1000/i times
+        values, truth = [], {}
+        for i in range(1, 200):
+            n = max(1, 1000 // i)
+            values += [f"v{i}"] * n
+            truth[f"v{i}"] = n
+        s = CountMinSketch(width=512, depth=5)
+        order = rng.permutation(len(values))
+        s.update([values[j] for j in order])
+        keys = list(truth)
+        est = s.estimate(keys)
+        true = np.array([truth[k] for k in keys])
+        assert (est >= true).all()  # CMS never underestimates
+        n_total = len(values)
+        # standard guarantee: overshoot ≤ e·N/width (w.h.p.); allow it
+        # exactly — deterministic hashing makes this stable
+        assert (est - true).max() <= np.e * n_total / 512
+
+    def test_exact_when_wide(self):
+        from redactifai_ray.functions.sketch import CountMinSketch
+
+        s = CountMinSketch(width=4096, depth=5)
+        s.update(["a"] * 7 + ["b"] * 3 + ["c"])
+        assert list(s.estimate(["a", "b", "c"])) == [7, 3, 1]
+        assert list(s.estimate(["zzz"])) == [0]
+
+    def test_merge_equals_single_build(self):
+        from redactifai_ray.functions.sketch import CountMinSketch
+
+        a, b, whole = (CountMinSketch(256, 4) for _ in range(3))
+        xs = [f"x{i % 17}" for i in range(100)]
+        a.update(xs[:60])
+        b.update(xs[60:])
+        whole.update(xs)
+        merged = a.merge(b)
+        assert merged.to_bytes() == whole.to_bytes()
+
+    def test_geometry_mismatch_raises(self):
+        from redactifai_ray.functions.sketch import CountMinSketch
+
+        with pytest.raises(ValueError):
+            CountMinSketch(256, 4).merge(CountMinSketch(512, 4))
+
+    def test_roundtrip_bytes(self):
+        from redactifai_ray.functions.sketch import CountMinSketch
+
+        s = CountMinSketch(128, 3)
+        s.update(["p", "q", "q"])
+        r = CountMinSketch.from_bytes(s.to_bytes(), 128, 3)
+        assert list(r.estimate(["p", "q"])) == [1, 2]
+
+    def test_distributed_fold_matches_exact(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.sketch import cms_token_counts
+
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["lang"]
+        )
+        import duckdb
+
+        exact = dict(
+            duckdb.sql(
+                "SELECT lang, count(*) FROM "
+                "'/root/testdata/sf0.001/documents.parquet' GROUP BY lang"
+            ).fetchall()
+        )
+        out = cms_token_counts(
+            ds, "lang", sorted(exact), width=2048, depth=5
+        )
+        got = dict(zip(out["value"], out["est_count"]))
+        # 5 distinct values vs width 2048: no colliding pair survives
+        # the depth-5 min ⇒ estimates are exactly the counts
+        assert got == {k: int(v) for k, v in exact.items()}
