@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed RANK, mixture-planning token budget
         "pack_sequences": q.q_pack_sequences,
         "rank_in_lang": q.q_rank_in_lang,
+        # round-4: windowed CUME_DIST via the same histogram fold,
+        # float-free (n_le / n_lang int64 pair)
+        "cume_dist_in_lang": q.q_cume_dist_in_lang,
         "source_budget": q.q_source_budget,
         # round-4: grouped KLL quantiles (rows-only: approximate by
         # design; rank-error bound vs the exact grouped path test-pinned)
@@ -1167,6 +1170,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang,
                rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)::BIGINT
                    AS rnk
+        FROM documents
+    """
+    sql["cume_dist_in_lang"] = """
+        -- CUME_DIST kept float-free as (inclusive ties-count, total):
+        -- the default RANGE frame includes current-row ties exactly
+        SELECT doc_id, lang,
+               count(*) OVER (PARTITION BY lang
+                              ORDER BY n_chars)::BIGINT AS n_le,
+               count(*) OVER (PARTITION BY lang)::BIGINT AS n_lang
         FROM documents
     """
     sql["source_budget"] = """

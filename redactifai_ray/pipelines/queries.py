@@ -3933,3 +3933,61 @@ def q_cms_lang_counts(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"value": "lang", "est_count": "n_docs"})
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_cume_dist_in_lang(sf_dir: str) -> pd.DataFrame:
+    """Windowed CUME_DIST, float-free: per document the inclusive count
+    of same-language docs with length ≤ its own (``n_le``) plus the
+    language total (``n_lang``) — cume_dist is their exact ratio, kept
+    as two int64 columns so the oracle hash is bit-stable.
+
+    Same scale shape as ``q_rank_in_lang``: CUME_DIST depends only on
+    the per-(lang, value) histogram, so per-batch count partials fold
+    through one tiny keyed groupby, the driver turns counts into
+    inclusive cumulative sums, and a broadcast dict attaches them in one
+    vectorized map — no full-corpus group ever materializes and the fact
+    table never shuffles."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["lang", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cume_map: dict[tuple, tuple] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars", ascending=True)
+        inc = np.cumsum(g["n"].to_numpy(dtype=np.int64))
+        total = int(inc[-1])
+        for v, c in zip(g["n_chars"].to_numpy(), inc):
+            cume_map[(lang, int(v))] = (int(c), total)
+    map_ref = ray.put(cume_map)
+    state: dict = {}
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in state:
+            state["m"] = ray.get(map_ref)
+        m = state["m"]
+        pairs = [
+            m[(lg, int(v))] for lg, v in zip(df["lang"], df["n_chars"])
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang": df["lang"],
+                "n_le": pd.array([p[0] for p in pairs], dtype="int64"),
+                "n_lang": pd.array([p[1] for p in pairs], dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(attach, batch_format="pandas").to_pandas()

@@ -44,6 +44,8 @@ FAST_ORACLED = [
     "rank_in_lang",
     "source_budget",
     "dedup_lines",
+    "cms_lang_counts",
+    "cume_dist_in_lang",
     "tpch_q13r",
     "tpch_q15r",
     "tpch_q22r",
