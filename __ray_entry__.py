@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         # round-4: intra-document line dedup (stateless, zero-shuffle)
         "dedup_lines": q.q_dedup_lines,
+        # round-4: XLM-R-style temperature mixture resampling (α=0.5)
+        "temperature_mixture": q.q_temperature_mixture,
         # round-4: Count-Min frequency sketch fold (exact in this
         # regime — see q_cms_lang_counts docstring)
         "cms_lang_counts": q.q_cms_lang_counts,
@@ -1218,6 +1220,27 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_lines,
                sum(CASE WHEN k THEN 1 ELSE 0 END)::BIGINT AS n_lines_kept
         FROM keep GROUP BY doc_id
+    """
+    sql["temperature_mixture"] = """
+        -- α=0.5 temperature resampling: keep rate per language is
+        -- sqrt(n_min/n) (downsampling-only, rarest keeps all); the
+        -- division, sqrt and ×10000 are all correctly-rounded double
+        -- ops, so the floor threshold is bit-identical to the engine's
+        WITH c AS (
+            SELECT lang, count(*)::BIGINT AS n
+            FROM documents GROUP BY lang
+        ),
+        m AS (SELECT min(n) AS n_min FROM c),
+        b AS (
+            SELECT d.lang,
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS bk,
+                   floor(sqrt(CAST(m.n_min AS DOUBLE) / c.n)
+                         * 10000) AS thr
+            FROM documents d, c, m WHERE d.lang = c.lang
+        )
+        SELECT lang, count(*)::BIGINT AS n_kept
+        FROM b WHERE bk < thr GROUP BY lang ORDER BY lang
     """
     sql["cms_lang_counts"] = """
         -- Count-Min point estimates are exactly the counts here (5

@@ -98,6 +98,13 @@ def main(argv=None) -> int:
                          "sharing a 13-gram with it")
     ap.add_argument("--mixture", default=None, metavar="K=W,...",
                     help="per-source keep weights, e.g. web=0.5,wiki=1.0")
+    ap.add_argument("--temperature", type=float, default=None,
+                    metavar="ALPHA",
+                    help="temperature-resample by --temperature-col "
+                         "(rate (n_min/n)^(1-ALPHA); ALPHA=1 natural, "
+                         "0 uniform); mutually exclusive with --mixture")
+    ap.add_argument("--temperature-col", default="source",
+                    help="key column for --temperature (default source)")
     ap.add_argument("--split", default=None, metavar="TRAIN,VAL,TEST",
                     help="percent widths, e.g. 80,10,10 — output partitions "
                          "by the split label")
@@ -213,6 +220,17 @@ def main(argv=None) -> int:
                 k, w = part.split("=", 1)
                 weights[k] = float(w)
             ds = mixture_sample(ds, weights, id_col=args.id_col)
+        if args.temperature is not None:
+            if args.mixture:
+                ap.error("--temperature and --mixture are exclusive")
+            from .stages.curate import temperature_mixture
+
+            ds = temperature_mixture(
+                ds,
+                alpha=args.temperature,
+                key_col=args.temperature_col,
+                id_col=args.id_col,
+            )
         partition_cols = None
         if args.split:
             from .stages.curate import assign_split

@@ -3991,3 +3991,24 @@ def q_cume_dist_in_lang(sf_dir: str) -> pd.DataFrame:
         )
 
     return docs.map_batches(attach, batch_format="pandas").to_pandas()
+
+
+def q_temperature_mixture(sf_dir: str) -> pd.DataFrame:
+    """Temperature-resampled language mixture (α=0.5): kept-row counts
+    per language after XLM-R-style α-sampling flattens the en-heavy
+    natural distribution toward the rarest language. Deterministic
+    hash-threshold survival (no RNG); α=0.5 routes through the
+    correctly-rounded sqrt so the driver rate is bit-identical to the
+    SQL twin's (see ``temperature_rates``). One tiny counting groupby +
+    one streaming filter pass."""
+    from ..stages.curate import temperature_mixture
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    kept = temperature_mixture(docs, alpha=0.5, key_col="lang")
+    out = (
+        kept.groupby("lang")
+        .aggregate(Count(alias_name="n_kept"))
+        .to_pandas()
+    )
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)

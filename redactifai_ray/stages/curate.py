@@ -126,6 +126,58 @@ def mixture_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_rates(
+    counts: Mapping[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the multilingual XLM-R /
+    unified-scaling α-sampling rule): natural source proportions
+    p_i ∝ c_i resample toward q_i ∝ p_i^α, which as a per-source keep
+    rate (downsampling only, the rarest source keeps everything) is
+    ``rate_i = (c_min / c_i)^(1−α)``. α=1 keeps natural proportions
+    (every rate 1), α=0 equalizes expected counts across sources.
+
+    α=0.5 deliberately routes through ``math.sqrt`` — IEEE-754
+    correctly-rounded, so the driver-side rate is bit-identical to a
+    SQL twin's ``sqrt()`` and the floor-threshold survival test cannot
+    straddle an ulp."""
+    if not counts:
+        return {}
+    c_min = min(counts.values())
+    out: dict[str, float] = {}
+    for k, c in counts.items():
+        ratio = c_min / c
+        exp = 1.0 - alpha
+        out[k] = math.sqrt(ratio) if exp == 0.5 else ratio**exp
+    return out
+
+
+def temperature_mixture(
+    ds: ray.data.Dataset,
+    alpha: float = 0.5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> ray.data.Dataset:
+    """Deterministic temperature resampling over a key column: one tiny
+    key-groupby computes the per-source counts (mixture-cardinality),
+    the rates derive driver-side (``temperature_rates``), and the
+    survival test is the same hash-threshold rule as
+    ``mixture_sample`` — no RNG, stable under repartition/rerun, and
+    the corpus streams through exactly one counting pass plus one
+    filter pass."""
+    counts = {
+        r[key_col]: r["count()"]
+        for r in ds.groupby(key_col).count().take_all()
+    }
+    return mixture_sample(
+        ds,
+        temperature_rates(counts, alpha),
+        key_col=key_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+    )
+
+
 # ------------------------------------------------------ decontamination --
 
 _NGRAM_SEED = 313

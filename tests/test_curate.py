@@ -844,3 +844,125 @@ class TestDedupLines:
         con = duckdb.connect()
         (text,) = con.sql(f"select text from '{out}/docs/*.parquet'").fetchone()
         assert text == "a\nb\nc"
+
+
+class TestTemperatureMixture:
+    def test_rate_endpoints(self):
+        from redactifai_ray.stages.curate import temperature_rates
+
+        counts = {"en": 1000, "fr": 250, "zh": 10}
+        # α=1: natural proportions — keep everything
+        assert temperature_rates(counts, alpha=1.0) == {
+            "en": 1.0,
+            "fr": 1.0,
+            "zh": 1.0,
+        }
+        # α=0: equalize expected counts — rate n_min/n
+        r0 = temperature_rates(counts, alpha=0.0)
+        assert r0["zh"] == 1.0
+        assert r0["en"] == 10 / 1000
+        assert r0["fr"] == 10 / 250
+        # α=0.5: sqrt(n_min/n), monotone in count
+        r5 = temperature_rates(counts, alpha=0.5)
+        assert r5["zh"] == 1.0
+        assert 0 < r5["en"] < r5["fr"] < 1.0
+
+    def test_empty_counts(self):
+        from redactifai_ray.stages.curate import temperature_rates
+
+        assert temperature_rates({}, alpha=0.5) == {}
+
+    def test_flattens_skew_and_rarest_keeps_all(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.curate import temperature_mixture
+
+        rows = [
+            {"doc_id": i, "lang": "en" if i < 900 else "zh"}
+            for i in range(1000)
+        ]
+        out = (
+            temperature_mixture(
+                ray.data.from_items(rows), alpha=0.5, key_col="lang"
+            )
+            .to_pandas()
+            .groupby("lang")
+            .size()
+        )
+        assert out["zh"] == 100  # rarest source keeps everything
+        # en's expected keep = 900·sqrt(100/900) = 300; hash-uniformity
+        # puts the realized count near it
+        assert 240 <= out["en"] <= 360
+        # the skew ratio flattened from 9:1 toward 3:1
+        assert out["en"] / out["zh"] < 5
+
+    def test_deterministic_across_runs(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.curate import temperature_mixture
+
+        rows = [
+            {"doc_id": i, "lang": f"l{i % 3}"} for i in range(300)
+        ] + [{"doc_id": 1000 + i, "lang": "l0"} for i in range(300)]
+        a = (
+            temperature_mixture(
+                ray.data.from_items(rows), alpha=0.3, key_col="lang"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            temperature_mixture(
+                ray.data.from_items(rows).repartition(7),
+                alpha=0.3,
+                key_col="lang",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)  # partitioning-invariant, RNG-free
+
+    def test_cli_temperature_flag(self, ray_session, tmp_path):
+        import io
+        from contextlib import redirect_stdout
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        src = tmp_path / "t.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(200), pa.int64()),
+                    "text": pa.array(["x"] * 200, pa.string()),
+                    "lang": pa.array(
+                        ["en"] * 180 + ["zh"] * 20, pa.string()
+                    ),
+                }
+            ),
+            src,
+        )
+        out = str(tmp_path / "t_out")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(
+                [
+                    "--input", str(src), "--output", out,
+                    "--temperature", "0.5", "--temperature-col", "lang",
+                ]
+            )
+        assert rc == 0
+        con = duckdb.connect()
+        got = dict(
+            con.sql(
+                f"select lang, count(*) from '{out}/docs/*.parquet' "
+                "group by lang"
+            ).fetchall()
+        )
+        assert got["zh"] == 20  # rarest keeps all
+        assert got["en"] < 120  # en downsampled toward sqrt(20/180)

@@ -45,6 +45,7 @@ FAST_ORACLED = [
     "source_budget",
     "dedup_lines",
     "cms_lang_counts",
+    "temperature_mixture",
     "cume_dist_in_lang",
     "tpch_q13r",
     "tpch_q15r",
