@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         # round-4: intra-document line dedup (stateless, zero-shuffle)
         "dedup_lines": q.q_dedup_lines,
+        # round-4: hashed-feature Naive Bayes classifier (rows-only:
+        # trained model; distributed≡serial training test-pinned)
+        "nb_lang_classifier": q.q_nb_lang_classifier,
         # round-4: XLM-R-style temperature mixture resampling (α=0.5)
         "temperature_mixture": q.q_temperature_mixture,
         # round-4: Count-Min frequency sketch fold (exact in this

@@ -4012,3 +4012,43 @@ def q_temperature_mixture(sf_dir: str) -> pd.DataFrame:
     )
     out["n_kept"] = out["n_kept"].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
+    """Classifier-based quality-filter shape (CCNet/GPT-3 doctrine):
+    train a hashed-feature Naive Bayes on a derivable label (is the doc
+    English?) in one distributed count fold, then score the whole
+    corpus with the broadcast model. Rows-only (a trained model is not
+    SQL-expressible); distributed≡serial training and learnability are
+    test-pinned. Output keeps ints only (doc_id, pred, y) so the check
+    is float-free."""
+    from ..stages.classify import nb_score, train_nb
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def with_label(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(t["lang"], "en"), pa.int64())
+        return t.append_column("y", y)
+
+    labeled = docs.map_batches(with_label, batch_format="pyarrow")
+    model = train_nb(labeled, label_col="y", n_features=1 << 14)
+    scored = nb_score(labeled, model).to_pandas()
+    truth = (
+        docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "y": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+    )
+    out = scored.merge(truth, on="doc_id")
+    out["pred"] = out["pred"].astype(np.int64)
+    out["y"] = out["y"].astype(np.int64)
+    return (
+        out[["doc_id", "pred", "y"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
