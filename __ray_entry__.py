@@ -229,6 +229,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15r": q.q_tpch_q15r,
         # round-4: global scalar subquery + distributed anti-join (Q22)
         "tpch_q22r": q.q_tpch_q22r,
+        # round-4: zlib compressibility quality signal (rows-only: SQL
+        # has no zlib; exact-int contract test-pinned)
+        "compress_ratio": q.q_compress_ratio,
+        # round-4: INTERSECT/EXCEPT via one value-keyed flag fold
+        "source_setops": q.q_source_setops,
+        # round-4: windowed NTILE via histogram fold + tie-bucket groupby
+        "ntile_chars": q.q_ntile_chars,
     }
 
 
@@ -1323,5 +1330,23 @@ def oracle_sql() -> dict[str, str]:
                 WHERE NOT EXISTS (SELECT 1 FROM customer c
                                   WHERE c.c_custkey = o.o_custkey))::BIGINT
                    AS n_orphans
+    """
+    sql["source_setops"] = """
+        -- INTERSECT / EXCEPT over two sources' distinct length sets
+        WITH a AS (SELECT DISTINCT n_chars FROM documents WHERE source = 'src0'),
+             b AS (SELECT DISTINCT n_chars FROM documents WHERE source = 'src1')
+        SELECT 'except' AS op, n_chars::BIGINT AS n_chars
+        FROM (SELECT n_chars FROM a EXCEPT SELECT n_chars FROM b)
+        UNION ALL
+        SELECT 'intersect' AS op, n_chars::BIGINT AS n_chars
+        FROM (SELECT n_chars FROM a INTERSECT SELECT n_chars FROM b)
+        ORDER BY op, n_chars
+    """
+    sql["ntile_chars"] = """
+        -- deterministic NTILE: ties broken by doc_id on BOTH sides
+        SELECT doc_id, lang,
+               NTILE(4) OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id)::BIGINT AS tile
+        FROM documents ORDER BY doc_id
     """
     return sql

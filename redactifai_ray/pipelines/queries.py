@@ -4052,3 +4052,137 @@ def q_nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q_compress_ratio(sf_dir: str) -> pd.DataFrame:
+    """zlib compressibility per document (MassiveText/RefinedWeb quality
+    signal) — rows-only: SQL has no zlib, so the driver checks row count
+    + schema while the exact-integer contract (``ratio_bp`` basis
+    points, floor division) is test-pinned. Pure map, no shuffle."""
+    from ..stages.analyze import compression_ratio
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = compression_ratio(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_source_setops(sf_dir: str, src_a: str = "src0", src_b: str = "src1") -> pd.DataFrame:
+    """INTERSECT / EXCEPT over the distinct document-length value sets of
+    two sources — the named set-operator surface next to
+    ``union_sources`` (SURVEY §2.7).
+
+    Distributed shape: per-batch distinct (n_chars, in_a, in_b) flag
+    partials (pandas groupby-max inside the batch) → ONE value-keyed
+    groupby whose cardinality is the distinct-length count, not the row
+    count → driver filters flags. The fact table never shuffles; both
+    set operators fall out of the same fold."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["source"].isin([src_a, src_b])]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "n_chars": pd.Series(dtype="int64"),
+                    "in_a": pd.Series(dtype="int64"),
+                    "in_b": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "n_chars": df["n_chars"].astype(np.int64),
+                "in_a": (df["source"] == src_a).astype(np.int64),
+                "in_b": (df["source"] == src_b).astype(np.int64),
+            }
+        )
+        return out.groupby("n_chars", as_index=False).max()
+
+    flags = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("n_chars")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+        .to_pandas()
+    )
+    both = flags[(flags["in_a"] == 1) & (flags["in_b"] == 1)]
+    a_only = flags[(flags["in_a"] == 1) & (flags["in_b"] == 0)]
+    out = pd.concat(
+        [
+            pd.DataFrame({"op": "except", "n_chars": a_only["n_chars"]}),
+            pd.DataFrame({"op": "intersect", "n_chars": both["n_chars"]}),
+        ]
+    )
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values(["op", "n_chars"]).reset_index(drop=True)
+
+
+def q_ntile_chars(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Windowed NTILE(k): each document's length quartile within its
+    language, ties broken by doc_id so the result is deterministic
+    (plain ``NTILE(4) OVER (ORDER BY n_chars)`` is tie-order-dependent —
+    the oracle orders by (n_chars, doc_id) too).
+
+    Scale design — NTILE needs a global ROW_NUMBER per partition, which
+    a naive per-language ``map_groups`` would compute on one worker
+    holding the whole language. Instead:
+      1. the house value-histogram fold (``rank_in_lang``'s shape) gives
+         ``base[(lang, v)]`` = how many docs in the language are
+         strictly shorter, plus per-language totals — bounded
+         cardinality, driver-held, broadcast once;
+      2. tie order within a (lang, n_chars) bucket is resolved by ONE
+         keyed groupby over slim (doc_id, lang, n_chars) rows — bucket
+         sizes are distinct-value-bounded, so no giant group forms;
+      3. row_number = base + within-bucket index; the NTILE bucket
+         formula (first n%k buckets one row larger) is pure int math."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["lang", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    base_map: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        counts = g["n"].to_numpy(dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for v, s in zip(g["n_chars"].to_numpy(), starts):
+            base_map[(lang, int(v))] = int(s)
+        totals[str(lang)] = int(counts.sum())
+    ref = ray.put((base_map, totals, int(k)))
+
+    def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_m, tot, kk = ray.get(ref)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        lang = str(g.loc[0, "lang"])
+        v = int(g.loc[0, "n_chars"])
+        rn = base_m[(lang, v)] + np.arange(len(g), dtype=np.int64) + 1
+        n = tot[lang]
+        q, r = divmod(n, kk)
+        big = r * (q + 1)
+        tile = np.where(
+            rn <= big,
+            (rn - 1) // (q + 1) + 1 if q + 1 > 0 else 1,
+            r + (np.maximum(rn - big - 1, 0) // max(q, 1)) + 1,
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "lang": g["lang"], "tile": tile}
+        )
+
+    out = (
+        docs.groupby(["lang", "n_chars"])
+        .map_groups(tile_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["tile"] = out["tile"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

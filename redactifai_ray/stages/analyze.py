@@ -1319,3 +1319,44 @@ def profile_table(
     return out[
         ["col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]
     ].sort_values("col_name").reset_index(drop=True)
+
+
+def compression_ratio(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+):
+    """zlib compression ratio as a quality/repetition signal — the
+    MassiveText/RefinedWeb heuristic the regex gates can't see: highly
+    compressible text is boilerplate or template spam, incompressible
+    text is often binary junk that leaked through extraction. No
+    reference counterpart (training-data operator per the build brief).
+
+    Emits exact integers only: ``raw_len`` / ``comp_len`` (bytes, UTF-8
+    → zlib level ``level``) and ``ratio_bp`` = compressed/raw in basis
+    points (floor), so downstream gates compare ints and the result is
+    bit-stable. Pure per-batch map — no shuffle, no state beyond the
+    stdlib codec; nulls ride through as raw_len=0, ratio_bp=10000
+    (incompressible by convention, so low-ratio gates never drop them
+    silently)."""
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        raw = np.empty(batch.num_rows, dtype=np.int64)
+        comp = np.empty(batch.num_rows, dtype=np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            b = (t or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level)) if b else 0
+        ratio = np.where(raw > 0, (comp * 10000) // np.maximum(raw, 1), 10000)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "raw_len": pa.array(raw, pa.int64()),
+                "comp_len": pa.array(comp, pa.int64()),
+                "ratio_bp": pa.array(ratio.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2527,3 +2527,81 @@ class TestProductQuantization:
             .reset_index(drop=True)
         )
         assert inline.equals(precomp), (inline, precomp)
+
+
+class TestCompressionRatio:
+    def test_exact_int_contract(self, ray_session):
+        import zlib
+
+        import ray.data
+
+        from redactifai_ray.stages.analyze import compression_ratio
+
+        rows = [
+            {"doc_id": 0, "text": "abc " * 200},      # highly compressible
+            {"doc_id": 1, "text": "x"},               # tiny, incompressible
+            {"doc_id": 2, "text": None},              # null rides through
+            {"doc_id": 3, "text": ""},                # empty
+        ]
+        out = (
+            compression_ratio(ray.data.from_items(rows))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b0 = ("abc " * 200).encode()
+        assert out.loc[0, "raw_len"] == len(b0)
+        assert out.loc[0, "comp_len"] == len(zlib.compress(b0, 6))
+        assert out.loc[0, "ratio_bp"] == (len(zlib.compress(b0, 6)) * 10000) // len(b0)
+        assert out.loc[0, "ratio_bp"] < 2000  # boilerplate compresses hard
+        # null/empty: raw_len 0, ratio pinned to 10000 (never gated out)
+        assert (out.loc[[2, 3], "raw_len"] == 0).all()
+        assert (out.loc[[2, 3], "ratio_bp"] == 10000).all()
+        assert out["ratio_bp"].dtype == "int64"
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.analyze import compression_ratio
+
+        rows = [{"doc_id": i, "text": f"tok{i % 7} " * (i + 1)} for i in range(40)]
+        a = compression_ratio(ray.data.from_items(rows)).to_pandas()
+        b = compression_ratio(
+            ray.data.from_items(rows).repartition(5)
+        ).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestNtile:
+    def test_matches_duckdb_on_heavy_ties(self, ray_session, tmp_path):
+        import duckdb
+        import pandas as pd
+
+        from redactifai_ray.pipelines.queries import q_ntile_chars
+
+        # heavy ties: 3 langs × lengths drawn from {10, 20, 30}
+        df = pd.DataFrame(
+            {
+                "doc_id": range(90),
+                "lang": [("en", "fr", "de")[i % 3] for i in range(90)],
+                "n_chars": [(10, 20, 30)[(i * 7) % 3] for i in range(90)],
+                "text": ["x"] * 90,
+                "source": ["src0"] * 90,
+            }
+        )
+        df.to_parquet(tmp_path / "documents.parquet")
+        got = q_ntile_chars(str(tmp_path))
+        want = duckdb.sql(
+            f"""
+            SELECT doc_id, lang,
+                   NTILE(4) OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id)::BIGINT AS tile
+            FROM '{tmp_path}/documents.parquet' ORDER BY doc_id
+            """
+        ).df()
+        want["tile"] = want["tile"].astype("int64")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
