@@ -244,7 +244,16 @@ def main(argv=None) -> int:
             )
             partition_cols = ["split"]
 
+        # A re-run into the same output root must REPLACE the previous
+        # attempt, not append beside it — Ray's write_parquet adds new
+        # files into an existing dir, silently doubling docs/shards on
+        # retry (the same attempt-idempotency contract as the dedup
+        # store's run=<id> overwrite).
+        import shutil
+
         docs_dir = os.path.join(args.output, "docs")
+        for sub in ("docs", "shards", "sequences"):
+            shutil.rmtree(os.path.join(args.output, sub), ignore_errors=True)
         ds.write_parquet(docs_dir, partition_cols=partition_cols)
 
         wrote_any = bool(

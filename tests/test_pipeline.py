@@ -835,3 +835,47 @@ class TestCuratePackSequences:
         for _, r in plan.iterrows():
             assert r["start_pos"] == cum
             cum += r["n_tokens"]
+
+
+class TestCurateCliIdempotentRerun:
+    def test_rerun_replaces_not_appends(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        rows = [
+            {"doc_id": i, "text": f"tok{i} " * 30, "source": "s"}
+            for i in range(20)
+        ]
+        src = tmp_path / "docs.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                    "text": pa.array([r["text"] for r in rows], pa.string()),
+                    "source": pa.array([r["source"] for r in rows], pa.string()),
+                }
+            ),
+            src,
+        )
+        out = str(tmp_path / "out")
+        results = []
+        for _ in range(2):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                rc = main(
+                    ["--input", str(src), "--output", out,
+                     "--split", "80,10,10", "--shard-tokens", "200"]
+                )
+            assert rc == 0
+            results.append(
+                _json.loads(buf.getvalue().strip().splitlines()[-1])
+            )
+        # second run into the SAME dir replaces the first attempt's files
+        assert results[0] == results[1]
+        assert results[1]["rows_out"] == 20
