@@ -236,6 +236,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_setops": q.q_source_setops,
         # round-4: windowed NTILE via histogram fold + tie-bucket groupby
         "ntile_chars": q.q_ntile_chars,
+        # round-4: Q7 cross-nation volume — two capped-broadcast lookups
+        # + one join-free orderkey merge; _joinfree variant pins the
+        # above-cap _lookup_on_key path against the same oracle
+        "tpch_q7r": q.q_tpch_q7r,
+        "tpch_q7r_joinfree": q.q_tpch_q7r_joinfree,
     }
 
 
@@ -1349,4 +1354,30 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY n_chars, doc_id)::BIGINT AS tile
         FROM documents ORDER BY doc_id
     """
+    sql["tpch_q7r"] = """
+        -- Q7 shape: cross-nation volume between an unordered nation
+        -- pair, ship years 1996-1997; revenue in exact int64
+        -- 1/10000-dollar units on both sides
+        WITH pair AS (
+            SELECT n_nationkey, n_name FROM nation
+            WHERE n_name IN ('NATION_3', 'NATION_8')
+        )
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000 + 0.5) AS BIGINT))::BIGINT AS revenue_c
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN pair sn    ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN pair cn    ON cn.n_nationkey = c.c_nationkey
+        WHERE sn.n_name <> cn.n_name
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """
+    sql["tpch_q7r_joinfree"] = sql["tpch_q7r"]
     return sql

@@ -4186,3 +4186,355 @@ def q_ntile_chars(sf_dir: str, k: int = 4) -> pd.DataFrame:
     )
     out["tile"] = out["tile"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _lookup_on_key(
+    fact: ray.data.Dataset,
+    mapping: ray.data.Dataset,
+    fact_key: str,
+    map_key: str,
+    map_val: str,
+    keep_cols: list[str],
+    types: dict,
+) -> ray.data.Dataset:
+    """Join-free distributed lookup join: attach ``mapping``'s int64
+    ``map_val`` to every ``fact`` row whose key appears in it (inner
+    semantics — unmatched fact rows drop). The fact×fact sibling of
+    ``_semijoin_on_key``: union slim side-flagged rows, ONE
+    hash-partition groupby, vectorized in-partition pandas merge. Used
+    when a key→value side is fact-scaled and above the broadcast cap;
+    no driver gather at any cardinality. ``types`` must cover
+    ``keep_cols`` (pass parquet-footer types to avoid a schema probe)."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+    out_cols = keep_cols + [map_val]
+    empty_pd = pa.table(
+        {
+            **{c: pa.nulls(0, types[c]) for c in keep_cols},
+            map_val: pa.nulls(0, pa.int64()),
+        }
+    ).to_pandas()
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        cols = {"key": t.column(fact_key).combine_chunks().cast(pa.int64())}
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        cols["val"] = pa.nulls(t.num_rows, pa.int64())
+        cols["is_map"] = pa.nulls(t.num_rows, pa.int8()).fill_null(0)
+        return pa.table(cols)
+
+    def map_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"key": t.column(map_key).combine_chunks().cast(pa.int64())}
+        for c in keep_cols:
+            cols[c] = pa.nulls(n, types[c])
+        cols["val"] = t.column(map_val).combine_chunks().cast(pa.int64())
+        cols["is_map"] = pa.nulls(n, pa.int8()).fill_null(1)
+        return pa.table(cols)
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    stream = (
+        fact.map_batches(fact_rows, batch_format="pyarrow")
+        .union(mapping.map_batches(map_rows, batch_format="pyarrow"))
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns:  # schema-less empty partition
+            return empty_pd.copy()
+        m = g.loc[g["is_map"] == 1, ["key", "val"]].rename(
+            columns={"val": map_val}
+        )
+        f = g.loc[g["is_map"] == 0, ["key"] + keep_cols]
+        out = f.merge(m, on="key", how="inner")[out_cols]
+        return out.astype(empty_pd.dtypes.to_dict())
+
+    out = stream.groupby("pkey", num_partitions=P).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def fix_schema(df: pd.DataFrame) -> pd.DataFrame:
+        if list(df.columns) != out_cols:
+            return empty_pd.copy()
+        return df
+
+    return out.map_batches(fix_schema, batch_format="pandas")
+
+
+def q_tpch_q7r(
+    sf_dir: str,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_8",
+    max_broadcast_keys: int = 2_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q7-style cross-nation trade volume: revenue shipped between
+    two nations (supplier nation ≠ customer nation, both in the pair) by
+    (supp_nation, cust_nation, ship year), years 1996-1997.
+
+    Distributed shape (the q_tpch_q5 doctrine, two lookups instead of
+    one): nation resolves driver-side (≤25 rows); the pair-filtered
+    supplier and customer key→nationkey maps broadcast as sorted arrays
+    while they fit ``max_broadcast_keys`` — the pair filter keeps
+    ~2/|nations| of each — and above the cap each lookup routes through
+    ``_lookup_on_key`` (join-free union + hash-partition merge; both
+    sides fact-scaled, no driver gather). lineitem pre-aggregates
+    fixed-point revenue per (orderkey, supp_nation, year) inside
+    ``map_batches``; orders reduces to (orderkey, cust_nation); the two
+    partial streams merge join-free on orderkey and the final groupby is
+    ≤ 2×2×2 rows. Revenue is the house int64 1/10000-dollar convention —
+    exact under any accumulation order."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    pair = nation[nation["n_name"].isin([nation_a, nation_b])]
+    nk_name = dict(zip(pair["n_nationkey"].astype(int), pair["n_name"]))
+    empty = pd.DataFrame(
+        {
+            "supp_nation": pd.Series(dtype="object"),
+            "cust_nation": pd.Series(dtype="object"),
+            "l_year": pd.Series(dtype="int64"),
+            "revenue_c": pd.Series(dtype="int64"),
+        }
+    )
+    if len(nk_name) < 2:
+        return empty
+    pair_nk = pa.array(sorted(nk_name), pa.int64())
+
+    def _pair_map(
+        ds: ray.data.Dataset, key: str, nk: str
+    ) -> ray.data.Dataset:
+        def slim(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.is_in(t[nk].cast(pa.int64()), value_set=pair_nk)
+            ).select([key, nk])
+
+        return ds.map_batches(slim, batch_format="pyarrow")
+
+    supp = _pair_map(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey",
+        "s_nationkey",
+    )
+    cust = _pair_map(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey",
+        "c_nationkey",
+    )
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"]
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(sd, pa.scalar(lo)),
+                pc.less(sd, pa.scalar(hi)),
+            )
+        )
+        price = np.asarray(t["l_extendedprice"], np.float64)
+        disc = np.asarray(t["l_discount"], np.float64)
+        rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks().cast(pa.int64()),
+                "l_suppkey": t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                "l_year": pc.year(t["l_shipdate"]).cast(pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", li_cols).map_batches(
+        li_slim, batch_format="pyarrow"
+    )
+
+    def _fold_li(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "s_nationkey", "l_year"]).aggregate(
+            [("rev_c", "sum")]
+        )
+        return g.rename_columns(
+            ["l_orderkey", "s_nationkey", "l_year", "rev_c"]
+        )
+
+    # --- supplier lookup: broadcast under the cap, join-free above ---
+    supp_rows = supp.take(max_broadcast_keys + 1)
+    if len(supp_rows) <= max_broadcast_keys:
+        spk = np.sort(
+            np.array([r["s_suppkey"] for r in supp_rows], dtype=np.int64)
+        )
+        by = {int(r["s_suppkey"]): int(r["s_nationkey"]) for r in supp_rows}
+        snk = np.array([by[int(k)] for k in spk], dtype=np.int64)
+        sref = ray.put((spk, snk))
+        sstate: dict = {}
+
+        def li_tag(t: pa.Table) -> pa.Table:
+            if "s" not in sstate:
+                sstate["s"] = ray.get(sref)
+            kpk, knk = sstate["s"]
+            if len(kpk) == 0 or t.num_rows == 0:
+                return _fold_li(
+                    t.slice(0, 0).append_column(
+                        "s_nationkey", pa.array([], pa.int64())
+                    )
+                )
+            k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kpk, k)
+            pos_c = np.minimum(pos, len(kpk) - 1)
+            ok = (pos < len(kpk)) & (kpk[pos_c] == k)
+            t = t.filter(pa.array(ok)).append_column(
+                "s_nationkey", pa.array(knk[pos_c[ok]], pa.int64())
+            )
+            return _fold_li(t)
+
+        li_part = li.map_batches(li_tag, batch_format="pyarrow")
+    else:
+        types = {
+            "l_orderkey": pa.int64(),
+            "l_year": pa.int64(),
+            "rev_c": pa.int64(),
+        }
+        li_part = _lookup_on_key(
+            li, supp, "l_suppkey", "s_suppkey", "s_nationkey",
+            ["l_orderkey", "l_year", "rev_c"], types,
+        ).map_batches(_fold_li, batch_format="pyarrow")
+
+    # --- customer lookup for orders: same two-path doctrine ---
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust_rows = cust.take(max_broadcast_keys + 1)
+    if len(cust_rows) <= max_broadcast_keys:
+        cpk = np.sort(
+            np.array([r["c_custkey"] for r in cust_rows], dtype=np.int64)
+        )
+        by_c = {int(r["c_custkey"]): int(r["c_nationkey"]) for r in cust_rows}
+        cnk = np.array([by_c[int(k)] for k in cpk], dtype=np.int64)
+        cref = ray.put((cpk, cnk))
+        cstate: dict = {}
+
+        def ord_tag(t: pa.Table) -> pa.Table:
+            if "c" not in cstate:
+                cstate["c"] = ray.get(cref)
+            kpk, knk = cstate["c"]
+            if len(kpk) == 0 or t.num_rows == 0:
+                return pa.table(
+                    {
+                        "o_orderkey": pa.array([], pa.int64()),
+                        "c_nationkey": pa.array([], pa.int64()),
+                    }
+                )
+            k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(kpk, k)
+            pos_c = np.minimum(pos, len(kpk) - 1)
+            ok = (pos < len(kpk)) & (kpk[pos_c] == k)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"]
+                    .combine_chunks()
+                    .cast(pa.int64())
+                    .filter(pa.array(ok)),
+                    "c_nationkey": pa.array(knk[pos_c[ok]], pa.int64()),
+                }
+            )
+
+        ord_part = orders.map_batches(ord_tag, batch_format="pyarrow")
+    else:
+        ord_part = _lookup_on_key(
+            orders, cust, "o_custkey", "c_custkey", "c_nationkey",
+            ["o_orderkey"], {"o_orderkey": pa.int64()},
+        )
+
+    # --- join-free merge on orderkey; per-partition revenue fold ---
+    def li_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "s_nationkey": t["s_nationkey"],
+                "l_year": t["l_year"],
+                "rev_c": t["rev_c"],
+                "c_nationkey": pa.nulls(n, pa.int64()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(0),
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "s_nationkey": pa.nulls(n, pa.int64()),
+                "l_year": pa.nulls(n, pa.int64()),
+                "rev_c": pa.nulls(n, pa.int64()),
+                "c_nationkey": t["c_nationkey"],
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(1),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    stream = (
+        li_part.map_batches(li_rows, batch_format="pyarrow")
+        .union(ord_part.map_batches(ord_rows, batch_format="pyarrow"))
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+    part_cols = ["s_nationkey", "c_nationkey", "l_year", "rev_c"]
+    empty_part = pd.DataFrame(
+        {c: pd.Series(dtype="int64") for c in part_cols}
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns:
+            return empty_part.copy()
+        ords = g.loc[g["is_ord"] == 1, ["key", "c_nationkey"]]
+        lis = g.loc[g["is_ord"] == 0, ["key", "s_nationkey", "l_year", "rev_c"]]
+        m = lis.merge(ords, on="key", how="inner")
+        m = m[m["s_nationkey"] != m["c_nationkey"]]
+        if m.empty:
+            return empty_part.copy()
+        out = (
+            m.groupby(["s_nationkey", "c_nationkey", "l_year"], as_index=False)
+            ["rev_c"].sum()
+        )
+        return out[part_cols].astype("int64")
+
+    partials = stream.groupby("pkey", num_partitions=P).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def fix_schema(df: pd.DataFrame) -> pd.DataFrame:
+        if list(df.columns) != part_cols:
+            return empty_part.copy()
+        return df
+
+    # final fold: ≤ 2×2×2 rows per partition — driver-side is exact
+    agg = partials.map_batches(fix_schema, batch_format="pandas").to_pandas()
+    if agg.empty:
+        return empty
+    out = (
+        agg.groupby(["s_nationkey", "c_nationkey", "l_year"], as_index=False)
+        ["rev_c"].sum()
+    )
+    out["supp_nation"] = out["s_nationkey"].map(nk_name)
+    out["cust_nation"] = out["c_nationkey"].map(nk_name)
+    out = out.rename(columns={"rev_c": "revenue_c"})
+    out["l_year"] = out["l_year"].astype(np.int64)
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    return (
+        out[["supp_nation", "cust_nation", "l_year", "revenue_c"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+def q_tpch_q7r_joinfree(sf_dir: str) -> pd.DataFrame:
+    """q_tpch_q7r with the broadcast caps forced to zero — every lookup
+    runs the ``_lookup_on_key`` distributed path (oracled equal)."""
+    return q_tpch_q7r(sf_dir, max_broadcast_keys=0)
