@@ -241,6 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above-cap _lookup_on_key path against the same oracle
         "tpch_q7r": q.q_tpch_q7r,
         "tpch_q7r_joinfree": q.q_tpch_q7r_joinfree,
+        # round-4: order-sensitive STRING_AGG funnel paths
+        "user_event_path": q.q_user_event_path,
+        # round-4: per-key ARGMAX with pre-folded partials
+        "latest_event_per_user": q.q_latest_event_per_user,
+        # round-4: market-basket co-occurrence (self-join, join-free)
+        "event_cooccurrence": q.q_event_cooccurrence,
     }
 
 
@@ -1380,4 +1386,26 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY 1, 2, 3
     """
     sql["tpch_q7r_joinfree"] = sql["tpch_q7r"]
+    sql["user_event_path"] = """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
+    sql["latest_event_per_user"] = """
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts)::BIGINT AS ts_us
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+    """
+    sql["event_cooccurrence"] = """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*)::BIGINT AS n_users
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
     return sql

@@ -4538,3 +4538,119 @@ def q_tpch_q7r_joinfree(sf_dir: str) -> pd.DataFrame:
     """q_tpch_q7r with the broadcast caps forced to zero — every lookup
     runs the ``_lookup_on_key`` distributed path (oracled equal)."""
     return q_tpch_q7r(sf_dir, max_broadcast_keys=0)
+
+
+def q_user_event_path(sf_dir: str) -> pd.DataFrame:
+    """Order-sensitive string aggregation (STRING_AGG ... ORDER BY): each
+    user's event-type path in (ts, event_id) order — the funnel-path
+    extraction shape. Ray: ONE user-keyed groupby over slim rows; per
+    -user groups are event-count-bounded (a user's history fits a
+    worker), the sessionize doctrine. No fact-wide materialization."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def path(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(g["user_id"].iloc[0])],
+                "path": [",".join(g["event_type"])],
+                "n_events": [np.int64(len(g))],
+            }
+        )
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(path, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """ARGMAX per key (LAST_VALUE / QUALIFY row_number()=1 shape): each
+    user's most recent event, ties broken by event_id. Per-batch argmax
+    partials (one row per user per batch) pre-fold before the keyed
+    groupby, so the shuffle moves ≤ users×blocks slim rows — never the
+    fact table. ``ts`` rides as epoch micros (int64) for an exact
+    order-independent hash."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": t["ts"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pylist(),
+            }
+        )
+        keep = (
+            df.sort_values(["ts_us", "event_id"])
+            .groupby("user_id", as_index=False)
+            .tail(1)
+        )
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(["ts_us", "event_id"]).tail(1)
+        return keep[["user_id", "event_id", "event_type", "ts_us"]]
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("user_id", "event_id", "ts_us"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["user_id", "event_id", "event_type", "ts_us"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_event_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Frequent-itemset co-occurrence (the market-basket self-join,
+    A.user=B.user AND A.type<B.type): for every unordered event-type
+    pair, how many users triggered both. Naive SQL self-joins the fact
+    table; here: per-batch DISTINCT (user, type) partials → one
+    user-keyed groupby emitting the ≤ C(types,2) pairs per user →
+    per-batch pair-count fold → final groupby over pair-cardinality
+    rows. The fact table shuffles once, as slim distinct pairs."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        types = sorted(set(g["event_type"]))
+        rows = [
+            (a, b) for i, a in enumerate(types) for b in types[i + 1:]
+        ]
+        return pd.DataFrame(rows, columns=["type_a", "type_b"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["type_a", "type_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    out = (
+        ev.map_batches(distinct_partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(fold, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
