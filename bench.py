@@ -232,6 +232,14 @@ def run_bench() -> dict:
     timed("tpch_q10", lambda: q_tpch_q10r(SF_DIR))
     timed("pack_sequences", lambda: q_pack_sequences(SF_DIR))
 
+    from redactifai_ray.pipelines.queries import (
+        q_event_cooccurrence,
+        q_tpch_q7r,
+    )
+
+    timed("tpch_q7", lambda: q_tpch_q7r(SF_DIR))
+    timed("event_cooccurrence", lambda: q_event_cooccurrence(SF_DIR))
+
     from redactifai_ray.stages.curate import chunk_dedup
 
     timed(
