@@ -247,6 +247,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q.q_latest_event_per_user,
         # round-4: market-basket co-occurrence (self-join, join-free)
         "event_cooccurrence": q.q_event_cooccurrence,
+        # round-4: Q8 market share as an exact int64 numerator/denominator
+        "tpch_q8r": q.q_tpch_q8r,
+        # round-4: cohort retention (ARGMIN fold + _lookup_on_key attach)
+        "cohort_retention": q.q_cohort_retention,
+        # round-4: GROUP BY CUBE from one finest-set pass
+        "cube_orders": q.q_cube_orders,
     }
 
 
@@ -1407,5 +1413,65 @@ def oracle_sql() -> dict[str, str]:
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["tpch_q8r"] = """
+        -- Q8 shape: market share of one supplier nation within one
+        -- region's customer revenue, per ship year, as an exact int64
+        -- numerator/denominator pair. The numerator membership test is
+        -- a semi-join (IN), matching the Ray searchsorted tag — no
+        -- supplier inner join on the denominator.
+        WITH focus AS (
+            SELECT s_suppkey FROM supplier
+            WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                                  WHERE n_name = 'NATION_3')
+        ),
+        ro AS (
+            SELECT o.o_orderkey FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_nationkey IN (
+                SELECT n.n_nationkey FROM nation n
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'ASIA'
+            )
+        )
+        SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               sum(CASE WHEN l.l_suppkey IN (SELECT s_suppkey FROM focus)
+                        THEN CAST(floor(l.l_extendedprice
+                                        * (1 - l.l_discount)
+                                        * 10000 + 0.5) AS BIGINT)
+                        ELSE 0 END)::BIGINT AS nation_rev_c,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000 + 0.5) AS BIGINT))::BIGINT
+                   AS total_rev_c
+        FROM lineitem l
+        JOIN ro ON ro.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["cohort_retention"] = """
+        -- weeks as exact int64 epoch-µs floor-div (no tz/locale traps)
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS week
+            FROM events
+        ),
+        coh AS (
+            SELECT user_id, min(week) AS cohort_week
+            FROM act GROUP BY user_id
+        )
+        SELECT c.cohort_week::BIGINT AS cohort_week,
+               a.week::BIGINT AS active_week,
+               count(*)::BIGINT AS n_users
+        FROM act a JOIN coh c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["cube_orders"] = """
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               count(*)::BIGINT AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY 1, 2
     """
     return sql

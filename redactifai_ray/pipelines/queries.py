@@ -4654,3 +4654,365 @@ def q_event_cooccurrence(sf_dir: str) -> pd.DataFrame:
     )
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q_tpch_q8r(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    region: str = "ASIA",
+    max_broadcast_keys: int = 2_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q8-style market share: of the 1996-1997 revenue that flowed
+    to customers in one region, what fraction was supplied by one
+    nation, per year. The conditional-aggregation join shape — same
+    pipeline as q_tpch_q7r but the supplier lookup tags ONLY membership
+    in the focus nation (numerator) while every supplier contributes to
+    the denominator; output keeps the exact int64 cents pair
+    (nation_rev_c, total_rev_c) instead of a float share, so the oracle
+    hash is exact and the division happens wherever the caller wants.
+
+    Scale notes: the region customer map broadcasts under
+    ``max_broadcast_keys`` (region filter keeps ~1/|regions| of the
+    customer fact) with the ``_lookup_on_key`` join-free fallback above;
+    the supplier focus-nation key set is nation-filtered and broadcast
+    the same way; lineitem pre-aggregates (orderkey, year, rev_c,
+    nation_rev_c) partials in-batch so the orderkey merge moves four
+    int64 columns."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy()
+    region_nk = nat.loc[nat["n_regionkey"].isin(rkeys), "n_nationkey"]
+    focus_nk = nat.loc[nat["n_name"] == nation, "n_nationkey"]
+    empty = pd.DataFrame(
+        {
+            "l_year": pd.Series(dtype="int64"),
+            "nation_rev_c": pd.Series(dtype="int64"),
+            "total_rev_c": pd.Series(dtype="int64"),
+        }
+    )
+    if region_nk.empty or focus_nk.empty:
+        return empty
+    region_set = pa.array(sorted(int(x) for x in region_nk), pa.int64())
+    focus_set = pa.array(sorted(int(x) for x in focus_nk), pa.int64())
+
+    # --- focus-nation supplier key set (numerator tag) ---
+    def supp_slim(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["s_nationkey"].cast(pa.int64()), value_set=focus_set)
+        ).select(["s_suppkey"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_slim, batch_format="pyarrow"
+    )
+    supp_rows = supp.take(max_broadcast_keys + 1)
+    if len(supp_rows) > max_broadcast_keys:
+        raise ValueError(
+            "focus-nation supplier set above max_broadcast_keys: route "
+            "the tag through _lookup_on_key(li, supp, ...) — one nation "
+            "is ~1/|nations| of suppliers, so raise the cap instead"
+        )
+    spk = np.sort(np.array([r["s_suppkey"] for r in supp_rows], dtype=np.int64))
+    sref = ray.put(spk)
+    sstate: dict = {}
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if "s" not in sstate:
+            sstate["s"] = ray.get(sref)
+        kpk = sstate["s"]
+        sd = t["l_shipdate"]
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(sd, pa.scalar(lo)),
+                pc.less(sd, pa.scalar(hi)),
+            )
+        )
+        price = np.asarray(t["l_extendedprice"], np.float64)
+        disc = np.asarray(t["l_discount"], np.float64)
+        rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+        k = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(kpk):
+            pos = np.searchsorted(kpk, k)
+            pos_c = np.minimum(pos, len(kpk) - 1)
+            is_focus = (pos < len(kpk)) & (kpk[pos_c] == k)
+        else:
+            is_focus = np.zeros(len(k), dtype=bool)
+        part = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks().cast(pa.int64()),
+                "l_year": pc.year(t["l_shipdate"]).cast(pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+                "nation_rev_c": pa.array(
+                    np.where(is_focus, rev, 0), pa.int64()
+                ),
+            }
+        )
+        g = part.group_by(["l_orderkey", "l_year"]).aggregate(
+            [("rev_c", "sum"), ("nation_rev_c", "sum")]
+        )
+        return g.rename_columns(
+            ["l_orderkey", "l_year", "rev_c", "nation_rev_c"]
+        )
+
+    li_part = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    # --- region customer filter for orders: capped broadcast / fallback ---
+    def cust_slim(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["c_nationkey"].cast(pa.int64()), value_set=region_set)
+        ).select(["c_custkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_slim, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust_rows = cust.take(max_broadcast_keys + 1)
+    if len(cust_rows) <= max_broadcast_keys:
+        cpk = np.sort(
+            np.array([r["c_custkey"] for r in cust_rows], dtype=np.int64)
+        )
+        cref = ray.put(cpk)
+        cstate: dict = {}
+
+        def ord_keep(t: pa.Table) -> pa.Table:
+            if "c" not in cstate:
+                cstate["c"] = ray.get(cref)
+            kpk = cstate["c"]
+            if len(kpk) == 0 or t.num_rows == 0:
+                return pa.table({"o_orderkey": pa.array([], pa.int64())})
+            k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(kpk, k)
+            pos_c = np.minimum(pos, len(kpk) - 1)
+            ok = (pos < len(kpk)) & (kpk[pos_c] == k)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"]
+                    .combine_chunks()
+                    .cast(pa.int64())
+                    .filter(pa.array(ok)),
+                }
+            )
+
+        ord_part = orders.map_batches(ord_keep, batch_format="pyarrow")
+    else:
+        cust_map = cust.map_batches(
+            lambda t: t.append_column(
+                "one", pa.nulls(t.num_rows, pa.int64()).fill_null(1)
+            ),
+            batch_format="pyarrow",
+        )
+        ord_part = _lookup_on_key(
+            orders, cust_map, "o_custkey", "c_custkey", "one",
+            ["o_orderkey"], {"o_orderkey": pa.int64()},
+        ).map_batches(
+            lambda t: t.select(["o_orderkey"]), batch_format="pyarrow"
+        )
+
+    # --- join-free orderkey semi-merge; per-partition year fold ---
+    def li_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "l_year": t["l_year"],
+                "rev_c": t["rev_c"],
+                "nation_rev_c": t["nation_rev_c"],
+                "is_ord": pa.nulls(t.num_rows, pa.int8()).fill_null(0),
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "l_year": pa.nulls(n, pa.int64()),
+                "rev_c": pa.nulls(n, pa.int64()),
+                "nation_rev_c": pa.nulls(n, pa.int64()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(1),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    stream = (
+        li_part.map_batches(li_rows, batch_format="pyarrow")
+        .union(ord_part.map_batches(ord_rows, batch_format="pyarrow"))
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+    part_cols = ["l_year", "rev_c", "nation_rev_c"]
+    empty_part = pd.DataFrame({c: pd.Series(dtype="int64") for c in part_cols})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns:
+            return empty_part.copy()
+        keys = set(g.loc[g["is_ord"] == 1, "key"])
+        lis = g[g["is_ord"] == 0]
+        lis = lis[lis["key"].isin(keys)]
+        if lis.empty:
+            return empty_part.copy()
+        out = lis.groupby("l_year", as_index=False)[
+            ["rev_c", "nation_rev_c"]
+        ].sum()
+        return out[part_cols].astype("int64")
+
+    partials = stream.groupby("pkey", num_partitions=P).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def fix_schema(df: pd.DataFrame) -> pd.DataFrame:
+        if list(df.columns) != part_cols:
+            return empty_part.copy()
+        return df
+
+    agg = partials.map_batches(fix_schema, batch_format="pandas").to_pandas()
+    if agg.empty:
+        return empty
+    out = agg.groupby("l_year", as_index=False)[["rev_c", "nation_rev_c"]].sum()
+    out = out.rename(
+        columns={"rev_c": "total_rev_c", "nation_rev_c": "nation_rev_c"}
+    )
+    for c in ("l_year", "nation_rev_c", "total_rev_c"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["l_year", "nation_rev_c", "total_rev_c"]]
+        .sort_values("l_year")
+        .reset_index(drop=True)
+    )
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention (the warehouse classic): users grouped by
+    first-activity week, counted per subsequent active week. Two folds
+    and one lookup, never a fact-wide gather:
+
+      1. cohort assignment = per-key ARGMIN via per-batch (user, min
+         week) partials → ONE user-keyed groupby-min (users×blocks slim
+         rows);
+      2. activity = per-batch DISTINCT (user, week) partials → the
+         cohort attaches through the reusable ``_lookup_on_key``
+         (user→cohort is fact-scaled at crawl size — no broadcast);
+      3. final (cohort_week, active_week) groupby is
+         weeks²-bounded.
+
+    Weeks are exact int64 epoch-days / 7 (no timezone/locale traps on
+    either side)."""
+    from ray.data.aggregate import Min
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def week_partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        week = (us // (86_400_000_000 * 7)).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "week": week,
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    activity = ev.map_batches(week_partial, batch_format="pyarrow")
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                    "week": t["week"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("user_id", as_index=False)["week"]
+            .min()
+            .rename(columns={"week": "cohort_week"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cohort = (
+        activity.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("cohort_week", alias_name="cohort_week"))
+    )
+
+    joined = _lookup_on_key(
+        activity, cohort, "user_id", "user_id", "cohort_week",
+        ["week"], {"week": pa.int64()},
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["cohort_week", "week"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    out = (
+        joined.map_batches(fold, batch_format="pandas")
+        .groupby(["cohort_week", "week"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out = out.rename(columns={"week": "active_week"})
+    for c in ("cohort_week", "active_week", "n_users"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["cohort_week", "active_week", "n_users"]]
+        .sort_values(["cohort_week", "active_week"])
+        .reset_index(drop=True)
+    )
+
+
+def q_cube_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(status, priority): all four grouping sets from ONE
+    pass — per-batch partials pre-aggregate the finest set, the three
+    coarser sets fold driver-side from the finest (cardinality
+    statuses×priorities, bounded). NULL grouping columns render as the
+    sentinel '(all)' so the hash compare is null-free."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    fine = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    ALL = "(all)"
+    frames = [
+        fine.rename(
+            columns={"o_orderstatus": "status", "o_orderpriority": "priority"}
+        )
+    ]
+    by_status = fine.groupby("o_orderstatus", as_index=False)["n"].sum()
+    by_status["priority"] = ALL
+    frames.append(by_status.rename(columns={"o_orderstatus": "status"}))
+    by_prio = fine.groupby("o_orderpriority", as_index=False)["n"].sum()
+    by_prio["status"] = ALL
+    frames.append(by_prio.rename(columns={"o_orderpriority": "priority"}))
+    frames.append(
+        pd.DataFrame({"status": [ALL], "priority": [ALL], "n": [fine["n"].sum()]})
+    )
+    out = pd.concat(frames)[["status", "priority", "n"]]
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["status", "priority"]).reset_index(drop=True)

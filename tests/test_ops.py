@@ -2605,3 +2605,109 @@ class TestNtile:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+class TestCubeAndCohort:
+    def test_cube_grouping_sets_reconcile(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_cube_orders
+
+        out = q_cube_orders("/root/testdata/sf0.001")
+        total = out[(out["status"] == "(all)") & (out["priority"] == "(all)")][
+            "n"
+        ].iloc[0]
+        fine = out[(out["status"] != "(all)") & (out["priority"] != "(all)")]
+        by_s = out[(out["status"] != "(all)") & (out["priority"] == "(all)")]
+        by_p = out[(out["status"] == "(all)") & (out["priority"] != "(all)")]
+        assert fine["n"].sum() == total
+        assert by_s["n"].sum() == total
+        assert by_p["n"].sum() == total
+
+    def test_cohort_first_week_dominates(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_cohort_retention
+
+        out = q_cohort_retention("/root/testdata/sf0.001")
+        # a cohort's week-0 cell counts every user of the cohort, so it
+        # is the row-max within the cohort; no active week precedes it
+        for cw, g in out.groupby("cohort_week"):
+            assert (g["active_week"] >= cw).all()
+            week0 = g.loc[g["active_week"] == cw, "n_users"]
+            assert len(week0) == 1
+            assert week0.iloc[0] == g["n_users"].max()
+
+
+class TestQ8Shape:
+    def test_numerator_bounded_by_denominator(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q8r
+
+        out = q_tpch_q8r("/root/testdata/sf0.001")
+        assert (out["nation_rev_c"] <= out["total_rev_c"]).all()
+        assert (out["total_rev_c"] > 0).all()
+        assert set(out["l_year"]) <= {1996, 1997}
+
+
+class TestLookupOnKey:
+    def test_matches_pandas_inner_merge(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from redactifai_ray.pipelines.queries import _lookup_on_key
+
+        rng = np.random.RandomState(7)
+        fact = pd.DataFrame(
+            {
+                "k": rng.randint(0, 40, size=300).astype("int64"),
+                "payload": np.arange(300, dtype="int64"),
+            }
+        )
+        # mapping covers only part of the key space; unmatched facts drop
+        mapping = pd.DataFrame(
+            {
+                "mk": np.arange(0, 30, dtype="int64"),
+                "val": (np.arange(0, 30, dtype="int64") * 11) % 7,
+            }
+        )
+        got = (
+            _lookup_on_key(
+                ray.data.from_pandas(fact).repartition(5),
+                ray.data.from_pandas(mapping).repartition(3),
+                "k",
+                "mk",
+                "val",
+                ["payload"],
+                {"payload": pa.int64()},
+            )
+            .to_pandas()
+            .sort_values(["payload"])
+            .reset_index(drop=True)
+        )
+        want = (
+            fact.merge(mapping, left_on="k", right_on="mk", how="inner")[
+                ["payload", "val"]
+            ]
+            .sort_values(["payload"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["payload", "val"]], want)
+
+    def test_empty_mapping_drops_all(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from redactifai_ray.pipelines.queries import _lookup_on_key
+
+        fact = pd.DataFrame(
+            {"k": np.arange(10, dtype="int64"),
+             "payload": np.arange(10, dtype="int64")}
+        )
+        mapping = pd.DataFrame(
+            {"mk": pd.Series(dtype="int64"), "val": pd.Series(dtype="int64")}
+        )
+        out = _lookup_on_key(
+            ray.data.from_pandas(fact),
+            ray.data.from_pandas(mapping),
+            "k", "mk", "val", ["payload"], {"payload": pa.int64()},
+        ).to_pandas()
+        assert len(out) == 0
+        assert list(out.columns) == ["payload", "val"]
