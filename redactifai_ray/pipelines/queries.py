@@ -4257,11 +4257,27 @@ def _lookup_on_key(
         merge, batch_format="pandas"
     )
 
-    def fix_schema(df: pd.DataFrame) -> pd.DataFrame:
-        if list(df.columns) != out_cols:
-            return empty_pd.copy()
-        return df
+    empty_arrow = pa.table(
+        {
+            **{c: pa.nulls(0, types[c]) for c in keep_cols},
+            map_val: pa.nulls(0, pa.int64()),
+        }
+    )
 
+    def fix_schema(df: pd.DataFrame) -> pa.Table:
+        # emit Arrow: a zero-row pandas block loses its schema through
+        # Ray's pandas block accessor, breaking empty-result to_pandas
+        if list(df.columns) != out_cols:
+            return empty_arrow
+        return pa.Table.from_pandas(df[out_cols], preserve_index=False).cast(
+            empty_arrow.schema
+        )
+
+    # NOTE: a fully-empty result reaches to_pandas() with no column
+    # names — Ray drops schema for zero-row datasets regardless of
+    # block content (even from_arrow(zero-row table) does). Callers
+    # must branch on emptiness before touching columns (q_tpch_q7r/q8r
+    # do); non-empty results are schema-stable via the Arrow cast.
     return out.map_batches(fix_schema, batch_format="pandas")
 
 
@@ -4894,22 +4910,14 @@ def q_tpch_q8r(
 
 def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     """Cohort retention (the warehouse classic): users grouped by
-    first-activity week, counted per subsequent active week. Two folds
-    and one lookup, never a fact-wide gather:
-
-      1. cohort assignment = per-key ARGMIN via per-batch (user, min
-         week) partials → ONE user-keyed groupby-min (users×blocks slim
-         rows);
-      2. activity = per-batch DISTINCT (user, week) partials → the
-         cohort attaches through the reusable ``_lookup_on_key``
-         (user→cohort is fact-scaled at crawl size — no broadcast);
-      3. final (cohort_week, active_week) groupby is
-         weeks²-bounded.
-
-    Weeks are exact int64 epoch-days / 7 (no timezone/locale traps on
-    either side)."""
-    from ray.data.aggregate import Min
-
+    first-activity week, counted per subsequent active week. ONE
+    user-keyed groupby does everything — per-batch DISTINCT (user,
+    week) partials shrink the exchange, then each per-user group (its
+    activity history, bounded) dedups globally, takes cohort = min
+    week, and emits its (cohort_week, active_week) pairs; a per-batch
+    pair fold pre-aggregates before the weeks²-bounded final groupby.
+    Weeks are exact int64 epoch-µs floor-division (no timezone/locale
+    traps on either side)."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
     def week_partial(t: pa.Table) -> pa.Table:
@@ -4923,36 +4931,18 @@ def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
         ).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    activity = ev.map_batches(week_partial, batch_format="pyarrow")
-
-    def min_partial(t: pa.Table) -> pa.Table:
-        df = (
-            pd.DataFrame(
-                {
-                    "user_id": t["user_id"].to_numpy(zero_copy_only=False),
-                    "week": t["week"].to_numpy(zero_copy_only=False),
-                }
-            )
-            .groupby("user_id", as_index=False)["week"]
-            .min()
-            .rename(columns={"week": "cohort_week"})
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        weeks = np.unique(g["week"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "cohort_week": np.full(len(weeks), weeks[0], dtype=np.int64),
+                "active_week": weeks,
+            }
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    cohort = (
-        activity.map_batches(min_partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("cohort_week", alias_name="cohort_week"))
-    )
-
-    joined = _lookup_on_key(
-        activity, cohort, "user_id", "user_id", "cohort_week",
-        ["week"], {"week": pa.int64()},
-    )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         out = (
-            df.groupby(["cohort_week", "week"], as_index=False)
+            df.groupby(["cohort_week", "active_week"], as_index=False)
             .size()
             .rename(columns={"size": "n_users"})
         )
@@ -4960,12 +4950,14 @@ def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
         return out
 
     out = (
-        joined.map_batches(fold, batch_format="pandas")
-        .groupby(["cohort_week", "week"])
+        ev.map_batches(week_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(fold, batch_format="pandas")
+        .groupby(["cohort_week", "active_week"])
         .aggregate(Sum("n_users", alias_name="n_users"))
         .to_pandas()
     )
-    out = out.rename(columns={"week": "active_week"})
     for c in ("cohort_week", "active_week", "n_users"):
         out[c] = out[c].astype(np.int64)
     return (
