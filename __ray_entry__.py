@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q.q_cohort_retention,
         # round-4: GROUP BY CUBE from one finest-set pass
         "cube_orders": q.q_cube_orders,
+        # round-4: overlapping token-window training-chunk plan
+        "chunk_windows": q.q_chunk_windows,
+        # round-4: de-id detector as a curation gate (density bp)
+        "pii_density": q.q_pii_density,
     }
 
 
@@ -1473,5 +1477,58 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY 1, 2
+    """
+    sql["chunk_windows"] = """
+        -- W=128 S=96 overlapping token windows; window count is exact
+        -- int math: 1 + ceil((n-128)/96) for n>128, 1 for 0<n<=128
+        WITH d AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT
+                       AS n_tok
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, n_tok,
+                   CASE WHEN n_tok = 0 THEN 0
+                        WHEN n_tok <= 128 THEN 1
+                        ELSE 1 + (n_tok - 128 + 95) // 96 END AS n_win
+            FROM d
+        )
+        SELECT doc_id,
+               g::BIGINT AS chunk_id,
+               (g * 96)::BIGINT AS tok_start,
+               least(g * 96 + 128, n_tok)::BIGINT AS tok_end
+        FROM (
+            SELECT doc_id, n_tok, unnest(range(0, n_win)) AS g
+            FROM w WHERE n_win > 0
+        )
+        ORDER BY doc_id, chunk_id
+    """
+    sql["pii_density"] = f"""
+        -- raw (pre-merge) case-insensitive matches, same convention as
+        -- regex_counts; density = floor(spans * 10000 / chars)
+        WITH c AS (
+            SELECT doc_id,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   (len(regexp_extract_all(coalesce(text, ''),
+                         '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}\\b',
+                         0, 'i'))
+                    + len(regexp_extract_all(coalesce(text, ''),
+                          '\\(\\d{{3}}\\)\\s*\\d{{3}}-\\d{{4}}', 0, 'i'))
+                    + len(regexp_extract_all(coalesce(text, ''),
+                          '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', 0, 'i'))
+                    + len(regexp_extract_all(coalesce(text, ''),
+                          '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', 0, 'i')))::BIGINT
+                       AS n_spans
+            FROM documents
+        )
+        SELECT doc_id, n_spans, n_chars,
+               (CASE WHEN n_chars > 0
+                     THEN (n_spans * 10000) // n_chars
+                     ELSE 0 END)::BIGINT AS density_bp,
+               (CASE WHEN n_chars > 0
+                     THEN ((n_spans * 10000) // n_chars) <= 100
+                     ELSE TRUE END)::BIGINT AS keep
+        FROM c ORDER BY doc_id
     """
     return sql

@@ -5008,3 +5008,94 @@ def q_cube_orders(sf_dir: str) -> pd.DataFrame:
     out = pd.concat(frames)[["status", "priority", "n"]]
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["status", "priority"]).reset_index(drop=True)
+
+
+def q_chunk_windows(
+    sf_dir: str, window: int = 128, stride: int = 96
+) -> pd.DataFrame:
+    """Training-sample chunk plan: overlapping token windows (W=128,
+    S=96 — GPT-style packing with context overlap) per document, as
+    exact (doc_id, chunk_id, tok_start, tok_end) int rows. The
+    flat-map expansion shape: per-batch vectorized token counts →
+    numpy repeat/arange window emission — rows expand ~n_tok/S× inside
+    the batch, nothing shuffles, and the plan (not the text) is what a
+    downstream tokenizer job consumes. Empty/null docs emit no rows;
+    every non-empty doc gets a final short window covering its tail."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok = re.compile(r"\S+")
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.array(
+            [len(tok.findall(x or "")) for x in t["text"].to_pylist()],
+            dtype=np.int64,
+        )
+        n_win = np.where(
+            n_tok == 0,
+            0,
+            1 + np.maximum(0, (n_tok - window + stride - 1) // stride),
+        )
+        doc_rep = np.repeat(ids, n_win)
+        tot_rep = np.repeat(n_tok, n_win)
+        chunk = np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in n_win]
+        ) if len(n_win) else np.array([], dtype=np.int64)
+        start = chunk * stride
+        end = np.minimum(start + window, tot_rep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_id": pa.array(chunk, pa.int64()),
+                "tok_start": pa.array(start, pa.int64()),
+                "tok_end": pa.array(end, pa.int64()),
+            }
+        )
+
+    out = docs.map_batches(windows, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def q_pii_density(sf_dir: str, max_bp: int = 100) -> pd.DataFrame:
+    """PII density as a curation gate — the de-id detector feeding the
+    training-data filter (the two product surfaces composed): span
+    count per 10k chars (floor basis points) from the warm regex
+    detector restricted to the oracle-replicable categories
+    (Email/PhoneNumber/SSN, case-insensitive), ``keep`` = density ≤
+    ``max_bp``. Pure detector map over pruned columns, zero shuffles;
+    the count convention is raw (pre-merge) matches, same as
+    ``regex_counts``."""
+    from ..stages.detect import DEFAULT_PATTERNS, make_detect_batch
+
+    pats = {
+        k: DEFAULT_PATTERNS[k] for k in ("Email", "PhoneNumber", "SSN")
+    }
+    detect = make_detect_batch(
+        patterns=pats, detect_names=False, text_col="text"
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def density(t: pa.Table) -> pa.Table:
+        t = detect(t)
+        n_spans = pa.array(
+            [len(s) for s in t["spans"].to_pylist()], pa.int64()
+        )
+        n_chars = pa.array(
+            [len(x or "") for x in t["text"].to_pylist()], pa.int64()
+        )
+        ns = n_spans.to_numpy(zero_copy_only=False)
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        bp = np.where(nc > 0, (ns * 10000) // np.maximum(nc, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_spans": n_spans,
+                "n_chars": n_chars,
+                "density_bp": pa.array(bp.astype(np.int64), pa.int64()),
+                "keep": pa.array(
+                    (bp <= max_bp).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = docs.map_batches(density, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
