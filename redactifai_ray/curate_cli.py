@@ -61,6 +61,10 @@ def main(argv=None) -> int:
                          "lines kept), before the quality gate")
     ap.add_argument("--normalize", action="store_true",
                     help="NFC+lower+whitespace-collapse the text column first")
+    ap.add_argument("--max-pii-bp", type=int, default=None, metavar="N",
+                    help="drop docs whose regex-PII density (spans per "
+                         "10k chars, Email/Phone/SSN) exceeds N basis "
+                         "points — gate instead of mask")
     ap.add_argument("--gopher", action="store_true",
                     help="apply the Gopher composite quality gate")
     ap.add_argument("--dedup", default="none",
@@ -157,6 +161,11 @@ def main(argv=None) -> int:
             from .stages.curate import gopher_gate
 
             ds = gopher_gate(ds, text_col=args.text_col)
+        if args.max_pii_bp is not None:
+            from .stages.curate import pii_gate
+
+            ds = pii_gate(ds, max_bp=args.max_pii_bp,
+                          text_col=args.text_col)
         if args.dedup_store and args.dedup != "none":
             print("error: --dedup-store requires --dedup none",
                   file=sys.stderr)

@@ -1584,3 +1584,37 @@ def dedup_lines(
         )
 
     return ds.map_batches(drop_dups, batch_format="pyarrow")
+
+
+def pii_gate(
+    ds,
+    max_bp: int = 100,
+    text_col: str = "text",
+    categories: tuple = ("Email", "PhoneNumber", "SSN"),
+):
+    """PII-density curation gate: drop documents whose regex-detected
+    span count exceeds ``max_bp`` basis points of their length — the
+    de-id detector feeding the training-data filter (many corpora gate
+    out PII-heavy pages instead of masking them). Raw (pre-merge) match
+    counts, floor division, null/empty text passes (density 0). Pure
+    per-worker-cached detector map, zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .detect import DEFAULT_PATTERNS, make_detect_batch
+
+    pats = {k: DEFAULT_PATTERNS[k] for k in categories}
+    detect = make_detect_batch(
+        patterns=pats, detect_names=False, text_col=text_col
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        d = detect(t)
+        ns = np.array([len(s) for s in d["spans"].to_pylist()], dtype=np.int64)
+        nc = np.array(
+            [len(x or "") for x in t[text_col].to_pylist()], dtype=np.int64
+        )
+        bp = np.where(nc > 0, (ns * 10000) // np.maximum(nc, 1), 0)
+        return t.filter(pa.array(bp <= max_bp))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -879,3 +879,51 @@ class TestCurateCliIdempotentRerun:
         # second run into the SAME dir replaces the first attempt's files
         assert results[0] == results[1]
         assert results[1]["rows_out"] == 20
+
+
+class TestPiiGate:
+    def test_drops_dense_keeps_clean(self, ray_session, tmp_path):
+        import io
+        import json as _json
+        from contextlib import redirect_stdout
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.curate_cli import main
+
+        clean = "ordinary prose with many words and no contact details " * 5
+        dense = "reach me at a@b.com or c@d.org or 555-123-4567 now"
+        rows = [
+            {"doc_id": 0, "text": clean},
+            {"doc_id": 1, "text": dense},       # 3 spans / 51 chars ≫ gate
+            {"doc_id": 2, "text": None},        # null passes (density 0)
+            {"doc_id": 3, "text": clean + " x@y.io"},  # 1 span, long → low bp
+        ]
+        src = tmp_path / "docs.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                    "text": pa.array([r["text"] for r in rows], pa.string()),
+                }
+            ),
+            src,
+        )
+        out = str(tmp_path / "out")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(
+                ["--input", str(src), "--output", out, "--max-pii-bp", "100"]
+            )
+        assert rc == 0
+        s = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert s["rows_out"] == 3
+        kept = {
+            r[0]
+            for r in duckdb.sql(
+                f"select doc_id from '{out}/docs/*.parquet'"
+            ).fetchall()
+        }
+        assert kept == {0, 2, 3}
