@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cooccurrence": q.q_event_cooccurrence,
         # round-4: Q8 market share as an exact int64 numerator/denominator
         "tpch_q8r": q.q_tpch_q8r,
+        # round-4: Q8 with caps forced to 0 — semi-join numerator +
+        # _lookup_on_key customer path pinned against the same oracle
+        "tpch_q8r_joinfree": q.q_tpch_q8r_joinfree,
         # round-4: cohort retention (ARGMIN fold + _lookup_on_key attach)
         "cohort_retention": q.q_cohort_retention,
         # round-4: GROUP BY CUBE from one finest-set pass
@@ -257,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": q.q_chunk_windows,
         # round-4: de-id detector as a curation gate (density bp)
         "pii_density": q.q_pii_density,
+        # round-4: ordered funnel conversion (ARGMIN chain per user)
+        "funnel_conversion": q.q_funnel_conversion,
     }
 
 
@@ -1453,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
           AND l.l_shipdate <  TIMESTAMP '1998-01-01'
         GROUP BY 1 ORDER BY 1
     """
+    sql["tpch_q8r_joinfree"] = sql["tpch_q8r"]
     sql["cohort_retention"] = """
         -- weeks as exact int64 epoch-µs floor-div (no tz/locale traps)
         WITH act AS (
@@ -1503,6 +1509,34 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE n_win > 0
         )
         ORDER BY doc_id, chunk_id
+    """
+    sql["funnel_conversion"] = """
+        -- strict-order funnel: first view < first click < first purchase
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN epoch_us(ts) END) AS t_view,
+                   min(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS t_purchase
+            FROM events GROUP BY user_id
+        ),
+        depth AS (
+            SELECT CASE WHEN t_view IS NULL THEN 0
+                        WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                        WHEN t_purchase IS NULL OR t_purchase <= t_click
+                            THEN 2
+                        ELSE 3 END AS d
+            FROM firsts
+        )
+        SELECT 'view' AS step, count(*) FILTER (d >= 1)::BIGINT AS n_users
+        FROM depth
+        UNION ALL
+        SELECT 'click', count(*) FILTER (d >= 2)::BIGINT FROM depth
+        UNION ALL
+        SELECT 'purchase', count(*) FILTER (d >= 3)::BIGINT FROM depth
+        ORDER BY step
     """
     sql["pii_density"] = f"""
         -- raw (pre-merge) case-insensitive matches, same convention as

@@ -4724,23 +4724,9 @@ def q_tpch_q8r(
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
         supp_slim, batch_format="pyarrow"
     )
-    supp_rows = supp.take(max_broadcast_keys + 1)
-    if len(supp_rows) > max_broadcast_keys:
-        raise ValueError(
-            "focus-nation supplier set above max_broadcast_keys: route "
-            "the tag through _lookup_on_key(li, supp, ...) — one nation "
-            "is ~1/|nations| of suppliers, so raise the cap instead"
-        )
-    spk = np.sort(np.array([r["s_suppkey"] for r in supp_rows], dtype=np.int64))
-    sref = ray.put(spk)
-    sstate: dict = {}
-
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
 
-    def li_partial(t: pa.Table) -> pa.Table:
-        if "s" not in sstate:
-            sstate["s"] = ray.get(sref)
-        kpk = sstate["s"]
+    def li_slim_base(t: pa.Table) -> pa.Table:
         sd = t["l_shipdate"]
         t = t.filter(
             pc.and_(
@@ -4751,36 +4737,96 @@ def q_tpch_q8r(
         price = np.asarray(t["l_extendedprice"], np.float64)
         disc = np.asarray(t["l_discount"], np.float64)
         rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
-        k = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(kpk):
-            pos = np.searchsorted(kpk, k)
-            pos_c = np.minimum(pos, len(kpk) - 1)
-            is_focus = (pos < len(kpk)) & (kpk[pos_c] == k)
-        else:
-            is_focus = np.zeros(len(k), dtype=bool)
-        part = pa.table(
+        return pa.table(
             {
                 "l_orderkey": t["l_orderkey"].combine_chunks().cast(pa.int64()),
+                "l_suppkey": t["l_suppkey"].combine_chunks().cast(pa.int64()),
                 "l_year": pc.year(t["l_shipdate"]).cast(pa.int64()),
                 "rev_c": pa.array(rev, pa.int64()),
-                "nation_rev_c": pa.array(
-                    np.where(is_focus, rev, 0), pa.int64()
-                ),
             }
         )
-        g = part.group_by(["l_orderkey", "l_year"]).aggregate(
+
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]
+
+    def _fold_q8(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_year"]).aggregate(
             [("rev_c", "sum"), ("nation_rev_c", "sum")]
         )
         return g.rename_columns(
             ["l_orderkey", "l_year", "rev_c", "nation_rev_c"]
         )
 
-    li_part = _read(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-         "l_shipdate"],
-    ).map_batches(li_partial, batch_format="pyarrow")
+    supp_rows = supp.take(max_broadcast_keys + 1)
+    if len(supp_rows) <= max_broadcast_keys:
+        spk = np.sort(
+            np.array([r["s_suppkey"] for r in supp_rows], dtype=np.int64)
+        )
+        sref = ray.put(spk)
+        sstate: dict = {}
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            if "s" not in sstate:
+                sstate["s"] = ray.get(sref)
+            kpk = sstate["s"]
+            t = li_slim_base(t)
+            k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            if len(kpk):
+                pos = np.searchsorted(kpk, k)
+                pos_c = np.minimum(pos, len(kpk) - 1)
+                is_focus = (pos < len(kpk)) & (kpk[pos_c] == k)
+            else:
+                is_focus = np.zeros(len(k), dtype=bool)
+            rev = t["rev_c"].to_numpy(zero_copy_only=False)
+            t = t.append_column(
+                "nation_rev_c",
+                pa.array(np.where(is_focus, rev, 0), pa.int64()),
+            )
+            return _fold_q8(t.drop_columns(["l_suppkey"]))
+
+        li_part = _read(sf_dir, "lineitem", li_cols).map_batches(
+            li_partial, batch_format="pyarrow"
+        )
+    else:
+        # above-cap: numerator via the distributed semi-join against the
+        # focus supplier key set; the full stream carries the denominator
+        # with nation_rev_c = 0 and the semi-join survivors re-enter with
+        # rev_c = 0 / nation_rev_c = rev — the union sums to the same
+        # (total, nation) pair with no broadcast at any cardinality
+        li_base = _read(sf_dir, "lineitem", li_cols).map_batches(
+            li_slim_base, batch_format="pyarrow"
+        )
+
+        def as_denominator(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "nation_rev_c", pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+            )
+            return _fold_q8(t.drop_columns(["l_suppkey"]))
+
+        def as_numerator(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            t = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_year": t["l_year"],
+                    "rev_c": pa.nulls(n, pa.int64()).fill_null(0),
+                    "nation_rev_c": t["rev_c"],
+                }
+            )
+            return _fold_q8(t)
+
+        focus_li = _semijoin_on_key(
+            li_base, supp, "l_suppkey", "s_suppkey",
+            ["l_orderkey", "l_year", "rev_c"],
+            types={
+                "l_orderkey": pa.int64(),
+                "l_year": pa.int64(),
+                "rev_c": pa.int64(),
+            },
+        )
+        li_part = li_base.map_batches(
+            as_denominator, batch_format="pyarrow"
+        ).union(focus_li.map_batches(as_numerator, batch_format="pyarrow"))
 
     # --- region customer filter for orders: capped broadcast / fallback ---
     def cust_slim(t: pa.Table) -> pa.Table:
@@ -4906,6 +4952,13 @@ def q_tpch_q8r(
         .sort_values("l_year")
         .reset_index(drop=True)
     )
+
+
+def q_tpch_q8r_joinfree(sf_dir: str) -> pd.DataFrame:
+    """q_tpch_q8r with the broadcast caps forced to zero — the supplier
+    numerator routes through the distributed semi-join and the customer
+    filter through ``_lookup_on_key`` (oracled equal)."""
+    return q_tpch_q8r(sf_dir, max_broadcast_keys=0)
 
 
 def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
@@ -5099,3 +5152,67 @@ def q_pii_density(sf_dir: str, max_bp: int = 100) -> pd.DataFrame:
 
     out = docs.map_batches(density, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel conversion (view → click → purchase): how many
+    users completed each prefix of the funnel in strict timestamp
+    order (first view strictly before first click strictly before
+    first purchase — the product-analytics staple). Per-batch (user,
+    step, min_ts) partials pre-fold before ONE user-keyed groupby-min;
+    each user's 3-row group evaluates the chain; the result is a
+    3-row step table of exact counts."""
+    steps = ["view", "click", "purchase"]
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    step_set = pa.array(steps, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=step_set))
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pylist(),
+                "ts_us": t["ts"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        out = df.groupby(["user_id", "event_type"], as_index=False)[
+            "ts_us"
+        ].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        firsts = dict(zip(g["event_type"], g["ts_us"]))
+        depth = 0
+        prev = -1
+        for s in steps:
+            ts = firsts.get(s)
+            if ts is None or ts <= prev:
+                break
+            depth += 1
+            prev = ts
+        reached = np.zeros(len(steps), dtype=np.int64)
+        reached[:depth] = 1
+        return pd.DataFrame(
+            {"step": steps, "n_users": reached}
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("step", as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("ts_us", alias_name="ts_us"))
+        .groupby("user_id")
+        .map_groups(chain, batch_format="pandas")
+        .map_batches(fold, batch_format="pandas")
+        .groupby("step")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("step").reset_index(drop=True)
