@@ -4032,25 +4032,10 @@ def q_nb_lang_classifier(sf_dir: str) -> pd.DataFrame:
 
     labeled = docs.map_batches(with_label, batch_format="pyarrow")
     model = train_nb(labeled, label_col="y", n_features=1 << 14)
-    scored = nb_score(labeled, model).to_pandas()
-    truth = (
-        docs.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "y": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-    )
-    out = scored.merge(truth, on="doc_id")
-    out["pred"] = out["pred"].astype(np.int64)
-    out["y"] = out["y"].astype(np.int64)
-    return (
-        out[["doc_id", "pred", "y"]]
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+    # the label rides through scoring (keep_cols) — no driver-side join
+    # of two fact-sized frames; the result stays a lazy Dataset
+    return nb_score(labeled, model, keep_cols=("y",)).map_batches(
+        lambda t: t.select(["doc_id", "pred", "y"]), batch_format="pyarrow"
     )
 
 
@@ -4062,8 +4047,8 @@ def q_compress_ratio(sf_dir: str) -> pd.DataFrame:
     from ..stages.analyze import compression_ratio
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = compression_ratio(docs).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # fact-sized result: return the lazy Dataset (never gathered here)
+    return compression_ratio(docs)
 
 
 def q_source_setops(sf_dir: str, src_a: str = "src0", src_b: str = "src1") -> pd.DataFrame:
@@ -4179,13 +4164,10 @@ def q_ntile_chars(sf_dir: str, k: int = 4) -> pd.DataFrame:
             {"doc_id": g["doc_id"], "lang": g["lang"], "tile": tile}
         )
 
-    out = (
-        docs.groupby(["lang", "n_chars"])
-        .map_groups(tile_bucket, batch_format="pandas")
-        .to_pandas()
+    # fact-sized result: return the lazy Dataset (never gathered here)
+    return docs.groupby(["lang", "n_chars"]).map_groups(
+        tile_bucket, batch_format="pandas"
     )
-    out["tile"] = out["tile"].astype(np.int64)
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _lookup_on_key(
@@ -4574,14 +4556,8 @@ def q_user_event_path(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ev.groupby("user_id")
-        .map_groups(path, batch_format="pandas")
-        .to_pandas()
-    )
-    out["user_id"] = out["user_id"].astype(np.int64)
-    out["n_events"] = out["n_events"].astype(np.int64)
-    return out.sort_values("user_id").reset_index(drop=True)
+    # user-cardinality result: return the lazy Dataset
+    return ev.groupby("user_id").map_groups(path, batch_format="pandas")
 
 
 def q_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
@@ -4615,18 +4591,11 @@ def q_latest_event_per_user(sf_dir: str) -> pd.DataFrame:
         keep = g.sort_values(["ts_us", "event_id"]).tail(1)
         return keep[["user_id", "event_id", "event_type", "ts_us"]]
 
-    out = (
+    # user-cardinality result: return the lazy Dataset
+    return (
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(final, batch_format="pandas")
-        .to_pandas()
-    )
-    for c in ("user_id", "event_id", "ts_us"):
-        out[c] = out[c].astype(np.int64)
-    return (
-        out[["user_id", "event_id", "event_type", "ts_us"]]
-        .sort_values("user_id")
-        .reset_index(drop=True)
     )
 
 
@@ -5104,8 +5073,9 @@ def q_chunk_windows(
             }
         )
 
-    out = docs.map_batches(windows, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    # super-fact-sized plan: return the lazy Dataset (a tokenizer job
+    # consumes it; gathering it on the driver would be the anti-pattern)
+    return docs.map_batches(windows, batch_format="pyarrow")
 
 
 def q_pii_density(sf_dir: str, max_bp: int = 100) -> pd.DataFrame:
@@ -5150,8 +5120,8 @@ def q_pii_density(sf_dir: str, max_bp: int = 100) -> pd.DataFrame:
             }
         )
 
-    out = docs.map_batches(density, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # fact-sized result: return the lazy Dataset (never gathered here)
+    return docs.map_batches(density, batch_format="pyarrow")
 
 
 def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:

@@ -129,11 +129,14 @@ def nb_score(
     model: dict,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Score every document with a trained NB model: ``log_odds`` =
     log P(pos|doc) − log P(neg|doc), ``pred`` = 1 iff log_odds > 0.
     The model broadcasts once; scoring is a per-batch gather-sum over
-    the hashed token ids — no shuffle, no state beyond the broadcast."""
+    the hashed token ids — no shuffle, no state beyond the broadcast.
+    ``keep_cols`` ride through from the input batch (e.g. a label for
+    in-pipeline evaluation — no driver-side join needed)."""
     ref = ray.put(
         {
             "lp": model["log_prior"],
@@ -154,14 +157,13 @@ def nb_score(
         for i, t in enumerate(batch[text_col].to_pylist()):
             ids = _hash_tokens(t, m["nf"], memo)
             odds[i] = base + (diff[ids].sum() if ids.size else 0.0)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "log_odds": pa.array(odds, pa.float64()),
-                "pred": pa.array(
-                    (odds > 0).astype(np.int64), pa.int64()
-                ),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "log_odds": pa.array(odds, pa.float64()),
+            "pred": pa.array((odds > 0).astype(np.int64), pa.int64()),
+        }
+        for c in keep_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")

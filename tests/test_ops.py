@@ -2592,7 +2592,13 @@ class TestNtile:
             }
         )
         df.to_parquet(tmp_path / "documents.parquet")
-        got = q_ntile_chars(str(tmp_path))
+        got = (
+            q_ntile_chars(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got["tile"] = got["tile"].astype("int64")
         want = duckdb.sql(
             f"""
             SELECT doc_id, lang,
