@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_density": q.q_pii_density,
         # round-4: ordered funnel conversion (ARGMIN chain per user)
         "funnel_conversion": q.q_funnel_conversion,
+        # round-4: grouped heavy hitters (exact top-k per key with a
+        # provably lossless per-block cut after the global fold)
+        "top_tokens_per_lang": q.q_top_tokens_per_lang,
     }
 
 
@@ -1509,6 +1512,21 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE n_win > 0
         )
         ORDER BY doc_id, chunk_id
+    """
+    sql["top_tokens_per_lang"] = """
+        WITH tok AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+            FROM documents
+        )
+        SELECT lang, token, n FROM (
+            SELECT lang, token, count(*)::BIGINT AS n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, token ASC)
+                       AS rn
+            FROM tok GROUP BY lang, token
+        ) WHERE rn <= 5
+        ORDER BY lang, n DESC, token
     """
     sql["funnel_conversion"] = """
         -- strict-order funnel: first view < first click < first purchase

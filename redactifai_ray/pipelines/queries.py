@@ -5186,3 +5186,66 @@ def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
     )
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("step").reset_index(drop=True)
+
+
+def q_top_tokens_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Grouped heavy hitters: exact top-k tokens per language (count
+    desc, token asc tie-break) — the per-key sibling of the global
+    ``top_tokens``. Per-batch (lang, token) count partials fold before
+    ONE keyed groupby (cardinality = langs × vocab, bounded); per-batch
+    local top-k over the folded counts caps what the driver sees at
+    k × langs × blocks slim rows, then a final exact re-rank. Above the
+    vocab-exchange regime the named alternative is the per-key
+    Misra-Gries sketch (``mg_top_tokens`` per lang)."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    word = re.compile(r"\S+")  # the top_tokens tokenization convention
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, txt in zip(df["lang"], df["text"]):
+            for t in word.findall((txt or "").lower()):
+                rows.append((lang, t))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series(dtype="object"),
+                    "token": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        out = (
+            pd.DataFrame(rows, columns=["lang", "token"])
+            .groupby(["lang", "token"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # tie-safe local cut: keep every token tying the k-th count so
+        # the global re-rank can never lose a true top-k member
+        keep = []
+        for lang, g in df.groupby("lang"):
+            g = g.sort_values(["n", "token"], ascending=[False, True])
+            if len(g) > k:
+                kth = g["n"].iloc[k - 1]
+                g = g[g["n"] >= kth]
+            keep.append(g)
+        return pd.concat(keep) if keep else df
+
+    folded = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = []
+    for lang, g in folded.groupby("lang"):
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        out.append(g)
+    res = pd.concat(out)[["lang", "token", "n"]]
+    res["n"] = res["n"].astype(np.int64)
+    return res.sort_values(["lang", "n", "token"],
+                           ascending=[True, False, True]).reset_index(drop=True)
