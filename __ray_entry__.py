@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: grouped heavy hitters (exact top-k per key with a
         # provably lossless per-block cut after the global fold)
         "top_tokens_per_lang": q.q_top_tokens_per_lang,
+        # round-4: grouped MG sketch (rows-only: approximate by design;
+        # per-key bound + wide-regime≡exact test-pinned)
+        "top_tokens_per_lang_sketch": q.q_top_tokens_per_lang_sketch,
     }
 
 

@@ -720,3 +720,75 @@ def cms_token_counts(
             "est_count": ests.astype(np.int64),
         }
     )
+
+
+def mg_top_tokens_by(
+    ds, key_col: str, col: str, k: int = 10, capacity: int = 200
+):
+    """Grouped Misra-Gries heavy hitters: per-key approximate token
+    top-k — the scale path named by ``q_top_tokens_per_lang`` for when
+    (keys × vocabulary) is too large to shuffle exactly. Same
+    sketch-through-shuffle contract as ``hll_distinct_by`` /
+    ``kll_quantiles_by``: each block folds ONE capacity-bounded summary
+    per key it sees and emits ≤ keys×capacity slim (key, token, n)
+    rows; one keyed groupby sums residuals (pointwise add, deferred
+    compress — merged error ≤ N_key/(capacity+1) summed per block); the
+    driver compresses per-key survivors. Returns (key, token, est) of
+    each key's top-k stored estimates, (est desc, token asc) order."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        per_key: dict = defaultdict(Counter)
+        keys = batch[key_col].to_pylist()
+        texts = batch[col].to_pylist()
+        for ky, t in zip(keys, texts):
+            per_key[ky].update((t or "").lower().split())
+        out_k, out_t, out_n = [], [], []
+        for ky, c in per_key.items():
+            mg = MisraGries(capacity).add_counts(c)
+            for tok, n in mg.counts.items():
+                out_k.append(ky)
+                out_t.append(tok)
+                out_n.append(n)
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.string()),
+                "token": pa.array(out_t, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(block_summary, batch_format="pyarrow")
+        .groupby([key_col, "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    per_key: dict = defaultdict(dict)
+    for r in rows:
+        per_key[r[key_col]][r["token"]] = r["n"]
+    frames = []
+    for ky in sorted(per_key):
+        final = MisraGries(capacity).add_counts(per_key[ky])
+        top = sorted(final.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        frames.append(
+            pd.DataFrame(
+                {
+                    key_col: [ky] * len(top),
+                    "token": [t for t, _ in top],
+                    "est": [int(n) for _, n in top],
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {key_col: pd.Series(dtype="object"),
+             "token": pd.Series(dtype="object"),
+             "est": pd.Series(dtype="int64")}
+        )
+    return pd.concat(frames).reset_index(drop=True)

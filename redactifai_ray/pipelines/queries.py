@@ -5249,3 +5249,14 @@ def q_top_tokens_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
     res["n"] = res["n"].astype(np.int64)
     return res.sort_values(["lang", "n", "token"],
                            ascending=[True, False, True]).reset_index(drop=True)
+
+
+def q_top_tokens_per_lang_sketch(sf_dir: str) -> pd.DataFrame:
+    """Grouped Misra-Gries heavy hitters (rows-only: approximate by
+    design; per-key hitter-presence + error bound and wide-regime
+    equality with the exact fold are test-pinned). The scale path when
+    keys × vocabulary cannot shuffle exactly."""
+    from ..functions.sketch import mg_top_tokens_by
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    return mg_top_tokens_by(docs, "lang", "text", k=5, capacity=200)

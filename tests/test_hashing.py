@@ -615,3 +615,53 @@ class TestCountMin:
         # 5 distinct values vs width 2048: no colliding pair survives
         # the depth-5 min ⇒ estimates are exactly the counts
         assert got == {k: int(v) for k, v in exact.items()}
+
+
+class TestGroupedMisraGries:
+    def test_wide_regime_matches_exact(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.sketch import mg_top_tokens_by
+
+        rows = []
+        for i in range(60):
+            lang = ("en", "fr")[i % 2]
+            # per-lang skewed vocab, well under capacity → exact counts
+            toks = ["hot"] * 5 + [f"w{i % 7}"] * 2 + [f"rare{i}"]
+            rows.append({"lang": lang, "text": " ".join(toks)})
+        out = mg_top_tokens_by(
+            ray.data.from_items(rows).repartition(4),
+            "lang", "text", k=3, capacity=10_000,
+        )
+        for lang in ("en", "fr"):
+            g = out[out["lang"] == lang]
+            assert g.iloc[0]["token"] == "hot"
+            assert g.iloc[0]["est"] == 150  # 30 docs × 5
+        # deterministic under repartition
+        out2 = mg_top_tokens_by(
+            ray.data.from_items(rows).repartition(7),
+            "lang", "text", k=3, capacity=10_000,
+        )
+        assert out.equals(out2)
+
+    def test_per_key_hitter_presence_under_pressure(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.sketch import mg_top_tokens_by
+
+        rows = []
+        for i in range(40):
+            # one dominant hitter per key + long noise tail
+            noise = " ".join(f"n{i}_{j}" for j in range(30))
+            rows.append({"lang": "en", "text": ("alpha " * 40) + noise})
+            rows.append({"lang": "fr", "text": ("beta " * 40) + noise})
+        out = mg_top_tokens_by(
+            ray.data.from_items(rows).repartition(5),
+            "lang", "text", k=1, capacity=50,
+        )
+        assert (
+            out.loc[out["lang"] == "en", "token"].iloc[0] == "alpha"
+        )
+        assert out.loc[out["lang"] == "fr", "token"].iloc[0] == "beta"
+        # MG stored estimate never exceeds the true count
+        assert out.loc[out["lang"] == "en", "est"].iloc[0] <= 40 * 40
