@@ -2718,3 +2718,49 @@ class TestLookupOnKey:
         assert len(out) == 0
         # Ray drops column names for ANY zero-row dataset at to_pandas
         # (documented in the helper) — callers branch on emptiness first
+
+
+class TestFunnelBruteForce:
+    def test_matches_pandas_reference(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from redactifai_ray.pipelines.queries import q_funnel_conversion
+
+        rng = np.random.RandomState(11)
+        n = 600
+        types = np.array(["view", "click", "purchase", "error", "signup"])
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "user_id": rng.randint(0, 40, n).astype("int64"),
+                "event_type": types[rng.randint(0, 5, n)],
+                "ts": pd.to_datetime("2025-01-01")
+                + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+                "value": np.zeros(n),
+                "props": [""] * n,
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            tmp_path / "events.parquet",
+        )
+        got = q_funnel_conversion(str(tmp_path)).set_index("step")["n_users"]
+
+        # brute force: strict-order chain over first timestamps
+        us = df.pivot_table(
+            index="user_id", columns="event_type", values="ts", aggfunc="min"
+        )
+        def depth(row):
+            d, prev = 0, pd.Timestamp.min
+            for s in ("view", "click", "purchase"):
+                t = row.get(s, pd.NaT)
+                if pd.isna(t) or t <= prev:
+                    break
+                d, prev = d + 1, t
+            return d
+        ds_ = us.apply(depth, axis=1)
+        assert got["view"] == int((ds_ >= 1).sum())
+        assert got["click"] == int((ds_ >= 2).sum())
+        assert got["purchase"] == int((ds_ >= 3).sum())
