@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: grouped MG sketch (rows-only: approximate by design;
         # per-key bound + wide-regime≡exact test-pinned)
         "top_tokens_per_lang_sketch": q.q_top_tokens_per_lang_sketch,
+        # round-4: sentence segmentation (row-expanding flat map)
+        "sentences": q.q_sentences,
     }
 
 
@@ -1515,6 +1517,23 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE n_win > 0
         )
         ORDER BY doc_id, chunk_id
+    """
+    sql["sentences"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   string_split_regex(coalesce(text, ''),
+                                      '[.!?]+\\s+') AS parts
+            FROM documents
+        )
+        SELECT doc_id,
+               sent_idx::BIGINT AS sent_idx,
+               length(parts[sent_idx + 1])::BIGINT AS sent_chars
+        FROM (
+            SELECT doc_id, parts,
+                   unnest(range(0, len(parts))) AS sent_idx
+            FROM p
+        )
+        ORDER BY doc_id, sent_idx
     """
     sql["top_tokens_per_lang"] = """
         WITH tok AS (

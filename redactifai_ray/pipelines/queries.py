@@ -5260,3 +5260,36 @@ def q_top_tokens_per_lang_sketch(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["lang", "text"])
     return mg_top_tokens_by(docs, "lang", "text", k=5, capacity=200)
+
+
+def q_sentences(sf_dir: str) -> ray.data.Dataset:
+    """Sentence segmentation as a row-expanding flat map: one row per
+    sentence piece (split on ``[.!?]+\\s+``, the symmetric convention
+    DuckDB's regexp split shares — no lookbehind, so both engines cut
+    identically) with its index and length. Pure in-batch expansion
+    (numpy repeat + concatenated offsets), zero shuffles; returns the
+    lazy Dataset — sentence tables are bigger than their corpus and
+    never belong on the driver."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    splitter = re.compile(r"[.!?]+\s+")
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = [splitter.split(x or "") for x in t["text"].to_pylist()]
+        counts = np.array([len(p) for p in parts], dtype=np.int64)
+        doc_rep = np.repeat(ids, counts)
+        idx = np.concatenate(
+            [np.arange(k, dtype=np.int64) for k in counts]
+        ) if len(counts) else np.array([], dtype=np.int64)
+        lens = np.array(
+            [len(s) for p in parts for s in p], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "sent_idx": pa.array(idx, pa.int64()),
+                "sent_chars": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(expand, batch_format="pyarrow")
