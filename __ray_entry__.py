@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang_sketch": q.q_top_tokens_per_lang_sketch,
         # round-4: sentence segmentation (row-expanding flat map)
         "sentences": q.q_sentences,
+        # round-4: HLL set algebra (rows-only: approximate by design;
+        # tolerance vs exact + merge invariance test-pinned)
+        "hll_user_overlap": q.q_hll_user_overlap,
     }
 
 

@@ -792,3 +792,60 @@ def mg_top_tokens_by(
              "est": pd.Series(dtype="int64")}
         )
     return pd.concat(frames).reset_index(drop=True)
+
+
+def hll_set_algebra(
+    ds, key_col: str, col: str, key_a, key_b, p: int = 12
+):
+    """HLL set algebra between two key slices: estimated |A|, |B|,
+    |A∪B| (register max-merge — exact HLL union) and |A∩B| by
+    inclusion–exclusion — the distinct-overlap question ("how many
+    users did BOTH event types") whose exact answer needs a
+    per-(value) shuffle. One fold: each block emits ≤2 register rows
+    (side-tagged); the driver max-merges 2×blocks rows of 2^p bytes.
+    Intersection inherits both sketches' error (inclusion–exclusion
+    amplifies relative error when the overlap is small) — the
+    documented contract; tests pin a tolerance vs exact."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def sketch_block(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, col]).to_pandas()
+        out_side, out_reg = [], []
+        for side, key in (("a", key_a), ("b", key_b)):
+            vals = df.loc[df[key_col] == key, col].dropna().tolist()
+            if vals:
+                h = HyperLogLog(p)
+                h.update(vals)
+                out_side.append(side)
+                out_reg.append(h.to_bytes())
+        return pa.table(
+            {
+                "side": pa.array(out_side, pa.string()),
+                "registers": pa.array(out_reg, pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(sketch_block, batch_format="pyarrow").take_all()
+    sketches = {
+        "a": HyperLogLog(p),
+        "b": HyperLogLog(p),
+        "u": HyperLogLog(p),
+    }
+    for r in rows:
+        other = HyperLogLog(
+            p, registers=np.frombuffer(r["registers"], dtype=np.uint8)
+        )
+        sketches[r["side"]] = sketches[r["side"]].merge(other)
+        sketches["u"] = sketches["u"].merge(other)
+    n_a = float(sketches["a"].count())
+    n_b = float(sketches["b"].count())
+    n_union = float(sketches["u"].count())
+    return pd.DataFrame(
+        {
+            "n_a": [n_a],
+            "n_b": [n_b],
+            "n_union": [n_union],
+            "n_intersection": [max(0.0, n_a + n_b - n_union)],
+        }
+    )

@@ -5293,3 +5293,15 @@ def q_sentences(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(expand, batch_format="pyarrow")
+
+
+def q_hll_user_overlap(sf_dir: str) -> pd.DataFrame:
+    """Estimated distinct-user overlap between 'view' and 'click'
+    events via HLL inclusion–exclusion (rows-only: approximate by
+    design; tolerance vs exact and merge-order invariance are
+    test-pinned). The scale path for distinct-overlap questions whose
+    exact form needs a per-user shuffle."""
+    from ..functions.sketch import hll_set_algebra
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_set_algebra(ev, "event_type", "user_id", "view", "click")

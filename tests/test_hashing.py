@@ -665,3 +665,29 @@ class TestGroupedMisraGries:
         assert out.loc[out["lang"] == "fr", "token"].iloc[0] == "beta"
         # MG stored estimate never exceeds the true count
         assert out.loc[out["lang"] == "en", "est"].iloc[0] <= 40 * 40
+
+
+class TestHllSetAlgebra:
+    def test_tolerance_vs_exact_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.functions.sketch import hll_set_algebra
+
+        rows = []
+        # A = users 0..799, B = users 400..1099 → overlap 400
+        for u in range(800):
+            rows.append({"k": "a", "v": u})
+        for u in range(400, 1100):
+            rows.append({"k": "b", "v": u})
+        out = hll_set_algebra(
+            ray.data.from_items(rows).repartition(6), "k", "v", "a", "b"
+        )
+        assert abs(out["n_a"][0] - 800) / 800 < 0.05
+        assert abs(out["n_b"][0] - 700) / 700 < 0.05
+        assert abs(out["n_union"][0] - 1100) / 1100 < 0.05
+        # intersection inherits both errors — wider band
+        assert abs(out["n_intersection"][0] - 400) / 400 < 0.15
+        out2 = hll_set_algebra(
+            ray.data.from_items(rows).repartition(13), "k", "v", "a", "b"
+        )
+        assert out.equals(out2)  # register max-merge is order-invariant
