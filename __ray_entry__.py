@@ -273,6 +273,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: HLL set algebra (rows-only: approximate by design;
         # tolerance vs exact + merge invariance test-pinned)
         "hll_user_overlap": q.q_hll_user_overlap,
+        # round-4: Q19 disjunctive OR-of-ANDs predicate join (zero-shuffle
+        # broadcast-mask fast path, _lookup_on_key fallback)
+        "tpch_q19r": q.q_tpch_q19r,
+        # round-4: Q21 sole-late-supplier EXISTS/NOT-EXISTS pair through
+        # ONE orderkey hash-partition merge
+        "tpch_q21r": q.q_tpch_q21r,
+        # round-4: Q16 COUNT DISTINCT suppliers per part-attr combo via a
+        # packed-pair dedup shuffle (no per-group set on the driver)
+        "tpch_q16r": q.q_tpch_q16r,
+        # round-4: Q9 profit rollup — part filter + supplier→nation
+        # broadcast, order-year attach through one orderkey merge
+        "tpch_q9r": q.q_tpch_q9r,
     }
 
 
@@ -1607,5 +1619,78 @@ def oracle_sql() -> dict[str, str]:
                      THEN ((n_spans * 10000) // n_chars) <= 100
                      ELSE TRUE END)::BIGINT AS keep
         FROM c ORDER BY doc_id
+    """
+    sql["tpch_q19r"] = """
+        -- Q19 adapted: brand+size stand in for brand+container (the
+        -- testdata part has no container / lineitem no shipmode);
+        -- per-row revenue fixes to int64 1/10000-dollar before the sum
+        SELECT coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT)),
+                        0)::BIGINT AS revenue_c
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+    sql["tpch_q21r"] = """
+        -- Q21 adapted: "late" = shipped > 90 days after order date (no
+        -- commitdate/receiptdate in the testdata); the EXISTS /
+        -- NOT-EXISTS pair folds to per-order distinct-supplier counts
+        WITH f AS (
+            SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderstatus = 'F'
+        ),
+        j AS (
+            SELECT l_orderkey AS k, l_suppkey AS s,
+                   (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+            FROM lineitem JOIN f ON l_orderkey = o_orderkey
+        ),
+        per AS (
+            SELECT k,
+                   count(DISTINCT s) AS ns,
+                   count(DISTINCT CASE WHEN late THEN s END) AS nl,
+                   max(CASE WHEN late THEN s END) AS sole
+            FROM j GROUP BY k
+        )
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM per JOIN supplier ON s_suppkey = sole
+        WHERE ns >= 2 AND nl = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """
+    sql["tpch_q16r"] = """
+        -- Q16 adapted: the (partkey, suppkey) relationship is evidenced
+        -- from lineitem (no partsupp) and negative acctbal stands in
+        -- for complaint suppliers (no s_comment)
+        SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#12'
+          AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+    sql["tpch_q9r"] = """
+        -- Q9 adapted: profit = discounted revenue (no partsupp
+        -- supplycost in the testdata); part filter is substring 'red'
+        SELECT n_name AS nation,
+               year(o_orderdate)::BIGINT AS o_year,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 10000 + 0.5) AS BIGINT))::BIGINT
+                   AS profit_c
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE contains(p_name, 'red')
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
     """
     return sql

@@ -5305,3 +5305,688 @@ def q_hll_user_overlap(sf_dir: str) -> pd.DataFrame:
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
     return hll_set_algebra(ev, "event_type", "user_id", "view", "click")
+
+
+# ------------------------------------------------- round-4: TPC-H tail --
+
+
+def q_tpch_q19r(
+    sf_dir: str, max_broadcast_keys: int = 50_000_000
+) -> pd.DataFrame:
+    """TPC-H Q19-style disjunctive-predicate join revenue: sum of
+    lineitem revenue where ANY of three (brand, size-range,
+    quantity-range) clauses holds — the part side of each clause is a
+    dimension attribute, the quantity side a fact attribute, so the
+    predicate can only be evaluated after the join. (The testdata part
+    has no container and lineitem no shipmode/shipinstruct; brand+size
+    stand in — semantics otherwise per Q19's OR-of-ANDs.)
+
+    Distributed shape: part is a dimension table, so a per-clause
+    bitmask (partkey → which clauses' brand/size sides match) broadcasts
+    once as sorted arrays via ``ray.put``; each lineitem batch resolves
+    the mask with one ``np.searchsorted`` and tests the quantity ranges
+    vectorized — both predicate halves meet with ZERO shuffles and a
+    one-row partial per batch. Above ``max_broadcast_keys`` (degenerate
+    catalog) the mask attaches through ``_lookup_on_key`` (join-free
+    union + hash-partition merge, no driver gather) and the same
+    vectorized quantity test runs on the joined stream. Revenue fixes to
+    int64 1/10000-dollar per row BEFORE summation — exact under any
+    accumulation order.
+
+    Reference parity: the reference has no relational engine; this is
+    part of the §2 analytics surface (SURVEY §2.6) exercised against the
+    DuckDB oracle."""
+    CLAUSES = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#12", 1, 5, 1, 11),
+        ("Brand#23", 1, 10, 10, 20),
+        ("Brand#24", 1, 15, 20, 30),
+    ]
+
+    def part_mask(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_pandas().to_numpy(dtype=object)
+        size = np.asarray(t["p_size"], np.int64)
+        mask = np.zeros(t.num_rows, np.int64)
+        for bit, (b, slo, shi, _, _) in enumerate(CLAUSES):
+            mask |= ((brand == b) & (size >= slo) & (size <= shi)) << bit
+        keep = mask != 0
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"].combine_chunks().cast(pa.int64()).filter(pa.array(keep)),
+                "mask": pa.array(mask[keep], pa.int64()),
+            }
+        )
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_mask, batch_format="pyarrow"
+    )
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        price = np.asarray(t["l_extendedprice"], np.float64)
+        disc = np.asarray(t["l_discount"], np.float64)
+        rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"].combine_chunks().cast(pa.int64()),
+                "qty": t["l_quantity"].combine_chunks().cast(pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(li_slim, batch_format="pyarrow")
+
+    def _clause_rev(qty: np.ndarray, mask: np.ndarray, rev: np.ndarray) -> int:
+        hit = np.zeros(len(qty), bool)
+        for bit, (_, _, _, qlo, qhi) in enumerate(CLAUSES):
+            hit |= ((mask >> bit) & 1).astype(bool) & (qty >= qlo) & (qty <= qhi)
+        return int(rev[hit].sum())
+
+    part_rows = parts.take(max_broadcast_keys + 1)
+    if len(part_rows) <= max_broadcast_keys:
+        pk = np.sort(np.array([r["p_partkey"] for r in part_rows], dtype=np.int64))
+        by = {int(r["p_partkey"]): int(r["mask"]) for r in part_rows}
+        pm = np.array([by[int(k)] for k in pk], dtype=np.int64)
+        ref = ray.put((pk, pm))
+        state: dict = {}
+
+        def partial(t: pa.Table) -> pa.Table:
+            if "m" not in state:
+                state["m"] = ray.get(ref)
+            kpk, kpm = state["m"]
+            if len(kpk) == 0 or t.num_rows == 0:
+                return pa.table({"revenue_c": pa.array([0], pa.int64())})
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kpk, k)
+            pos_c = np.minimum(pos, len(kpk) - 1)
+            ok = (pos < len(kpk)) & (kpk[pos_c] == k)
+            qty = t["qty"].to_numpy(zero_copy_only=False)[ok]
+            rev = t["rev_c"].to_numpy(zero_copy_only=False)[ok]
+            mask = kpm[pos_c[ok]]
+            return pa.table(
+                {"revenue_c": pa.array([_clause_rev(qty, mask, rev)], pa.int64())}
+            )
+
+        agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+            Sum("revenue_c", alias_name="revenue_c")
+        )
+        total = int(agg["revenue_c"] or 0)
+    else:  # pragma: no cover - exercised via forced-cap test
+        joined = _lookup_on_key(
+            li,
+            parts,
+            fact_key="l_partkey",
+            map_key="p_partkey",
+            map_val="mask",
+            keep_cols=["qty", "rev_c"],
+            types={"qty": pa.int64(), "rev_c": pa.int64()},
+        )
+
+        def partial_j(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"revenue_c": pa.array([0], pa.int64())})
+            qty = t["qty"].to_numpy(zero_copy_only=False)
+            rev = t["rev_c"].to_numpy(zero_copy_only=False)
+            mask = t["mask"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"revenue_c": pa.array([_clause_rev(qty, mask, rev)], pa.int64())}
+            )
+
+        agg = joined.map_batches(partial_j, batch_format="pyarrow").aggregate(
+            Sum("revenue_c", alias_name="revenue_c")
+        )
+        total = int(agg["revenue_c"] or 0)
+
+    return pd.DataFrame({"revenue_c": pd.array([total], dtype="int64")})
+
+
+def q_tpch_q21r(sf_dir: str, late_days: int = 90) -> pd.DataFrame:
+    """TPC-H Q21-style "suppliers who kept orders waiting": for finished
+    ('F') orders with at least two distinct suppliers, find orders where
+    exactly ONE supplier shipped late, and count such orders per that
+    sole-late supplier (numwait); top 10 by numwait desc, s_name asc.
+    (The testdata lineitem has no commitdate/receiptdate, so "late"
+    means l_shipdate > o_orderdate + ``late_days`` days — semantics
+    otherwise per Q21's EXISTS / NOT-EXISTS pair.)
+
+    Distributed shape: both inputs are fact tables, so neither
+    broadcasts. Lineitem slims to (orderkey, suppkey, ship_us) and
+    orders — 'F'-filtered — to (orderkey, odate_us); the union rides ONE
+    orderkey hash-partition groupby whose in-partition pandas merge
+    evaluates the per-order EXISTS logic (≥2 distinct suppliers, exactly
+    1 late one) and emits pre-aggregated (suppkey, numwait) partials.
+    The final suppkey groupby is supplier-cardinality (dimension-scale)
+    — gathering it to pick the top 10 is bounded by |supplier|, and
+    names attach via a ``pc.is_in``-filtered supplier read (the
+    q_tpch_q10r doctrine: dimensions never shuffle, facts never
+    broadcast)."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+    LATE_US = int(late_days) * 86_400_000_000
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["l_orderkey"].combine_chunks().cast(pa.int64()),
+                "supp": t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                "ship_us": t["l_shipdate"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(0),
+            }
+        )
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "supp": pa.nulls(n, pa.int64()),
+                "ship_us": t["o_orderdate"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(1),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    stream = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate"]).map_batches(
+                ord_rows, batch_format="pyarrow"
+            )
+        )
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+
+    empty_pd = pd.DataFrame(
+        {
+            "supp": pd.Series(dtype="int64"),
+            "numwait": pd.Series(dtype="int64"),
+        }
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in g.columns:  # schema-less empty partition
+            return empty_pd.copy()
+        li = g[g["is_ord"] == 0][["key", "supp", "ship_us"]]
+        ords = g[g["is_ord"] == 1][["key", "ship_us"]].rename(
+            columns={"ship_us": "odate_us"}
+        )
+        if li.empty or ords.empty:
+            return empty_pd.copy()
+        j = li.merge(ords, on="key", how="inner")
+        if j.empty:
+            return empty_pd.copy()
+        j["late"] = j["ship_us"] > j["odate_us"] + LATE_US
+        per = j.groupby("key").agg(
+            ns=("supp", "nunique"),
+        )
+        late = j[j["late"]]
+        nl = late.groupby("key")["supp"].nunique().rename("nl")
+        sole = late.groupby("key")["supp"].first().rename("sole")
+        per = per.join(nl).join(sole)
+        hit = per[(per["ns"] >= 2) & (per["nl"] == 1)]
+        if hit.empty:
+            return empty_pd.copy()
+        out = (
+            hit.groupby("sole")
+            .size()
+            .rename("numwait")
+            .reset_index()
+            .rename(columns={"sole": "supp"})
+        )
+        return out[["supp", "numwait"]].astype({"supp": "int64", "numwait": "int64"})
+
+    partials = stream.groupby("pkey", num_partitions=P).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def fix_schema(df: pd.DataFrame) -> pd.DataFrame:
+        if list(df.columns) != ["supp", "numwait"]:
+            return empty_pd.copy()
+        return df
+
+    counts = (
+        partials.map_batches(fix_schema, batch_format="pandas")
+        .groupby("supp")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .to_pandas()
+    )
+    empty_out = pd.DataFrame(
+        {
+            "s_name": pd.Series(dtype="object"),
+            "numwait": pd.Series(dtype="int64"),
+        }
+    )
+    if counts.empty or "supp" not in counts.columns:
+        return empty_out
+    # supplier-cardinality table: attach names via an is_in-pruned
+    # dimension read, then rank by (numwait desc, s_name asc)
+    want = pa.array(counts["supp"].astype(np.int64).tolist(), pa.int64())
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["s_suppkey"].cast(pa.int64()), value_set=want)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if names.empty:
+        return empty_out
+    out = counts.merge(
+        names.rename(columns={"s_suppkey": "supp"}), on="supp", how="inner"
+    )
+    # Q21 groups by s_name: fold suppliers sharing a name before ranking
+    out = out.groupby("s_name", as_index=False)["numwait"].sum()
+    out["numwait"] = out["numwait"].astype(np.int64)
+    out = out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).head(10)
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+def q_tpch_q16r(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16-style supplier-relationship count: for parts of eight
+    chosen sizes and any brand but 'Brand#12', how many DISTINCT
+    suppliers shipped each (brand, type, size) combination — excluding
+    "complaint" suppliers (the testdata has no s_comment, so negative
+    ``s_acctbal`` stands in; no partsupp either, so the (partkey,
+    suppkey) relationship is evidenced from lineitem).
+
+    Distributed shape: both excluded-supplier keys and the filtered part
+    attribute map are dimension-scale and broadcast once via ``ray.put``
+    (parts collapse to a partkey → group-index int, the ≤|brand×type×
+    size| combo table staying driver-side). The fact table emits
+    per-batch DISTINCT (group, suppkey) pairs packed into one int64 —
+    a pre-fold that caps each batch's output at |parts in batch's
+    groups|×|suppliers| pairs — and ONE pair-hash-partition groupby
+    dedups globally (each pair lands in exactly one partition) emitting
+    per-partition (group, n_distinct) partials; the final groupby is
+    combo-cardinality. Raw fact rows never shuffle; COUNT DISTINCT
+    never materializes a per-group set on the driver."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+    SIZES = (1, 4, 9, 14, 23, 36, 45, 49)
+    EXCL_BRAND = "Brand#12"
+
+    parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.invert(pc.equal(t["p_brand"], EXCL_BRAND)),
+                    pc.is_in(
+                        t["p_size"].cast(pa.int64()),
+                        value_set=pa.array(SIZES, pa.int64()),
+                    ),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    empty_out = pd.DataFrame(
+        {
+            "p_brand": pd.Series(dtype="object"),
+            "p_type": pd.Series(dtype="object"),
+            "p_size": pd.Series(dtype="int64"),
+            "supplier_cnt": pd.Series(dtype="int64"),
+        }
+    )
+    if parts.empty:
+        return empty_out
+    combos = (
+        parts[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates()
+        .sort_values(["p_brand", "p_type", "p_size"])
+        .reset_index(drop=True)
+    )
+    combos["gidx"] = np.arange(len(combos), dtype=np.int64)
+    pmap = parts.merge(combos, on=["p_brand", "p_type", "p_size"])
+    pk = np.sort(pmap["p_partkey"].astype(np.int64).to_numpy())
+    by = dict(
+        zip(pmap["p_partkey"].astype(np.int64), pmap["gidx"].astype(np.int64))
+    )
+    gx = np.array([by[int(k)] for k in pk], dtype=np.int64)
+
+    bad_rows = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["s_acctbal"], 0.0)).select(
+                ["s_suppkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()  # dimension-scale; empty result loses schema via to_pandas
+    )
+    bad_keys = pa.array(
+        [int(r["s_suppkey"]) for r in bad_rows], pa.int64()
+    )
+
+    ref = ray.put((pk, gx, bad_keys))
+    state: dict = {}
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        if "m" not in state:
+            state["m"] = ray.get(ref)
+        kpk, kgx, kbad = state["m"]
+        if t.num_rows == 0 or len(kpk) == 0:
+            return pa.table({"pair": pa.array([], pa.int64())})
+        t = t.filter(
+            pc.invert(
+                pc.is_in(t["l_suppkey"].cast(pa.int64()), value_set=kbad)
+            )
+        )
+        k = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(kpk, k)
+        pos_c = np.minimum(pos, len(kpk) - 1)
+        ok = (pos < len(kpk)) & (kpk[pos_c] == k)
+        supp = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+        g = kgx[pos_c[ok]]
+        pair = np.unique((g << 32) | supp)  # suppkey < 2^32 by data contract
+        return pa.table({"pair": pa.array(pair, pa.int64())})
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        pair_fold, batch_format="pyarrow"
+    )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        p = t["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(p % P, pa.int64()))
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        if "pair" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "gidx": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        u = np.unique(g["pair"].to_numpy(dtype=np.int64))
+        gi = u >> 32
+        gg, nn = np.unique(gi, return_counts=True)
+        return pd.DataFrame({"gidx": gg.astype(np.int64), "n": nn.astype(np.int64)})
+
+    counts = (
+        pairs.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(dedup_count, batch_format="pandas")
+        .groupby("gidx")
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    if counts.empty or "gidx" not in counts.columns:
+        return empty_out
+    out = combos.merge(counts, on="gidx", how="inner")
+    out["p_size"] = out["p_size"].astype(np.int64)
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+    return out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
+def q_tpch_q9r(
+    sf_dir: str,
+    name_word: str = "red",
+    max_broadcast_keys: int = 50_000_000,
+) -> pd.DataFrame:
+    """TPC-H Q9-style product-line profit: revenue of lineitems whose
+    part name contains ``name_word``, grouped by supplier nation and
+    order year (no partsupp in the testdata, so profit is plain
+    discounted revenue rather than revenue − supplycost·qty — shape
+    otherwise per Q9: a part-filter, a supplier→nation lookup and an
+    order-year fact×fact attach feeding a tiny (nation, year) rollup).
+
+    Distributed shape (the q_tpch_q7r doctrine): nation resolves
+    driver-side (≤25 rows); the matching-part key set and the
+    supplier→nationkey map are dimension-scale and broadcast once as
+    sorted arrays — above ``max_broadcast_keys`` the part filter falls
+    back to ``_semijoin_on_key`` and the supplier lookup to
+    ``_lookup_on_key`` (join-free, no driver gather at any
+    cardinality). Lineitem pre-aggregates fixed-point revenue per
+    (orderkey, nationkey) inside ``map_batches``; orders slims to
+    (orderkey, year); both merge join-free through ONE orderkey
+    hash-partition groupby emitting (nationkey, year, rev) partials and
+    the final groupby is ≤ |nation|×|years| rows. Revenue fixes to
+    int64 1/10000-dollar per row before any sum."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk_name = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+    empty_out = pd.DataFrame(
+        {
+            "nation": pd.Series(dtype="object"),
+            "o_year": pd.Series(dtype="int64"),
+            "profit_c": pd.Series(dtype="int64"),
+        }
+    )
+
+    # --- part filter: dimension broadcast w/ distributed fallback ---
+    good_parts = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["p_name"], name_word)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    # --- supplier → nationkey map ---
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        price = np.asarray(t["l_extendedprice"], np.float64)
+        disc = np.asarray(t["l_discount"], np.float64)
+        rev = np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks().cast(pa.int64()),
+                "l_partkey": t["l_partkey"].combine_chunks().cast(pa.int64()),
+                "l_suppkey": t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                "rev_c": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_slim, batch_format="pyarrow")
+
+    part_rows = good_parts.take(max_broadcast_keys + 1)
+    supp_rows = supp.take(max_broadcast_keys + 1)
+    broadcast_ok = (
+        len(part_rows) <= max_broadcast_keys
+        and len(supp_rows) <= max_broadcast_keys
+    )
+    if broadcast_ok:
+        gp = np.sort(np.array([r["p_partkey"] for r in part_rows], np.int64))
+        spk = np.sort(np.array([r["s_suppkey"] for r in supp_rows], np.int64))
+        by = {int(r["s_suppkey"]): int(r["s_nationkey"]) for r in supp_rows}
+        snk = np.array([by[int(k)] for k in spk], dtype=np.int64)
+        ref = ray.put((gp, spk, snk))
+        state: dict = {}
+
+        def li_tag(t: pa.Table) -> pa.Table:
+            if "m" not in state:
+                state["m"] = ray.get(ref)
+            kgp, kpk, knk = state["m"]
+            empty = pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "nat": pa.array([], pa.int64()),
+                    "rev_c": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_rows == 0 or len(kgp) == 0 or len(kpk) == 0:
+                return empty
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kgp, k)
+            pos_c = np.minimum(pos, len(kgp) - 1)
+            ok = (pos < len(kgp)) & (kgp[pos_c] == k)
+            t = t.filter(pa.array(ok))
+            if t.num_rows == 0:
+                return empty
+            s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kpk, s)
+            pos_c = np.minimum(pos, len(kpk) - 1)
+            ok = (pos < len(kpk)) & (kpk[pos_c] == s)
+            t = t.filter(pa.array(ok)).append_column(
+                "nat", pa.array(knk[pos_c[ok]], pa.int64())
+            )
+            g = (
+                t.select(["l_orderkey", "nat", "rev_c"])
+                .group_by(["l_orderkey", "nat"])
+                .aggregate([("rev_c", "sum")])
+            )
+            return g.rename_columns(["l_orderkey", "nat", "rev_c"])
+
+        li_part = li.map_batches(li_tag, batch_format="pyarrow")
+    else:  # pragma: no cover - exercised via forced-cap test
+        li_f = _semijoin_on_key(
+            li,
+            good_parts,
+            "l_partkey",
+            "p_partkey",
+            keep_cols=["l_orderkey", "l_suppkey", "rev_c"],
+            types={
+                "l_orderkey": pa.int64(),
+                "l_suppkey": pa.int64(),
+                "rev_c": pa.int64(),
+            },
+        )
+        li_n = _lookup_on_key(
+            li_f,
+            supp.map_batches(
+                lambda t: pa.table(
+                    {
+                        "s_suppkey": t["s_suppkey"].combine_chunks().cast(pa.int64()),
+                        "nat": t["s_nationkey"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            fact_key="l_suppkey",
+            map_key="s_suppkey",
+            map_val="nat",
+            keep_cols=["l_orderkey", "rev_c"],
+            types={"l_orderkey": pa.int64(), "rev_c": pa.int64()},
+        )
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], pa.int64()),
+                        "nat": pa.array([], pa.int64()),
+                        "rev_c": pa.array([], pa.int64()),
+                    }
+                )
+            g = (
+                t.select(["l_orderkey", "nat", "rev_c"])
+                .group_by(["l_orderkey", "nat"])
+                .aggregate([("rev_c", "sum")])
+            )
+            return g.rename_columns(["l_orderkey", "nat", "rev_c"])
+
+        li_part = li_n.map_batches(fold, batch_format="pyarrow")
+
+    def ord_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "l_orderkey": t["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "nat": pa.nulls(n, pa.int64()),
+                "rev_c": pa.nulls(n, pa.int64()),
+                "year": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(1),
+            }
+        )
+
+    def li_flag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "nat": t["nat"],
+                "rev_c": t["rev_c"],
+                "year": pa.nulls(n, pa.int64()),
+                "is_ord": pa.nulls(n, pa.int8()).fill_null(0),
+            }
+        )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pkey", pa.array(k % P, pa.int64()))
+
+    stream = (
+        li_part.map_batches(li_flag, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+                ord_rows, batch_format="pyarrow"
+            )
+        )
+        .map_batches(add_pkey, batch_format="pyarrow")
+    )
+
+    empty_pd = pd.DataFrame(
+        {
+            "nat": pd.Series(dtype="int64"),
+            "year": pd.Series(dtype="int64"),
+            "rev_c": pd.Series(dtype="int64"),
+        }
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "l_orderkey" not in g.columns:
+            return empty_pd.copy()
+        li_side = g[g["is_ord"] == 0][["l_orderkey", "nat", "rev_c"]]
+        ords = g[g["is_ord"] == 1][["l_orderkey", "year"]]
+        if li_side.empty or ords.empty:
+            return empty_pd.copy()
+        j = li_side.merge(ords, on="l_orderkey", how="inner")
+        if j.empty:
+            return empty_pd.copy()
+        out = (
+            j.groupby(["nat", "year"], as_index=False)["rev_c"]
+            .sum()
+        )
+        return out[["nat", "year", "rev_c"]].astype(empty_pd.dtypes.to_dict())
+
+    partials = stream.groupby("pkey", num_partitions=P).map_groups(
+        merge, batch_format="pandas"
+    )
+
+    def fix_schema(df: pd.DataFrame) -> pd.DataFrame:
+        if list(df.columns) != ["nat", "year", "rev_c"]:
+            return empty_pd.copy()
+        return df
+
+    out = (
+        partials.map_batches(fix_schema, batch_format="pandas")
+        .groupby(["nat", "year"])
+        .aggregate(Sum("rev_c", alias_name="profit_c"))
+        .to_pandas()
+    )
+    if out.empty or "nat" not in out.columns:
+        return empty_out
+    out["nation"] = out["nat"].map(lambda k: nk_name.get(int(k)))
+    out = out.dropna(subset=["nation"])
+    out["o_year"] = out["year"].astype(np.int64)
+    out["profit_c"] = out["profit_c"].astype(np.int64)
+    out = out.sort_values(
+        ["nation", "o_year"], ascending=[True, False]
+    ).reset_index(drop=True)
+    return out[["nation", "o_year", "profit_c"]]

@@ -2764,3 +2764,206 @@ class TestFunnelBruteForce:
         assert got["view"] == int((ds_ >= 1).sum())
         assert got["click"] == int((ds_ >= 2).sum())
         assert got["purchase"] == int((ds_ >= 3).sum())
+
+
+class TestTpchQ19Returns:
+    SF = "/root/testdata/sf0.001"
+    CLAUSES = [
+        ("Brand#12", 1, 5, 1, 11),
+        ("Brand#23", 1, 10, 10, 20),
+        ("Brand#24", 1, 15, 20, 30),
+    ]
+
+    def _brute(self) -> int:
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        part = pd.read_parquet(
+            f"{self.SF}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"],
+        )
+        j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        hit = np.zeros(len(j), bool)
+        for b, slo, shi, qlo, qhi in self.CLAUSES:
+            hit |= (
+                (j["p_brand"] == b)
+                & (j["p_size"] >= slo)
+                & (j["p_size"] <= shi)
+                & (j["l_quantity"] >= qlo)
+                & (j["l_quantity"] <= qhi)
+            ).to_numpy()
+        rev = np.floor(
+            j["l_extendedprice"].to_numpy()
+            * (1.0 - j["l_discount"].to_numpy())
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        return int(rev[hit].sum())
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q19r
+
+        out = q_tpch_q19r(self.SF)
+        want = self._brute()
+        assert want > 0
+        assert int(out["revenue_c"].iloc[0]) == want
+
+    def test_forced_fallback_equivalence(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q19r
+
+        fast = q_tpch_q19r(self.SF)
+        slow = q_tpch_q19r(self.SF, max_broadcast_keys=0)
+        assert fast.equals(slow), (fast, slow)
+
+
+class TestTpchQ21Returns:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q21r
+
+        out = q_tpch_q21r(self.SF)
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+        orders = pd.read_parquet(
+            f"{self.SF}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+        )
+        supp = pd.read_parquet(
+            f"{self.SF}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        )
+        f = orders[orders["o_orderstatus"] == "F"]
+        j = li.merge(
+            f, left_on="l_orderkey", right_on="o_orderkey", how="inner"
+        )
+        j["late"] = j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=90)
+        per = j.groupby("l_orderkey").agg(ns=("l_suppkey", "nunique"))
+        late = j[j["late"]]
+        per = per.join(
+            late.groupby("l_orderkey")["l_suppkey"].nunique().rename("nl")
+        ).join(late.groupby("l_orderkey")["l_suppkey"].first().rename("sole"))
+        hit = per[(per["ns"] >= 2) & (per["nl"] == 1)]
+        want = (
+            hit.groupby("sole")
+            .size()
+            .rename("numwait")
+            .reset_index()
+            .merge(supp, left_on="sole", right_on="s_suppkey")
+            .groupby("s_name", as_index=False)["numwait"]
+            .sum()
+        )
+        want["numwait"] = want["numwait"].astype(np.int64)
+        want = (
+            want.sort_values(["numwait", "s_name"], ascending=[False, True])
+            .head(10)[["s_name", "numwait"]]
+            .reset_index(drop=True)
+        )
+        assert len(want) > 0
+        assert out.equals(want), (out, want)
+
+
+class TestTpchQ16Returns:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q16r
+
+        out = q_tpch_q16r(self.SF)
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        )
+        part = pd.read_parquet(f"{self.SF}/part.parquet")
+        supp = pd.read_parquet(
+            f"{self.SF}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+        )
+        bad = set(supp[supp["s_acctbal"] < 0]["s_suppkey"])
+        part = part[
+            (part["p_brand"] != "Brand#12")
+            & part["p_size"].isin((1, 4, 9, 14, 23, 36, 45, 49))
+        ]
+        j = li[~li["l_suppkey"].isin(bad)].merge(
+            part, left_on="l_partkey", right_on="p_partkey"
+        )
+        want = (
+            j.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+            .nunique()
+            .rename("supplier_cnt")
+            .reset_index()
+        )
+        want["p_size"] = want["p_size"].astype(np.int64)
+        want["supplier_cnt"] = want["supplier_cnt"].astype(np.int64)
+        want = want.sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        ).reset_index(drop=True)
+        assert len(want) > 0
+        assert out.equals(want), (out.head(), want.head())
+
+
+class TestTpchQ9Returns:
+    SF = "/root/testdata/sf0.001"
+
+    def _brute(self) -> pd.DataFrame:
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        )
+        part = pd.read_parquet(
+            f"{self.SF}/part.parquet", columns=["p_partkey", "p_name"]
+        )
+        supp = pd.read_parquet(
+            f"{self.SF}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        nat = pd.read_parquet(
+            f"{self.SF}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        orders = pd.read_parquet(
+            f"{self.SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+        good = part[part["p_name"].str.contains("red")]
+        j = (
+            li.merge(good, left_on="l_partkey", right_on="p_partkey")
+            .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+            .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+            .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        )
+        j["profit_c"] = np.floor(
+            j["l_extendedprice"].to_numpy()
+            * (1.0 - j["l_discount"].to_numpy())
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        j["o_year"] = j["o_orderdate"].dt.year.astype(np.int64)
+        want = (
+            j.groupby(["n_name", "o_year"], as_index=False)["profit_c"]
+            .sum()
+            .rename(columns={"n_name": "nation"})
+        )
+        want["profit_c"] = want["profit_c"].astype(np.int64)
+        return want.sort_values(
+            ["nation", "o_year"], ascending=[True, False]
+        ).reset_index(drop=True)[["nation", "o_year", "profit_c"]]
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q9r
+
+        out = q_tpch_q9r(self.SF)
+        want = self._brute()
+        assert len(want) > 0
+        assert out.equals(want), (out.head(), want.head())
+
+    def test_forced_fallback_equivalence(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q9r
+
+        fast = q_tpch_q9r(self.SF)
+        slow = q_tpch_q9r(self.SF, max_broadcast_keys=0)
+        assert fast.equals(slow), (fast, slow)
