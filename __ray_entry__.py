@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: Q9 profit rollup — part filter + supplier→nation
         # broadcast, order-year attach through one orderkey merge
         "tpch_q9r": q.q_tpch_q9r,
+        # round-4: per-host page cap (rows-only: pages isn't
+        # SQL-registered; brute-force + broadcast≡shuffle test-pinned)
+        "host_cap": q.q_host_cap,
     }
 
 

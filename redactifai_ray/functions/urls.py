@@ -36,6 +36,21 @@ _TRACKING_PREFIXES = ("utm_",)
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
+def host_of(url: str | None) -> str | None:
+    """Lowercased hostname of a URL (trailing-dot stripped); None for
+    None/unparseable inputs — callers treat a None host as its own
+    singleton group so weird rows are never silently dropped."""
+    if url is None:
+        return None
+    try:
+        host = urlsplit(url.strip()).hostname
+    except ValueError:
+        return None
+    if host is None:
+        return None
+    return host.lower().rstrip(".")
+
+
 def canonical_url(url: str | None) -> str | None:
     """Canonicalize one URL; None/unparseable inputs pass through
     unchanged (dedup then falls back to exact-string semantics for

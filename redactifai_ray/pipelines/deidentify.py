@@ -218,6 +218,188 @@ def make_winner_filter(winners_ref, key: str = "url", order_col: str = "warc_ts"
     return keep_winners
 
 
+def compute_host_cap_losers(
+    input_path: Union[str, Sequence[str]],
+    k: int,
+    key: str = "url",
+    order_col: str = "warc_ts",
+    host_fn=None,
+    max_loser_keys: int = 5_000_000,
+) -> Optional[set]:
+    """Per-host page cap (crawl curation: at most ``k`` distinct pages
+    per host, RefinedWeb/C4-style politeness + anti-SEO-farm lever):
+    scan ONLY (key, order) columns and return the set of keys to DROP so
+    each host keeps its ``k`` newest distinct URLs (per-URL newest
+    ``order_col``; ties break key-ascending — fully deterministic).
+
+    Distributed shape: the pre-scan is the ``compute_dup_winners`` slim
+    read (bytes/row even under megabyte html); per-batch pandas partials
+    fold repeat crawls to one (host, key, max_order) row per URL per
+    block, then ONE host-keyed hash-partition groupby ranks in-group and
+    emits ONLY the beyond-cap keys — the driver gather is bounded by the
+    cap-overflow volume, not the corpus. Returns None above
+    ``max_loser_keys`` (pathological overflow); callers fall back to the
+    full-shuffle in-group cut (``cap_per_host``). Unparseable/None hosts
+    are never dropped. Pathological single hosts (a 100M-page domain)
+    bound the in-group sort — shard such hosts upstream or lower block
+    size; group payload is 3 slim columns either way."""
+    from ..cluster import cluster_cpus, default_partitions
+
+    if host_fn is None:
+        from ..functions.urls import host_of
+
+        host_fn = host_of
+    P = default_partitions()
+
+    slim = ray.data.read_parquet(
+        input_path, columns=[key, order_col],
+        override_num_blocks=cluster_cpus() * 2,
+    )
+
+    def partial(df):
+        import numpy as np
+        import pandas as pd
+
+        hosts = df[key].map(host_fn)
+        out = pd.DataFrame(
+            {
+                "host": hosts,
+                "k_": df[key],
+                "ord_us": pd.to_datetime(df[order_col]).astype("int64"),
+            }
+        )
+        out = out[out["host"].notna()]
+        if out.empty:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series(dtype="object"),
+                    "k_": pd.Series(dtype="object"),
+                    "ord_us": pd.Series(dtype="int64"),
+                }
+            )
+        return out.groupby(["host", "k_"], as_index=False)["ord_us"].max()
+
+    def losers_in_group(g):
+        import pandas as pd
+
+        if "k_" not in g.columns:
+            return pd.DataFrame({"k_": pd.Series(dtype="object")})
+        u = g.groupby("k_", as_index=False)["ord_us"].max()
+        u = u.sort_values(
+            ["ord_us", "k_"], ascending=[False, True]
+        ).reset_index(drop=True)
+        return u.iloc[int(k):][["k_"]]
+
+    losers = (
+        slim.map_batches(partial, batch_format="pandas")
+        .groupby("host", num_partitions=P)
+        .map_groups(losers_in_group, batch_format="pandas")
+    )
+    rows = losers.take(max_loser_keys + 1)
+    if len(rows) > max_loser_keys:
+        return None
+    return {r["k_"] for r in rows}
+
+
+def make_loser_filter(losers_ref, key: str = "url"):
+    """Batch filter dropping rows whose ``key`` is in the broadcast loser
+    set — the apply side of ``compute_host_cap_losers`` (one vectorized
+    ``pc.is_in`` per batch; the value-set array builds once per worker
+    process, the ``make_winner_filter`` pattern)."""
+    state: dict = {}
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        if "keys" not in state:
+            state["keys"] = pa.array(
+                sorted(ray.get(losers_ref)), pa.string()
+            )
+        if len(state["keys"]) == 0:
+            return batch
+        bad = pc.fill_null(
+            pc.is_in(batch[key], value_set=state["keys"]), False
+        )
+        if not pc.any(bad).as_py():
+            return batch
+        return batch.filter(pc.invert(bad))
+
+    return drop_losers
+
+
+def cap_per_host(
+    input_path: Union[str, Sequence[str], ray.data.Dataset],
+    k: int,
+    *,
+    key: str = "url",
+    order_col: str = "warc_ts",
+    host_fn=None,
+    max_loser_keys: int = 5_000_000,
+    include_text: bool = True,
+) -> ray.data.Dataset:
+    """Keep at most ``k`` distinct pages per host (newest first,
+    key-ascending ties). Fast path: the slim loser pre-scan + broadcast
+    anti-filter — content rows never shuffle. Above ``max_loser_keys``
+    (or for an opaque Dataset input) the full rows route through ONE
+    host-keyed groupby with the identical in-group cut — same result,
+    one content shuffle (the ``compute_dup_winners``/``dedup_latest``
+    degradation contract)."""
+    if host_fn is None:
+        from ..functions.urls import host_of
+
+        host_fn = host_of
+
+    opaque = isinstance(input_path, ray.data.Dataset)
+    losers = None
+    if not opaque:
+        losers = compute_host_cap_losers(
+            input_path, k, key=key, order_col=order_col,
+            host_fn=host_fn, max_loser_keys=max_loser_keys,
+        )
+
+    if opaque:
+        ds = input_path
+    else:
+        ds = read_pages(input_path, include_text=include_text)
+
+    if losers is not None:
+        if not losers:
+            return ds
+        return ds.map_batches(
+            make_loser_filter(ray.put(losers), key=key),
+            batch_format="pyarrow",
+        )
+
+    # full-shuffle fallback: host-keyed groupby, in-group per-URL-newest
+    # rank, keep all rows of the top-k URLs (None hosts always survive)
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+
+    def add_host(df):
+        df = df.copy()
+        df["__host"] = df[key].map(lambda u: host_fn(u) or "\x00none")
+        return df
+
+    def cut(g):
+        if key not in g.columns:
+            return g
+        if g["__host"].iloc[0] == "\x00none":
+            return g.drop(columns="__host")
+        u = (
+            g.assign(__ord=lambda d: d[order_col].astype("int64"))
+            .groupby(key, as_index=False)["__ord"]
+            .max()
+            .sort_values(["__ord", key], ascending=[False, True])
+        )
+        keep = set(u[key].iloc[: int(k)])
+        return g[g[key].isin(keep)].drop(columns="__host")
+
+    return (
+        ds.map_batches(add_host, batch_format="pandas")
+        .groupby("__host", num_partitions=P)
+        .map_groups(cut, batch_format="pandas")
+    )
+
+
 def build_deidentify_pipeline(
     input_path: Union[str, Sequence[str], ray.data.Dataset],
     *,
@@ -240,6 +422,7 @@ def build_deidentify_pipeline(
     dup_winners: Optional[dict] = None,
     boilerplate_hot=None,
     url_key_fn=None,
+    host_cap_losers: Optional[set] = None,
 ) -> ray.data.Dataset:
     """Build (lazily) the flagship Dataset. Consume with write_parquet /
     iter_batches; nothing materializes here.
@@ -294,6 +477,11 @@ def build_deidentify_pipeline(
     else:
         ds = read_pages(input_path, include_text=(detect_on == "text"))
 
+    if host_cap_losers:  # per-host cap: drop beyond-cap urls pre-extract
+        ds = ds.map_batches(
+            make_loser_filter(ray.put(host_cap_losers)),
+            batch_format="pyarrow",
+        )
     if winners:  # empty map (no duplicate keys) needs no filter stage
         ds = ds.map_batches(
             make_winner_filter(ray.put(winners), key_fn=url_key_fn),

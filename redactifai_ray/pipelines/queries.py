@@ -5990,3 +5990,31 @@ def q_tpch_q9r(
         ["nation", "o_year"], ascending=[True, False]
     ).reset_index(drop=True)
     return out[["nation", "o_year", "profit_c"]]
+
+
+def q_host_cap(sf_dir: str, k: int = 1) -> ray.data.Dataset:
+    """Per-host page cap over the synthetic pages corpus — the
+    RefinedWeb/C4-style crawl-curation lever (at most ``k`` distinct
+    pages per host, newest ``warc_ts`` first, url-ascending ties).
+    Rows-only: the pages table is not SQL-registered; exactness is
+    pinned by the pandas brute-force and broadcast≡shuffle equivalence
+    tests. The plan is the slim loser pre-scan + broadcast anti-filter
+    over a 2-column pruned read — content never shuffles."""
+    from ..sources.pages import read_pages
+    from .deidentify import (
+        cap_per_host,
+        compute_host_cap_losers,
+        make_loser_filter,
+    )
+
+    pages_dir = _pages_dir_for(sf_dir)
+    losers = compute_host_cap_losers(pages_dir, k)
+    if losers is None:  # pragma: no cover - fixture is far under budget
+        ds = cap_per_host(pages_dir, k, include_text=False)
+        return ds.select_columns(["url", "warc_ts"])
+    ds = read_pages(pages_dir, columns=["url", "warc_ts"])
+    if losers:
+        ds = ds.map_batches(
+            make_loser_filter(ray.put(losers)), batch_format="pyarrow"
+        )
+    return ds

@@ -86,6 +86,16 @@ def main(argv=None) -> int:
              "vocabulary, then applies it inside every partition so the "
              "removal is global across resumable partitions",
     )
+    ap.add_argument(
+        "--host-cap", type=int, default=0, metavar="K",
+        help="keep at most K distinct pages per host (newest warc_ts "
+             "first, url-ascending ties; 0 = off). Computed ONCE over "
+             "the full input via a slim (url, warc_ts) pre-scan so the "
+             "cap is global across resumable partitions; above the "
+             "loser-broadcast budget it degrades to a per-partition "
+             "full-shuffle cut (documented: cap then holds per "
+             "partition, a conservative over-keep)",
+    )
     ap.add_argument("--files-per-partition", type=int, default=8)
     ap.add_argument(
         "--partition-by", default=None,
@@ -160,6 +170,20 @@ def main(argv=None) -> int:
         if not args.no_dedup:
             global_winners = compute_dup_winners(files, key_fn=url_key_fn)
 
+        host_losers = None
+        host_cap_fallback = False
+        if args.host_cap > 0:
+            from .pipelines.deidentify import compute_host_cap_losers
+
+            host_losers = compute_host_cap_losers(files, args.host_cap)
+            if host_losers is None:  # over the loser-broadcast budget
+                host_cap_fallback = True
+                print(
+                    "warning: host-cap loser set over budget; capping "
+                    "per partition (full-shuffle cut)",
+                    file=sys.stderr,
+                )
+
         extra_patterns = None
         if args.patterns_file:
             from .stages.content import load_patterns_file
@@ -226,6 +250,16 @@ def main(argv=None) -> int:
                     _rp(part_files, include_text=(args.detect_on == "text")),
                     blocked,
                 )
+            if host_cap_fallback:
+                from .pipelines.deidentify import cap_per_host
+                from .sources.pages import read_pages as _rp2
+
+                if not isinstance(pipe_input, ray.data.Dataset):
+                    pipe_input = _rp2(
+                        part_files,
+                        include_text=(args.detect_on == "text"),
+                    )
+                pipe_input = cap_per_host(pipe_input, args.host_cap)
             return build_deidentify_pipeline(
                 pipe_input,
                 masking_level=args.masking_level,
@@ -237,6 +271,7 @@ def main(argv=None) -> int:
                 detector=args.detector,
                 detector_init=detector_init,
                 dup_winners=global_winners,
+                host_cap_losers=host_losers,
                 extra_patterns=extra_patterns,
                 boilerplate_hot=boilerplate_hot,
                 url_key_fn=url_key_fn,
@@ -254,6 +289,8 @@ def main(argv=None) -> int:
             config_version += f"+bp{args.boilerplate_min_docs}"
         if args.canonical_urls:
             config_version += "+canon"
+        if args.host_cap > 0:
+            config_version += f"+hc{args.host_cap}"
         if blocked:
             import hashlib as _hl
 

@@ -927,3 +927,129 @@ class TestPiiGate:
             ).fetchall()
         }
         assert kept == {0, 2, 3}
+
+
+class TestHostCap:
+    """Per-host page cap: broadcast loser path, shuffle fallback, CLI."""
+
+    def _write_corpus(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def page(url, ts_us):
+            return {
+                "url": url,
+                "warc_ts": ts_us,
+                "html": (
+                    "<html><body><p>plenty of unique narrative content "
+                    f"for {url} to clear extraction thresholds</p>"
+                    "</body></html>"
+                ).encode(),
+                "text": None,
+                "lang": "en",
+            }
+
+        base = 1_700_000_000_000_000
+        rows = [
+            # host a.example: 3 distinct urls; /p1 crawled twice (the
+            # newer crawl must decide its rank)
+            page("https://a.example/p1", base + 10),
+            page("https://a.example/p1", base + 500),
+            page("https://a.example/p2", base + 300),
+            page("https://a.example/p3", base + 400),
+            # host b.example: one url — never capped at k>=1
+            page("https://b.example/only", base + 50),
+            # unparseable url: host None — must always survive
+            page("not a url at all", base + 60),
+        ]
+        t = pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows]),
+                "warc_ts": pa.array(
+                    [r["warc_ts"] for r in rows], pa.timestamp("us")
+                ),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        )
+        src = tmp_path / "pages"
+        src.mkdir()
+        # split mid-host so the pre-fold must survive batch boundaries
+        pq.write_table(t.slice(0, 2), src / "a.parquet")
+        pq.write_table(t.slice(2, 4), src / "b.parquet")
+        return str(src)
+
+    def test_losers_match_brute_force(self, ray_session, tmp_path):
+        from redactifai_ray.pipelines.deidentify import (
+            compute_host_cap_losers,
+        )
+
+        src = self._write_corpus(tmp_path)
+        # k=2 on a.example: per-url newest = p1@+500, p3@+400, p2@+300
+        # → keep p1, p3; loser = p2
+        losers = compute_host_cap_losers(src, 2)
+        assert losers == {"https://a.example/p2"}
+        # k=1: keep only p1 (newest) on a.example
+        losers1 = compute_host_cap_losers(src, 1)
+        assert losers1 == {
+            "https://a.example/p2",
+            "https://a.example/p3",
+        }
+
+    def test_broadcast_and_shuffle_paths_agree(self, ray_session, tmp_path):
+        from redactifai_ray.pipelines.deidentify import cap_per_host
+
+        src = self._write_corpus(tmp_path)
+        fast = cap_per_host(src, 1).to_pandas()
+        # max_loser_keys=0 forces the full-shuffle in-group cut
+        slow = cap_per_host(src, 1, max_loser_keys=0).to_pandas()
+        fkeys = sorted(zip(fast["url"], fast["warc_ts"]))
+        skeys = sorted(zip(slow["url"], slow["warc_ts"]))
+        assert fkeys == skeys
+        kept_urls = set(fast["url"])
+        # both rows of the kept duplicate url survive; None-host row too
+        assert kept_urls == {
+            "https://a.example/p1",
+            "https://b.example/only",
+            "not a url at all",
+        }
+        assert len(fast) == 4  # p1 twice + b/only + unparseable
+
+    def test_cli_host_cap(self, ray_session, tmp_path):
+        import duckdb
+
+        from redactifai_ray.run import main
+
+        src = self._write_corpus(tmp_path)
+        out = str(tmp_path / "out")
+        rc = main(
+            [
+                "--input", src,
+                "--output", out,
+                "--files-per-partition", "1",
+                "--host-cap", "1",
+                "--no-dedup",
+            ]
+        )
+        assert rc == 0
+        con = duckdb.connect()
+        urls = {
+            u
+            for (u,) in con.sql(
+                f"select url from '{out}/pages/part=*/*.parquet'"
+            ).fetchall()
+        }
+        assert "https://a.example/p2" not in urls
+        assert "https://a.example/p3" not in urls
+        assert "https://b.example/only" in urls
+
+    def test_query_registered(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_host_cap
+
+        out = q_host_cap("/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0
+        # cap k=1: every host appears at most... once per distinct url
+        # kept; spot-check determinism across two runs
+        out2 = q_host_cap("/root/testdata/sf0.001").to_pandas()
+        assert sorted(out["url"]) == sorted(out2["url"])
