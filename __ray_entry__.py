@@ -288,6 +288,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: per-host page cap (rows-only: pages isn't
         # SQL-registered; brute-force + broadcast≡shuffle test-pinned)
         "host_cap": q.q_host_cap,
+        # round-4: Q2 best-supplier-per-part ARGMAX join (completes the
+        # 22-query TPC-H shape family together with q11r/q20r below)
+        "tpch_q2r": q.q_tpch_q2r,
+        # round-4: Q11 fraction-of-global-aggregate HAVING (integer
+        # cross-multiply, output pigeonhole-bounded at 999 rows)
+        "tpch_q11r": q.q_tpch_q11r,
+        # round-4: Q20 nested-aggregate semi-join supplier list
+        "tpch_q20r": q.q_tpch_q20r,
     }
 
 
@@ -1695,5 +1703,83 @@ def oracle_sql() -> dict[str, str]:
         WHERE contains(p_name, 'red')
         GROUP BY 1, 2
         ORDER BY 1, 2 DESC
+    """
+    sql["tpch_q2r"] = """
+        -- Q2 adapted: max-acctbal region supplier stands in for min
+        -- supplycost (no partsupp); the relationship is lineitem-
+        -- evidenced; ties break on the smaller suppkey
+        WITH pt AS (
+            SELECT p_partkey FROM part
+            WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+        ),
+        es AS (
+            SELECT s_suppkey, s_name, n_name,
+                   CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey
+            FROM lineitem JOIN pt ON p_partkey = l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, s_name, n_name, bal_c,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY bal_c DESC, l_suppkey
+                   ) AS rn
+            FROM pairs JOIN es ON s_suppkey = l_suppkey
+        )
+        SELECT bal_c AS s_acctbal_c, s_name, n_name AS nation,
+               l_partkey AS p_partkey
+        FROM ranked WHERE rn = 1
+        ORDER BY s_acctbal_c DESC, nation, s_name, p_partkey
+        LIMIT 100
+    """
+    sql["tpch_q11r"] = """
+        -- Q11 adapted: lineitem revenue from region suppliers stands in
+        -- for supplycost*availqty; threshold = 1/1000 of the regional
+        -- total via integer cross-multiplication (no float division)
+        WITH es AS (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        v AS (
+            SELECT l_partkey,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 10000 + 0.5) AS BIGINT))::BIGINT
+                       AS value_c
+            FROM lineitem JOIN es ON s_suppkey = l_suppkey
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_c FROM v
+        WHERE value_c * 1000 > (SELECT sum(value_c) FROM v)
+        ORDER BY value_c DESC, l_partkey
+    """
+    sql["tpch_q20r"] = """
+        -- Q20 adapted: absolute 1997 shipped-quantity threshold stands
+        -- in for the half-of-availqty predicate (no partsupp);
+        -- quantities are integral by data contract → exact int64
+        WITH q AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE contains(p_name, 'red')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 50
+        )
+        SELECT s_name, qty
+        FROM q
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+        ORDER BY s_name
     """
     return sql

@@ -6018,3 +6018,383 @@ def q_host_cap(sf_dir: str, k: int = 1) -> ray.data.Dataset:
             make_loser_filter(ray.put(losers)), batch_format="pyarrow"
         )
     return ds
+
+
+def _region_supplier_map(sf_dir: str, region: str):
+    """(sorted suppkey array, aligned acctbal_c array, aligned nationkey
+    array, nationkey→name dict) for suppliers in ``region`` — the shared
+    dimension-broadcast side of the Q2/Q11/Q20 shapes. Supplier is a
+    dimension table by data contract (10k×SF rows), so the driver gather
+    is bounded; acctbal fixes to int64 cents."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rk = set(reg[reg["r_name"] == region]["r_regionkey"].astype(int))
+    nat = nation[nation["n_regionkey"].astype(int).isin(rk)]
+    nk_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    if not nk_name:
+        return np.array([], np.int64), np.array([], np.int64), np.array([], np.int64), {}
+    nk_arr = pa.array(sorted(nk_name), pa.int64())
+    rows = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["s_nationkey"].cast(pa.int64()), value_set=nk_arr)
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    if not rows:
+        return np.array([], np.int64), np.array([], np.int64), np.array([], np.int64), nk_name
+    sk = np.array([int(r["s_suppkey"]) for r in rows], np.int64)
+    order = np.argsort(sk)
+    sk = sk[order]
+    bal = np.array(
+        [int(np.floor(float(r["s_acctbal"]) * 100.0 + 0.5)) for r in rows],
+        np.int64,
+    )[order]
+    nk = np.array([int(r["s_nationkey"]) for r in rows], np.int64)[order]
+    return sk, bal, nk, nk_name
+
+
+def q_tpch_q2r(sf_dir: str, region: str = "EUROPE") -> pd.DataFrame:
+    """TPC-H Q2-style best-supplier-per-part: for LARGE parts of size
+    10–20, the highest-acctbal ``region`` supplier that shipped the part
+    (lineitem-evidenced — the testdata has no partsupp, and acctbal
+    stands in for min supplycost; ties break on the smaller suppkey).
+    Top 100 by (acctbal desc, nation, supplier name, partkey).
+
+    Distributed shape: the part key set and the region-filtered supplier
+    (acctbal, nation) map are dimension-scale and broadcast once as
+    sorted arrays; each lineitem batch resolves both with
+    ``np.searchsorted`` and pre-folds a per-batch ARGMAX row per partkey
+    (lexsort: bal desc, suppkey asc), so the ONE partkey groupby moves
+    ≤|parts-in-filter| rows per block and its in-group pick is the same
+    deterministic rule. Names attach driver-side on the ≤100-row result
+    via a ``pc.is_in``-pruned supplier read."""
+    from ..cluster import default_partitions
+
+    P = default_partitions()
+    sk, bal, nk, nk_name = _region_supplier_map(sf_dir, region)
+
+    good = (
+        _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["p_type"], "LARGE"),
+                    pc.and_(
+                        pc.greater_equal(t["p_size"].cast(pa.int64()), 10),
+                        pc.less_equal(t["p_size"].cast(pa.int64()), 20),
+                    ),
+                )
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    empty_out = pd.DataFrame(
+        {
+            "s_acctbal_c": pd.Series(dtype="int64"),
+            "s_name": pd.Series(dtype="object"),
+            "nation": pd.Series(dtype="object"),
+            "p_partkey": pd.Series(dtype="int64"),
+        }
+    )
+    if not good or len(sk) == 0:
+        return empty_out
+    gp = np.sort(np.array([int(r["p_partkey"]) for r in good], np.int64))
+    ref = ray.put((gp, sk, bal, nk))
+    state: dict = {}
+
+    def best_in_batch(t: pa.Table) -> pa.Table:
+        if "m" not in state:
+            state["m"] = ray.get(ref)
+        kgp, ksk, kbal, knk = state["m"]
+        empty = pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "bal_c": pa.array([], pa.int64()),
+                "supp": pa.array([], pa.int64()),
+                "nat": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        k = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(kgp, k)
+        pos_c = np.minimum(pos, len(kgp) - 1)
+        ok = (pos < len(kgp)) & (kgp[pos_c] == k)
+        if not ok.any():
+            return empty
+        k = k[ok]
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+        pos = np.searchsorted(ksk, s)
+        pos_c = np.minimum(pos, len(ksk) - 1)
+        ok2 = (pos < len(ksk)) & (ksk[pos_c] == s)
+        if not ok2.any():
+            return empty
+        k, s = k[ok2], s[ok2]
+        b = kbal[pos_c[ok2]]
+        n = knk[pos_c[ok2]]
+        # per-batch ARGMAX per partkey: bal desc, suppkey asc
+        order = np.lexsort((s, -b, k))  # sort by part, then -bal, then supp
+        k, s, b, n = k[order], s[order], b[order], n[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        return pa.table(
+            {
+                "l_partkey": pa.array(k[first], pa.int64()),
+                "bal_c": pa.array(b[first], pa.int64()),
+                "supp": pa.array(s[first], pa.int64()),
+                "nat": pa.array(n[first], pa.int64()),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if "l_partkey" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "l_partkey": pd.Series(dtype="int64"),
+                    "bal_c": pd.Series(dtype="int64"),
+                    "supp": pd.Series(dtype="int64"),
+                    "nat": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(
+            ["bal_c", "supp"], ascending=[False, True]
+        )
+        return g.iloc[[0]][["l_partkey", "bal_c", "supp", "nat"]].astype(
+            {"l_partkey": "int64", "bal_c": "int64", "supp": "int64", "nat": "int64"}
+        )
+
+    best = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(best_in_batch, batch_format="pyarrow")
+        .groupby("l_partkey", num_partitions=min(P, 16))
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    if best.empty or "l_partkey" not in best.columns:
+        return empty_out
+    want = pa.array(best["supp"].astype(np.int64).tolist(), pa.int64())
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["s_suppkey"].cast(pa.int64()), value_set=want)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = best.merge(
+        names.rename(columns={"s_suppkey": "supp"}), on="supp", how="inner"
+    )
+    out["nation"] = out["nat"].map(lambda x: nk_name.get(int(x)))
+    out = out.rename(columns={"bal_c": "s_acctbal_c", "l_partkey": "p_partkey"})
+    out["s_acctbal_c"] = out["s_acctbal_c"].astype(np.int64)
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    out = out.sort_values(
+        ["s_acctbal_c", "nation", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+    ).head(100)
+    return out[["s_acctbal_c", "s_name", "nation", "p_partkey"]].reset_index(
+        drop=True
+    )
+
+
+def q_tpch_q11r(sf_dir: str, region: str = "EUROPE") -> pd.DataFrame:
+    """TPC-H Q11-style important-stock: per-part revenue from ``region``
+    suppliers (no partsupp — lineitem revenue stands in for
+    supplycost×availqty), keeping parts whose value exceeds 1/1000 of
+    the regional total. Output is bounded at 999 rows by pigeonhole.
+
+    Distributed shape: the region suppkey set broadcasts once
+    (dimension-scale); per-batch (partkey, value) partials pre-fold
+    before ONE partkey groupby-sum, which is materialized ONCE so the
+    global total (a second tiny aggregate) and the HAVING filter reuse
+    its blocks (the q_tpch_q15r doctrine). The threshold compares with
+    integer cross-multiplication — value_c × 1000 > total_c — no float
+    division anywhere."""
+    sk, _, _, _ = _region_supplier_map(sf_dir, region)
+    empty_out = pd.DataFrame(
+        {
+            "l_partkey": pd.Series(dtype="int64"),
+            "value_c": pd.Series(dtype="int64"),
+        }
+    )
+    if len(sk) == 0:
+        return empty_out
+    skeys = pa.array(sk.tolist(), pa.int64())
+    ref = ray.put(skeys)
+    state: dict = {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "k" not in state:
+            state["k"] = ray.get(ref)
+        t = t.filter(
+            pc.is_in(t["l_suppkey"].cast(pa.int64()), value_set=state["k"])
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "value_c": pa.array([], pa.int64()),
+                }
+            )
+        rev = np.floor(
+            np.asarray(t["l_extendedprice"], np.float64)
+            * (1.0 - np.asarray(t["l_discount"], np.float64))
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        tt = pa.table(
+            {
+                "l_partkey": t["l_partkey"].combine_chunks().cast(pa.int64()),
+                "value_c": pa.array(rev, pa.int64()),
+            }
+        )
+        g = tt.group_by("l_partkey").aggregate([("value_c", "sum")])
+        return g.rename_columns(["l_partkey", "value_c"])
+
+    grouped = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_c", alias_name="value_c"))
+        .materialize()  # part-cardinality; total + filter reuse blocks
+    )
+    tot = grouped.aggregate(Sum("value_c", alias_name="t"))
+    total_c = int(tot["t"] or 0)
+    if total_c == 0:
+        return empty_out
+    out = grouped.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["value_c"].cast(pa.int64()), 1000), total_c)
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if out.empty or "l_partkey" not in out.columns:
+        return empty_out
+    out["l_partkey"] = out["l_partkey"].astype(np.int64)
+    out["value_c"] = out["value_c"].astype(np.int64)
+    return out.sort_values(
+        ["value_c", "l_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)[["l_partkey", "value_c"]]
+
+
+def q_tpch_q20r(
+    sf_dir: str, region: str = "EUROPE", min_qty: int = 50
+) -> pd.DataFrame:
+    """TPC-H Q20-style potential-promotion suppliers: ``region``
+    suppliers whose 1997 shipped quantity of 'red'-named parts exceeds
+    ``min_qty`` (the testdata has no partsupp availqty, so an absolute
+    quantity threshold stands in for the half-of-shipped predicate;
+    shape otherwise per Q20: part-name semi-join → per-supplier
+    aggregate → HAVING → nation semi-join → name list).
+
+    Distributed shape: the 'red' partkey set and region suppkey set are
+    dimension-scale broadcasts; per-batch (suppkey, qty) partials
+    pre-fold before ONE suppkey groupby-sum whose output is
+    supplier-cardinality; qualifying rows gather bounded by |region
+    suppliers| and names attach via a ``pc.is_in``-pruned read.
+    Quantities are integral by data contract and ride as exact int64."""
+    sk, _, _, _ = _region_supplier_map(sf_dir, region)
+    empty_out = pd.DataFrame(
+        {
+            "s_name": pd.Series(dtype="object"),
+            "qty": pd.Series(dtype="int64"),
+        }
+    )
+    if len(sk) == 0:
+        return empty_out
+    red = (
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.match_substring(t["p_name"], "red")
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    if not red:
+        return empty_out
+    rp = pa.array(sorted(int(r["p_partkey"]) for r in red), pa.int64())
+    skeys = pa.array(sk.tolist(), pa.int64())
+    ref = ray.put((rp, skeys))
+    state: dict = {}
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "m" not in state:
+            state["m"] = ray.get(ref)
+        krp, ksk = state["m"]
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["l_partkey"].cast(pa.int64()), value_set=krp),
+                pc.is_in(t["l_suppkey"].cast(pa.int64()), value_set=ksk),
+            )
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "supp": pa.array([], pa.int64()),
+                    "qty": pa.array([], pa.int64()),
+                }
+            )
+        tt = pa.table(
+            {
+                "supp": t["l_suppkey"].combine_chunks().cast(pa.int64()),
+                "qty": t["l_quantity"].combine_chunks().cast(pa.int64()),
+            }
+        )
+        g = tt.group_by("supp").aggregate([("qty", "sum")])
+        return g.rename_columns(["supp", "qty"])
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("supp")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .to_pandas()
+    )
+    if agg.empty or "supp" not in agg.columns:
+        return empty_out
+    agg = agg[agg["qty"] > int(min_qty)]
+    if agg.empty:
+        return empty_out
+    want = pa.array(agg["supp"].astype(np.int64).tolist(), pa.int64())
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["s_suppkey"].cast(pa.int64()), value_set=want)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = agg.merge(
+        names.rename(columns={"s_suppkey": "supp"}), on="supp", how="inner"
+    )
+    out["qty"] = out["qty"].astype(np.int64)
+    return (
+        out.sort_values("s_name")
+        .reset_index(drop=True)[["s_name", "qty"]]
+    )

@@ -2967,3 +2967,112 @@ class TestTpchQ9Returns:
         fast = q_tpch_q9r(self.SF)
         slow = q_tpch_q9r(self.SF, max_broadcast_keys=0)
         assert fast.equals(slow), (fast, slow)
+
+
+class TestTpchQ2Q11Q20Returns:
+    SF = "/root/testdata/sf0.001"
+
+    def _region_suppliers(self):
+        supp = pd.read_parquet(
+            f"{self.SF}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        )
+        nat = pd.read_parquet(f"{self.SF}/nation.parquet")
+        reg = pd.read_parquet(f"{self.SF}/region.parquet")
+        j = supp.merge(
+            nat, left_on="s_nationkey", right_on="n_nationkey"
+        ).merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        return j[j["r_name"] == "EUROPE"]
+
+    def test_q2_matches_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q2r
+
+        out = q_tpch_q2r(self.SF)
+        part = pd.read_parquet(f"{self.SF}/part.parquet")
+        part = part[
+            (part["p_type"] == "LARGE")
+            & part["p_size"].between(10, 20)
+        ]
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        ).drop_duplicates()
+        es = self._region_suppliers().copy()
+        es["bal_c"] = np.floor(es["s_acctbal"] * 100 + 0.5).astype(np.int64)
+        j = li.merge(
+            part[["p_partkey"]], left_on="l_partkey", right_on="p_partkey"
+        ).merge(es, left_on="l_suppkey", right_on="s_suppkey")
+        j = j.sort_values(
+            ["l_partkey", "bal_c", "l_suppkey"],
+            ascending=[True, False, True],
+        ).drop_duplicates("l_partkey")
+        want = pd.DataFrame(
+            {
+                "s_acctbal_c": j["bal_c"].astype(np.int64),
+                "s_name": j["s_name"],
+                "nation": j["n_name"],
+                "p_partkey": j["l_partkey"].astype(np.int64),
+            }
+        ).sort_values(
+            ["s_acctbal_c", "nation", "s_name", "p_partkey"],
+            ascending=[False, True, True, True],
+        ).head(100).reset_index(drop=True)
+        assert len(want) > 0
+        assert out.equals(want), (out, want)
+
+    def test_q11_matches_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q11r
+
+        out = q_tpch_q11r(self.SF)
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        es = set(self._region_suppliers()["s_suppkey"])
+        li = li[li["l_suppkey"].isin(es)].copy()
+        li["value_c"] = np.floor(
+            li["l_extendedprice"].to_numpy()
+            * (1.0 - li["l_discount"].to_numpy())
+            * 10000.0
+            + 0.5
+        ).astype(np.int64)
+        v = li.groupby("l_partkey", as_index=False)["value_c"].sum()
+        total = int(v["value_c"].sum())
+        want = v[v["value_c"] * 1000 > total].copy()
+        want["l_partkey"] = want["l_partkey"].astype(np.int64)
+        want["value_c"] = want["value_c"].astype(np.int64)
+        want = want.sort_values(
+            ["value_c", "l_partkey"], ascending=[False, True]
+        ).reset_index(drop=True)[["l_partkey", "value_c"]]
+        assert len(want) > 0
+        assert out.equals(want), (out.head(), want.head())
+
+    def test_q20_matches_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_tpch_q20r
+
+        out = q_tpch_q20r(self.SF)
+        li = pd.read_parquet(
+            f"{self.SF}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        part = pd.read_parquet(
+            f"{self.SF}/part.parquet", columns=["p_partkey", "p_name"]
+        )
+        red = set(part[part["p_name"].str.contains("red")]["p_partkey"])
+        li = li[
+            li["l_partkey"].isin(red)
+            & (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
+        ].copy()
+        li["qty"] = li["l_quantity"].astype(np.int64)
+        agg = li.groupby("l_suppkey", as_index=False)["qty"].sum()
+        agg = agg[agg["qty"] > 50]
+        es = self._region_suppliers()
+        want = agg.merge(
+            es[["s_suppkey", "s_name"]],
+            left_on="l_suppkey",
+            right_on="s_suppkey",
+        )[["s_name", "qty"]]
+        want["qty"] = want["qty"].astype(np.int64)
+        want = want.sort_values("s_name").reset_index(drop=True)
+        assert len(want) > 0
+        assert out.equals(want), (out, want)
