@@ -296,6 +296,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11r": q.q_tpch_q11r,
         # round-4: Q20 nested-aggregate semi-join supplier list
         "tpch_q20r": q.q_tpch_q20r,
+        # round-4: COUNT(DISTINCT) over a sliding window — the
+        # non-decomposable window shape via pair-dedup shuffles
+        "sliding_distinct": q.q_sliding_distinct,
+        # round-4: Flesch-style readability features, exact int contract
+        "readability": q.q_readability,
+        # round-4: connected components vs a recursive-CTE closure twin
+        "host_components": q.q_host_components,
     }
 
 
@@ -1781,5 +1788,60 @@ def oracle_sql() -> dict[str, str]:
         JOIN region ON r_regionkey = n_regionkey
         WHERE r_name = 'EUROPE'
         ORDER BY s_name
+    """
+    sql["sliding_distinct"] = """
+        -- distinct users per 2h/1h sliding window: every event lands in
+        -- exactly two windows; DISTINCT inside the count mirrors the Ray
+        -- pair-dedup shuffle
+        SELECT window_start, count(DISTINCT user_id)::BIGINT AS n_users
+        FROM (
+            SELECT date_trunc('hour', ts) AS window_start, user_id
+            FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, user_id
+            FROM events
+        )
+        GROUP BY window_start ORDER BY window_start
+    """
+    sql["readability"] = """
+        -- exact integer readability features; ratios are floor basis
+        -- points with zero denominators clamped to 1
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               ((n_words * 10000) // greatest(n_sentences, 1))::BIGINT
+                   AS wps_bp,
+               ((n_syllables * 10000) // greatest(n_words, 1))::BIGINT
+                   AS spw_bp
+        FROM (
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '\\S+'))::BIGINT AS n_words,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[.!?]+'))::BIGINT AS n_sentences,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                       '[aeiouy]+'))::BIGINT AS n_syllables
+            FROM documents
+        )
+        ORDER BY doc_id
+    """
+    sql["host_components"] = """
+        -- connected components of the deterministic 200-host graph via
+        -- a recursive-CTE transitive closure (UNION dedup terminates
+        -- cycles); component = min reachable host id, matching the Ray
+        -- min-label propagation exactly
+        WITH RECURSIVE
+        e0 AS (
+            SELECT (doc_id % 200) AS a,
+                   ((doc_id % 200) + 4 * (1 + doc_id % 47)) % 200 AS b
+            FROM documents
+        ),
+        e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        nodes AS (SELECT DISTINCT a AS n FROM e),
+        reach(a, b) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+        )
+        SELECT a::BIGINT AS host, min(b)::BIGINT AS component
+        FROM reach GROUP BY a ORDER BY host
     """
     return sql

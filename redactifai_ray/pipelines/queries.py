@@ -6398,3 +6398,116 @@ def q_tpch_q20r(
         out.sort_values("s_name")
         .reset_index(drop=True)[["s_name", "qty"]]
     )
+
+
+def q_sliding_distinct(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT user) over a sliding window (2 h window, 1 h
+    slide) — the classically hard window shape: distinct is not
+    decomposable, so the per-window set semantics must survive the
+    expansion. Ray shape: each batch expands events under both window
+    starts and pre-DISTINCTs (window, user) pairs (combiner), ONE keyed
+    groupby dedups pairs globally, and a second tiny groupby counts per
+    window — users never gather anywhere. The approximate cousin at
+    larger-than-exchange user cardinalities is ``hll_users_per_type``'s
+    register fold."""
+    events = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def windowed_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = df["ts"].dt.floor("h")
+        frames = [
+            pd.DataFrame(
+                {
+                    "window_start": base - pd.Timedelta(hours=k),
+                    "user_id": df["user_id"],
+                }
+            )
+            for k in (0, 1)
+        ]
+        both = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return pa.Table.from_pandas(both, preserve_index=False)
+
+    pairs = events.map_batches(windowed_pairs, batch_format="pyarrow")
+    distinct = pairs.groupby(
+        ["window_start", "user_id"], num_partitions=32
+    ).aggregate(Count(alias_name="_c"))
+    out = (
+        distinct.groupby("window_start")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return (
+        out[["window_start", "n_users"]]
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+
+
+def q_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch-style readability features per document — exact integer
+    contract: word count (non-space runs), sentence-terminator runs
+    ([.!?]+), syllable proxy (vowel-group runs in the lowercased text),
+    and the two Flesch ratios as floor basis points (words-per-sentence,
+    syllables-per-word; zero denominators clamp to 1). Pure vectorized
+    map — ``pc.count_substring_regex`` per column, zero shuffles, no
+    Python row loop."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(t["text"], pa.scalar("", pa.string()))
+        words = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+        sents = pc.count_substring_regex(txt, r"[.!?]+").cast(pa.int64())
+        syll = pc.count_substring_regex(
+            pc.utf8_lower(txt), r"[aeiouy]+"
+        ).cast(pa.int64())
+        w = words.to_numpy(zero_copy_only=False)
+        s = sents.to_numpy(zero_copy_only=False)
+        y = syll.to_numpy(zero_copy_only=False)
+        wps_bp = (w * 10000) // np.maximum(s, 1)
+        spw_bp = (y * 10000) // np.maximum(w, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": words,
+                "n_sentences": sents,
+                "n_syllables": syll,
+                "wps_bp": pa.array(wps_bp, pa.int64()),
+                "spw_bp": pa.array(spw_bp, pa.int64()),
+            }
+        )
+
+    out = docs.map_batches(feats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_host_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components over a deterministic 200-host link graph
+    derived from the documents table (no external data: edge
+    src=doc_id%200 → dst=(src+4·(1+doc_id%47))%200 — mod-4 residue
+    classes never connect, so exactly four components exist by
+    construction). Ray shape: the house distributed min-label
+    propagation (``label_propagation``: slim union + hash-partition
+    groupby per round, convergence from the label sum — no driver-side
+    graph). The oracle twin is a recursive-CTE transitive closure, so
+    component ids (min reachable host id) match exactly."""
+    from ..stages.dedup import label_propagation
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = ids % 200
+        dst = (src + 4 * (1 + ids % 47)) % 200
+        return pa.table(
+            {
+                "id_a": pa.array(src, pa.int64()),
+                "id_b": pa.array(dst, pa.int64()),
+            }
+        )
+
+    lab = label_propagation(docs.map_batches(edges, batch_format="pyarrow"))
+    out = lab.to_pandas().rename(columns={"node": "host", "label": "component"})
+    out["host"] = out["host"].astype(np.int64)
+    out["component"] = out["component"].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)[["host", "component"]]

