@@ -303,6 +303,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q.q_readability,
         # round-4: connected components vs a recursive-CTE closure twin
         "host_components": q.q_host_components,
+        # round-4: PERCENT_RANK in exact floor basis points (completes
+        # the window family: RANK/NTILE/CUME_DIST/PERCENT_RANK)
+        "percent_rank_in_lang": q.q_percent_rank_in_lang,
+        # round-4: UNPIVOT / melt (inverse of the PIVOT op)
+        "unpivot_measures": q.q_unpivot_measures,
     }
 
 
@@ -1843,5 +1848,45 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a::BIGINT AS host, min(b)::BIGINT AS component
         FROM reach GROUP BY a ORDER BY host
+    """
+    sql["percent_rank_in_lang"] = """
+        -- PERCENT_RANK as exact floor basis points: (rank-1)*10000 //
+        -- max(n_partition-1, 1) — no float division on either side
+        SELECT doc_id, lang,
+               (((rnk - 1) * 10000)
+                   // greatest(n_part - 1, 1))::BIGINT AS pr_bp
+        FROM (
+            SELECT doc_id, lang,
+                   rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC) AS rnk,
+                   count(*) OVER (PARTITION BY lang) AS n_part
+            FROM documents
+        )
+        ORDER BY doc_id
+    """
+    sql["unpivot_measures"] = """
+        -- UNPIVOT: four lineitem measures to long rows, each fixed to
+        -- int64 1/10000 units (quantities are integral so qty*10000 is
+        -- exact)
+        SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+               measure, value_c
+        FROM (
+            SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+                   CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)
+                       AS value_c FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'extendedprice',
+                   CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount',
+                   CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax',
+                   CAST(floor(l_tax * 10000 + 0.5) AS BIGINT)
+                FROM lineitem
+        )
+        ORDER BY l_orderkey, l_linenumber, measure
     """
     return sql

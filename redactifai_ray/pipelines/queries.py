@@ -6511,3 +6511,99 @@ def q_host_components(sf_dir: str) -> pd.DataFrame:
     out["host"] = out["host"].astype(np.int64)
     out["component"] = out["component"].astype(np.int64)
     return out.sort_values("host").reset_index(drop=True)[["host", "component"]]
+
+
+def q_percent_rank_in_lang(sf_dir: str) -> pd.DataFrame:
+    """Windowed PERCENT_RANK as exact floor basis points —
+    (rank−1)·10000 // (n_partition−1), zero denominator clamps to 1 —
+    completing the window-function family next to RANK / NTILE /
+    CUME_DIST. Same scale design as ``q_rank_in_lang``: the house
+    value-histogram fold (per-batch (lang, value) count partials → tiny
+    keyed groupby → rank-start + partition-total broadcast → one
+    vectorized map). No full-corpus group materializes; fact rows never
+    shuffle; no float division anywhere."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["lang", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    hist = (
+        docs.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rank_map: dict[tuple, int] = {}
+    total_map: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars", ascending=False)
+        counts = g["n"].to_numpy(dtype=np.int64)
+        starts = 1 + np.concatenate([[0], np.cumsum(counts)[:-1]])
+        total_map[lang] = int(counts.sum())
+        for v, r in zip(g["n_chars"].to_numpy(), starts):
+            rank_map[(lang, int(v))] = int(r)
+    map_ref = ray.put((rank_map, total_map))
+    state: dict = {}
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in state:
+            state["m"] = ray.get(map_ref)
+        rm, tm = state["m"]
+        pr = [
+            ((rm[(lg, int(v))] - 1) * 10000) // max(tm[lg] - 1, 1)
+            for lg, v in zip(df["lang"], df["n_chars"])
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang": df["lang"],
+                "pr_bp": pd.array(pr, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(attach, batch_format="pandas").to_pandas()
+
+
+def q_unpivot_measures(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT (wide→long melt) of four lineitem measures into
+    (orderkey, linenumber, measure, value_c) rows — the inverse of the
+    PIVOT op. Pure row-expanding vectorized map (4× fan-out built from
+    column concatenation, no Python row loop), zero shuffles; every
+    measure fixes to int64 1/10000 units so the long table is exact.
+    Returns the lazy fact-sized Dataset (the driver never gathers it)."""
+    MEASURES = ["quantity", "extendedprice", "discount", "tax"]
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = t["l_orderkey"].combine_chunks().cast(pa.int64())
+        ln = t["l_linenumber"].combine_chunks().cast(pa.int64())
+        keys, lines, meas, vals = [], [], [], []
+        for m in MEASURES:
+            x = np.asarray(t[f"l_{m}"], np.float64)
+            v = np.floor(x * 10000.0 + 0.5).astype(np.int64)
+            keys.append(ok)
+            lines.append(ln)
+            meas.append(pa.array([m] * n, pa.string()))
+            vals.append(pa.array(v, pa.int64()))
+        return pa.table(
+            {
+                "l_orderkey": pa.concat_arrays(keys),
+                "l_linenumber": pa.concat_arrays(lines),
+                "measure": pa.concat_arrays(meas),
+                "value_c": pa.concat_arrays(vals),
+            }
+        )
+
+    return li.map_batches(melt, batch_format="pyarrow")

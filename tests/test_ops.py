@@ -3180,3 +3180,54 @@ class TestHostComponents:
         # mod-4 residue classes cannot connect: exactly four components
         assert out["component"].nunique() == 4
         assert (out["host"] % 4 == out["component"] % 4).all()
+
+
+class TestPercentRankUnpivot:
+    SF = "/root/testdata/sf0.001"
+
+    def test_percent_rank_matches_pandas(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_percent_rank_in_lang
+
+        out = q_percent_rank_in_lang(self.SF).sort_values(
+            "doc_id"
+        ).reset_index(drop=True)
+        docs = pd.read_parquet(
+            f"{self.SF}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        rnk = docs.groupby("lang")["n_chars"].rank(
+            method="min", ascending=False
+        ).astype(np.int64)
+        npart = docs.groupby("lang")["n_chars"].transform("size").astype(
+            np.int64
+        )
+        want = pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"],
+                "lang": docs["lang"],
+                "pr_bp": ((rnk - 1) * 10000)
+                // np.maximum(npart - 1, 1),
+            }
+        ).sort_values("doc_id").reset_index(drop=True)
+        want["pr_bp"] = want["pr_bp"].astype(np.int64)
+        assert out.equals(want), (out.head(), want.head())
+
+    def test_unpivot_shape_and_values(self, ray_session):
+        from redactifai_ray.pipelines.queries import q_unpivot_measures
+
+        out = q_unpivot_measures(self.SF).to_pandas()
+        li = pd.read_parquet(f"{self.SF}/lineitem.parquet")
+        assert len(out) == 4 * len(li)
+        # spot-check one row across all four measures
+        row = li.iloc[17]
+        sel = out[
+            (out["l_orderkey"] == row["l_orderkey"])
+            & (out["l_linenumber"] == row["l_linenumber"])
+        ].set_index("measure")["value_c"]
+        for m, col in [
+            ("quantity", "l_quantity"),
+            ("extendedprice", "l_extendedprice"),
+            ("discount", "l_discount"),
+            ("tax", "l_tax"),
+        ]:
+            assert sel[m] == int(np.floor(row[col] * 10000 + 0.5))
