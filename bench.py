@@ -240,6 +240,12 @@ def run_bench() -> dict:
     timed("tpch_q7", lambda: q_tpch_q7r(SF_DIR))
     timed("event_cooccurrence", lambda: q_event_cooccurrence(SF_DIR))
 
+    # per-host cap loser pre-scan over the full pages corpus (slim
+    # 2-column read + host groupby; the apply side is a broadcast filter)
+    from redactifai_ray.pipelines.deidentify import compute_host_cap_losers
+
+    timed("host_cap_scan", lambda: compute_host_cap_losers(pages_dir, 1))
+
     from redactifai_ray.stages.curate import chunk_dedup
 
     timed(

@@ -279,26 +279,49 @@ def compute_host_cap_losers(
             )
         return out.groupby(["host", "k_"], as_index=False)["ord_us"].max()
 
-    def losers_in_group(g):
+    def add_pkey(df):
+        import pandas as pd
+
+        from ..stages.analyze import _term_pkey
+
+        df = df.copy()
+        if len(df) == 0:
+            df["pkey"] = pd.Series(dtype="int64")
+            return df
+        df["pkey"] = _term_pkey(df["host"].to_numpy(dtype=object), P)
+        return df
+
+    def losers_in_partition(g):
+        # ONE vectorized pass over ALL hosts co-located in this hash
+        # partition (a per-host map_groups would invoke pandas once per
+        # host — measured 18 s vs <1 s at sf0.01)
         import pandas as pd
 
         if "k_" not in g.columns:
             return pd.DataFrame({"k_": pd.Series(dtype="object")})
-        u = g.groupby("k_", as_index=False)["ord_us"].max()
+        u = g.groupby(["host", "k_"], as_index=False)["ord_us"].max()
         u = u.sort_values(
-            ["ord_us", "k_"], ascending=[False, True]
-        ).reset_index(drop=True)
-        return u.iloc[int(k):][["k_"]]
+            ["host", "ord_us", "k_"], ascending=[True, False, True]
+        )
+        rank = u.groupby("host").cumcount()
+        return u.loc[rank >= int(k), ["k_"]]
 
     losers = (
         slim.map_batches(partial, batch_format="pandas")
-        .groupby("host", num_partitions=P)
-        .map_groups(losers_in_group, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pandas")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(losers_in_partition, batch_format="pandas")
+        .materialize()  # loser-scale; count + gather reuse blocks
     )
-    rows = losers.take(max_loser_keys + 1)
-    if len(rows) > max_loser_keys:
+    # count-then-columnar-gather: a row-based take(max+1) materializes
+    # Python dicts per row (measured 100×the pipeline wall at 400k
+    # losers); the over-budget probe must not pay that
+    if losers.count() > max_loser_keys:
         return None
-    return {r["k_"] for r in rows}
+    df = losers.to_pandas()
+    if len(df) == 0 or "k_" not in df.columns:
+        return set()
+    return set(df["k_"])
 
 
 def make_loser_filter(losers_ref, key: str = "url"):
@@ -368,34 +391,54 @@ def cap_per_host(
             batch_format="pyarrow",
         )
 
-    # full-shuffle fallback: host-keyed groupby, in-group per-URL-newest
-    # rank, keep all rows of the top-k URLs (None hosts always survive)
+    # full-shuffle fallback: hash-partition full rows by host, ONE
+    # vectorized in-partition cut per partition (per-URL-newest rank,
+    # keep all rows of each host's top-k URLs; None hosts always
+    # survive). The same one-pass pandas shape as the loser pre-scan —
+    # a per-host map_groups would call pandas once per host.
     from ..cluster import default_partitions
+    from ..stages.analyze import _term_pkey
 
     P = default_partitions()
 
     def add_host(df):
+        import pandas as pd
+
         df = df.copy()
         df["__host"] = df[key].map(lambda u: host_fn(u) or "\x00none")
+        if len(df) == 0:
+            df["__pkey"] = pd.Series(dtype="int64")
+            return df
+        df["__pkey"] = _term_pkey(df["__host"].to_numpy(dtype=object), P)
         return df
 
     def cut(g):
         if key not in g.columns:
             return g
-        if g["__host"].iloc[0] == "\x00none":
-            return g.drop(columns="__host")
-        u = (
-            g.assign(__ord=lambda d: d[order_col].astype("int64"))
-            .groupby(key, as_index=False)["__ord"]
-            .max()
-            .sort_values(["__ord", key], ascending=[False, True])
+        capped = g[g["__host"] != "\x00none"]
+        passthru = g[g["__host"] == "\x00none"]
+        if not capped.empty:
+            u = (
+                capped.assign(__ord=capped[order_col].astype("int64"))
+                .groupby(["__host", key], as_index=False)["__ord"]
+                .max()
+                .sort_values(
+                    ["__host", "__ord", key],
+                    ascending=[True, False, True],
+                )
+            )
+            u = u[u.groupby("__host").cumcount() < int(k)]
+            keep = set(u[key])
+            capped = capped[capped[key].isin(keep)]
+        import pandas as pd
+
+        return pd.concat([capped, passthru]).drop(
+            columns=["__host", "__pkey"]
         )
-        keep = set(u[key].iloc[: int(k)])
-        return g[g[key].isin(keep)].drop(columns="__host")
 
     return (
         ds.map_batches(add_host, batch_format="pandas")
-        .groupby("__host", num_partitions=P)
+        .groupby("__pkey", num_partitions=P)
         .map_groups(cut, batch_format="pandas")
     )
 
