@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_in_lang": q.q_percent_rank_in_lang,
         # round-4: UNPIVOT / melt (inverse of the PIVOT op)
         "unpivot_measures": q.q_unpivot_measures,
+        # round-4: BPE tokenize-to-ids (rows-only: trained model
+        # artifact; roundtrip/determinism/distributed≡serial test-pinned)
+        "bpe_ids": q.q_bpe_ids,
     }
 
 

@@ -147,3 +147,86 @@ def add_bpe_count(ds, merges, text_col: str = "text", concurrency=(1, 8)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def build_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """Deterministic id table from a merge list alone (no corpus pass):
+    ``[END]`` + every merge component and output, sorted. Any symbol the
+    greedy encoder can emit is either in this table or a single
+    character (unmerged), so ids are total with the codepoint fallback
+    in ``BpeIdEncoder`` — unknown chars at encode time (absent from
+    training) map to ``len(vocab) + ord(ch)``, keeping encode/decode a
+    bijection without shipping a corpus-derived char table."""
+    syms = {END}
+    for a, b in merges:
+        syms.add(a)
+        syms.add(b)
+        syms.add(a + b)
+    return sorted(syms)
+
+
+class BpeIdEncoder:
+    """Trained-BPE text → token-id list (GPT-style tokenize step; the
+    ids feed ``pack_sequences``-planned training shards). Actor-pool
+    stage — merge ranks + the vocab dict are the expensive state, built
+    once per actor from a ``ray.put`` merge list (ST2 doctrine, the
+    ``BpeCount`` sibling). Emits ``ids: list<int32>`` and ``n_ids``.
+
+    Id scheme (deterministic, reversible): ids < len(vocab) index
+    ``build_vocab(merges)``; ids ≥ len(vocab) are len(vocab)+codepoint
+    for single characters unseen in training (every unmergeable symbol
+    is a single char by construction). ``decode_ids`` inverts exactly."""
+
+    def __init__(self, merges_ref, text_col: str = "text"):
+        import ray
+
+        merges = ray.get(merges_ref)
+        self.tok = BpeTokenizer(merges)
+        self.vocab = build_vocab(merges)
+        self.idx = {s: i for i, s in enumerate(self.vocab)}
+        self.offset = len(self.vocab)
+        self.text_col = text_col
+
+    def _ids(self, text: str) -> list[int]:
+        idx, off = self.idx, self.offset
+        out = []
+        for sym in self.tok.encode(text or ""):
+            i = idx.get(sym)
+            if i is None:
+                # unmerged unknown: always a single char by construction
+                i = off + ord(sym)
+            out.append(i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = [self._ids(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(
+            "ids", pa.array(ids, pa.list_(pa.int32()))
+        ).append_column(
+            "n_ids", pa.array([len(x) for x in ids], pa.int64())
+        )
+
+
+def decode_ids(ids, merges: list[tuple[str, str]]) -> str:
+    """Exact inverse of ``BpeIdEncoder``: symbols re-join, ``</w>``
+    becomes a word boundary (BPE lowercases and collapses whitespace, so
+    decode(encode(text)) == " ".join(text.lower().split()) for texts
+    whose words end at ``</w>`` — pinned by the roundtrip test)."""
+    vocab = build_vocab(merges)
+    off = len(vocab)
+    syms = [vocab[i] if i < off else chr(i - off) for i in ids]
+    return "".join(syms).replace(END, " ").strip()
+
+
+def add_bpe_ids(ds, merges, text_col: str = "text", concurrency=(1, 8)):
+    import ray
+
+    return ds.map_batches(
+        BpeIdEncoder,
+        fn_constructor_kwargs=dict(
+            merges_ref=ray.put(merges), text_col=text_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -6068,10 +6068,11 @@ def q_tpch_q2r(sf_dir: str, region: str = "EUROPE") -> pd.DataFrame:
     (acctbal, nation) map are dimension-scale and broadcast once as
     sorted arrays; each lineitem batch resolves both with
     ``np.searchsorted`` and pre-folds a per-batch ARGMAX row per partkey
-    (lexsort: bal desc, suppkey asc), so the ONE partkey groupby moves
-    ≤|parts-in-filter| rows per block and its in-group pick is the same
-    deterministic rule. Names attach driver-side on the ≤100-row result
-    via a ``pc.is_in``-pruned supplier read."""
+    (lexsort: bal desc, suppkey asc), so the ONE partkey-hash-partition
+    groupby moves ≤|parts-in-filter| rows per block and each partition
+    applies the same deterministic rule in ONE vectorized pass over all
+    its parts (never one pandas call per part). Names attach driver-side
+    on the ≤100-row result via a ``pc.is_in``-pruned supplier read."""
     from ..cluster import default_partitions
 
     P = default_partitions()
@@ -6151,28 +6152,40 @@ def q_tpch_q2r(sf_dir: str, region: str = "EUROPE") -> pd.DataFrame:
             }
         )
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        if "l_partkey" not in g.columns:
-            return pd.DataFrame(
-                {
-                    "l_partkey": pd.Series(dtype="int64"),
-                    "bal_c": pd.Series(dtype="int64"),
-                    "supp": pd.Series(dtype="int64"),
-                    "nat": pd.Series(dtype="int64"),
-                }
-            )
-        g = g.sort_values(
-            ["bal_c", "supp"], ascending=[False, True]
+    def add_pkey(t: pa.Table) -> pa.Table:
+        kk = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        return g.iloc[[0]][["l_partkey", "bal_c", "supp", "nat"]].astype(
-            {"l_partkey": "int64", "bal_c": "int64", "supp": "int64", "nat": "int64"}
+        return t.append_column("pkey", pa.array(kk % P, pa.int64()))
+
+    def pick_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized ARGMAX pass over every partkey co-located in
+        # this hash partition (a per-part map_groups would call pandas
+        # once per part — the host-cap-scan lesson)
+        empty = pd.DataFrame(
+            {
+                "l_partkey": pd.Series(dtype="int64"),
+                "bal_c": pd.Series(dtype="int64"),
+                "supp": pd.Series(dtype="int64"),
+                "nat": pd.Series(dtype="int64"),
+            }
+        )
+        if "l_partkey" not in g.columns or g.empty:
+            return empty
+        g = g.sort_values(
+            ["l_partkey", "bal_c", "supp"],
+            ascending=[True, False, True],
+        ).drop_duplicates("l_partkey")
+        return g[["l_partkey", "bal_c", "supp", "nat"]].astype(
+            empty.dtypes.to_dict()
         )
 
     best = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
         .map_batches(best_in_batch, batch_format="pyarrow")
-        .groupby("l_partkey", num_partitions=min(P, 16))
-        .map_groups(pick, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=min(P, 16))
+        .map_groups(pick_in_partition, batch_format="pandas")
         .to_pandas()
     )
     if best.empty or "l_partkey" not in best.columns:
@@ -6607,3 +6620,37 @@ def q_unpivot_measures(sf_dir: str) -> ray.data.Dataset:
         )
 
     return li.map_batches(melt, batch_format="pyarrow")
+
+
+def q_bpe_ids(sf_dir: str) -> pd.DataFrame:
+    """Trained-BPE tokenize-to-ids (rows-only: the merge table is a
+    model artifact). The GPT-style tokenize step whose id streams feed
+    ``pack_sequences``-planned shards; ids are deterministic and exactly
+    reversible (``decode_ids``) via the merge-derived vocab + codepoint
+    fallback — roundtrip, determinism and distributed≡serial are
+    test-pinned. Output stays slim (per-doc count + id-stream head) so
+    the driver check never gathers the full id lists."""
+    from ..functions.bpe import add_bpe_ids, train_bpe, word_frequencies
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(word_frequencies(docs, sample_rows=2000), n_merges=200)
+
+    def slim(t: pa.Table) -> pa.Table:
+        ids = t["ids"]
+        first = [
+            (x[0].as_py() if len(x) else -1) for x in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ids": t["n_ids"],
+                "first_id": pa.array(first, pa.int64()),
+            }
+        )
+
+    out = (
+        add_bpe_ids(docs, merges)
+        .map_batches(slim, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -691,3 +691,72 @@ class TestHllSetAlgebra:
             ray.data.from_items(rows).repartition(13), "k", "v", "a", "b"
         )
         assert out.equals(out2)  # register max-merge is order-invariant
+
+
+class TestBpeIds:
+    CORPUS = [
+        "the cat sat on the mat and the cat ran",
+        "a dog and a cat met another dog",
+        "tables store rows and rows hold values",
+    ]
+
+    def _merges(self):
+        from redactifai_ray.functions.bpe import train_bpe
+
+        from collections import Counter
+
+        freqs = Counter()
+        for t in self.CORPUS:
+            freqs.update(t.lower().split())
+        return train_bpe(dict(freqs), n_merges=40)
+
+    def test_roundtrip_and_determinism(self, ray_session):
+        import ray as _ray
+
+        from redactifai_ray.functions.bpe import BpeIdEncoder, decode_ids
+
+        merges = self._merges()
+        ref = _ray.put(merges)
+        enc = BpeIdEncoder(ref)
+        for text in self.CORPUS + ["unseen WORDS with Zebra42!"]:
+            ids = enc._ids(text)
+            assert decode_ids(ids, merges) == " ".join(text.lower().split())
+            assert enc._ids(text) == ids  # deterministic
+
+    def test_unknown_char_fallback_is_reversible(self, ray_session):
+        import ray as _ray
+
+        from redactifai_ray.functions.bpe import (
+            BpeIdEncoder,
+            build_vocab,
+            decode_ids,
+        )
+
+        merges = self._merges()
+        enc = BpeIdEncoder(_ray.put(merges))
+        text = "café 北京 naïve"
+        ids = enc._ids(text)
+        off = len(build_vocab(merges))
+        assert any(i >= off for i in ids)  # fallback ids actually used
+        assert decode_ids(ids, merges) == text.lower()
+
+    def test_distributed_matches_serial(self, ray_session):
+        import ray as _ray
+        import ray.data
+
+        from redactifai_ray.functions.bpe import BpeIdEncoder, add_bpe_ids
+
+        merges = self._merges()
+        rows = [
+            {"doc_id": i, "text": t} for i, t in enumerate(self.CORPUS * 7)
+        ]
+        out = (
+            add_bpe_ids(ray.data.from_items(rows).repartition(5), merges)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        enc = BpeIdEncoder(_ray.put(merges))
+        for _, r in out.iterrows():
+            assert list(r["ids"]) == enc._ids(rows[int(r["doc_id"])]["text"])
+            assert r["n_ids"] == len(r["ids"])
