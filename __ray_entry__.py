@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: BPE tokenize-to-ids (rows-only: trained model
         # artifact; roundtrip/determinism/distributed≡serial test-pinned)
         "bpe_ids": q.q_bpe_ids,
+        # round-4: exact fuzzy self-join (symmetric-deletion blocking)
+        "fuzzy_name_pairs": q.q_fuzzy_name_pairs,
     }
 
 
@@ -1891,5 +1893,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
         )
         ORDER BY l_orderkey, l_linenumber, measure
+    """
+    sql["fuzzy_name_pairs"] = """
+        -- exact edit-distance<=1 similarity self-join; the engine uses
+        -- symmetric-deletion blocking, the oracle brute-forces the
+        -- cross join with DuckDB's built-in levenshtein
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id_a, id_b
     """
     return sql

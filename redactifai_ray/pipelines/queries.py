@@ -6654,3 +6654,29 @@ def q_bpe_ids(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fuzzy_name_pairs(sf_dir: str, max_edits: int = 1) -> pd.DataFrame:
+    """Exact edit-distance similarity self-join (entity matching): every
+    customer-name pair within ``max_edits`` Levenshtein distance, via
+    symmetric-deletion blocking + banded-DP verify — never an all-pairs
+    comparison (``stages/fuzzyjoin.py``; the reference's EntityMatcher
+    thresholded-Levenshtein semantics at join scale). Oracle is DuckDB's
+    built-in ``levenshtein`` over the naive cross join, so the match is
+    bit-exact on (id_a, id_b, dist)."""
+    from ..stages.fuzzyjoin import fuzzy_join_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = fuzzy_join_pairs(
+        cust, id_col="c_custkey", text_col="c_name", max_edits=max_edits
+    )
+    out = pairs.to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

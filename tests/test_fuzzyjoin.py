@@ -1,0 +1,126 @@
+"""Exactness tests for the symmetric-deletion fuzzy join
+(`stages/fuzzyjoin.py`) — brute-force equivalence, both join shapes."""
+
+import random
+
+import pandas as pd
+import ray.data
+
+from redactifai_ray.functions.textdist import levenshtein
+from redactifai_ray.stages.fuzzyjoin import deletion_variants, fuzzy_join_pairs
+
+
+def _brute_self(rows, k):
+    out = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            d = levenshtein(ta, tb, k)
+            if d <= k:
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                out.add((lo, hi, d))
+    return out
+
+
+def _rand_rows(n, seed, alphabet="abcd", lo=0, hi=6):
+    rng = random.Random(seed)
+    return [
+        (
+            i,
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(lo, hi))
+            ),
+        )
+        for i in range(n)
+    ]
+
+
+class TestDeletionVariants:
+    def test_contains_self_and_counts(self):
+        vs = deletion_variants("abc", 1)
+        assert vs == {"abc", "bc", "ac", "ab"}
+
+    def test_repeated_chars_collapse(self):
+        assert deletion_variants("aaa", 1) == {"aaa", "aa"}
+
+    def test_k2_reaches_empty(self):
+        assert "" in deletion_variants("ab", 2)
+
+    def test_symmetric_delete_guarantee(self):
+        # if lev(a,b) <= k the deletion neighborhoods intersect
+        rng = random.Random(7)
+        rows = _rand_rows(40, 11)
+        for _ in range(200):
+            (_, a), (_, b) = rng.sample(rows, 2)
+            if levenshtein(a, b, 2) <= 2:
+                assert deletion_variants(a, 2) & deletion_variants(b, 2)
+
+
+class TestFuzzyJoinSelf:
+    def _run(self, rows, k, **kw):
+        ds = ray.data.from_items(
+            [{"id": i, "text": t} for i, t in rows]
+        ).repartition(5)
+        out = fuzzy_join_pairs(
+            ds, id_col="id", text_col="text", max_edits=k, **kw
+        ).to_pandas()
+        if out.empty or "id_a" not in out.columns:
+            return set()
+        return {
+            (int(r.id_a), int(r.id_b), int(r.dist))
+            for r in out.itertuples()
+        }
+
+    def test_matches_brute_force_k1(self, ray_session):
+        rows = _rand_rows(80, 3)
+        assert self._run(rows, 1) == _brute_self(rows, 1)
+
+    def test_matches_brute_force_k2(self, ray_session):
+        rows = _rand_rows(50, 5)
+        assert self._run(rows, 2) == _brute_self(rows, 2)
+
+    def test_exact_duplicates_found_at_dist_zero(self, ray_session):
+        rows = [(0, "same"), (1, "same"), (2, "other")]
+        got = self._run(rows, 1)
+        assert (0, 1, 0) in got
+
+    def test_empty_strings_and_short_keys(self, ray_session):
+        rows = [(0, ""), (1, "a"), (2, "b"), (3, "ab")]
+        assert self._run(rows, 1) == _brute_self(rows, 1)
+
+    def test_partitioning_invariance(self, ray_session):
+        rows = _rand_rows(60, 9)
+        assert self._run(rows, 1, num_partitions=3) == self._run(
+            rows, 1, num_partitions=29
+        )
+
+
+class TestFuzzyJoinTwoSided:
+    def test_matches_brute_force(self, ray_session):
+        a = _rand_rows(40, 13)
+        b = _rand_rows(40, 17)
+        ds_a = ray.data.from_items(
+            [{"id": i, "text": t} for i, t in a]
+        ).repartition(3)
+        ds_b = ray.data.from_items(
+            [{"id": i, "text": t} for i, t in b]
+        ).repartition(4)
+        out = fuzzy_join_pairs(
+            ds_a, ds_b, id_col="id", text_col="text", max_edits=1
+        ).to_pandas()
+        got = (
+            set()
+            if out.empty or "id_a" not in out.columns
+            else {
+                (int(r.id_a), int(r.id_b), int(r.dist))
+                for r in out.itertuples()
+            }
+        )
+        want = {
+            (ia, ib, levenshtein(ta, tb, 1))
+            for ia, ta in a
+            for ib, tb in b
+            if levenshtein(ta, tb, 1) <= 1
+        }
+        # ids overlap between sides by construction; sides must be kept
+        # apart (id_a always from ds_a, id_b from ds_b)
+        assert got == want
