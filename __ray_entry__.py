@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_ids": q.q_bpe_ids,
         # round-4: exact fuzzy self-join (symmetric-deletion blocking)
         "fuzzy_name_pairs": q.q_fuzzy_name_pairs,
+        # round-4: fuzzy join → min-label entity-resolution clustering
+        "fuzzy_dedup": q.q_fuzzy_dedup,
     }
 
 
@@ -1903,5 +1905,26 @@ def oracle_sql() -> dict[str, str]:
         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
         ORDER BY id_a, id_b
+    """
+    sql["fuzzy_dedup"] = """
+        -- entity-resolution clustering: connected components over the
+        -- brute-force levenshtein<=1 pair graph via a recursive-CTE
+        -- transitive closure; component = min reachable custkey,
+        -- matching the Ray min-label propagation exactly (singletons
+        -- label themselves via the seed row)
+        WITH RECURSIVE
+        p AS (
+            SELECT a.c_custkey AS x, b.c_custkey AS y
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ),
+        e AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+        reach(a, b) AS (
+            SELECT c_custkey, c_custkey FROM customer
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+        )
+        SELECT a::BIGINT AS c_custkey, min(b)::BIGINT AS component
+        FROM reach GROUP BY a ORDER BY c_custkey
     """
     return sql

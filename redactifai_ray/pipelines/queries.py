@@ -6680,3 +6680,37 @@ def q_fuzzy_name_pairs(sf_dir: str, max_edits: int = 1) -> pd.DataFrame:
             }
         )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_fuzzy_dedup(sf_dir: str, max_edits: int = 1) -> pd.DataFrame:
+    """Fuzzy-duplicate clustering: the exact edit-distance join
+    (``fuzzy_join_pairs``) composed with the house distributed min-label
+    propagation (``label_propagation``) — every customer keyed by the
+    min custkey reachable through a chain of names within ``max_edits``
+    edits (the canonical-representative pick of an entity-resolution
+    dedup). Nodes with no fuzzy neighbor label themselves. The
+    label→key attach runs driver-side because customer is
+    dimension-scale; at corpus scale the same attach is the broadcast
+    winner-map / hash-partition merge pattern used by the dedup family.
+    Oracle: recursive-CTE transitive closure over the brute-force
+    levenshtein pair set — component ids match exactly."""
+    from ..stages.dedup import label_propagation
+    from ..stages.fuzzyjoin import fuzzy_join_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = fuzzy_join_pairs(
+        cust, id_col="c_custkey", text_col="c_name", max_edits=max_edits
+    ).select_columns(["id_a", "id_b"])
+    lab = label_propagation(pairs).to_pandas()
+    keys = cust.select_columns(["c_custkey"]).to_pandas()
+    if lab.empty or "node" not in lab.columns:
+        out = keys.assign(component=keys["c_custkey"])
+    else:
+        out = keys.merge(
+            lab, left_on="c_custkey", right_on="node", how="left"
+        )
+        out["component"] = (
+            out["label"].fillna(out["c_custkey"]).astype(np.int64)
+        )
+    out = out[["c_custkey", "component"]].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
