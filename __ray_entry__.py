@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": q.q_fuzzy_name_pairs,
         # round-4: fuzzy join → min-label entity-resolution clustering
         "fuzzy_dedup": q.q_fuzzy_dedup,
+        # round-4: deterministic k-per-group sample (reservoir-k analog)
+        "grouped_sample_k": q.q_grouped_sample_k,
     }
 
 
@@ -1926,5 +1928,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a::BIGINT AS c_custkey, min(b)::BIGINT AS component
         FROM reach GROUP BY a ORDER BY c_custkey
+    """
+    sql["grouped_sample_k"] = """
+        -- deterministic k-per-group sample: smallest md5(doc_id) hex
+        -- digests win within each lang (doc_id tiebreak), matching the
+        -- engine's distributed partial-top-k fold bit-exactly
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+        ORDER BY lang, doc_id
     """
     return sql

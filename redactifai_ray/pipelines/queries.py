@@ -6714,3 +6714,55 @@ def q_fuzzy_dedup(sf_dir: str, max_edits: int = 1) -> pd.DataFrame:
         )
     out = out[["c_custkey", "component"]].astype("int64")
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_grouped_sample_k(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Deterministic k-per-group sample (the distributed reservoir-k
+    analog): within each lang, the k docs with the smallest
+    md5(doc_id) hex digest win — a uniform draw that is bit-reproducible
+    across engines, repartitions and resumes (no RNG state). Shape: each
+    batch emits only its local per-group top-k (a partial fold — the
+    global winners are always inside the union of local winners), so the
+    driver folds ≤ k × groups × blocks slim rows; the full table never
+    gathers and nothing shuffles. Oracle: ``row_number() OVER
+    (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR))`` — both sides
+    order by the full lowercase hex digest with a doc_id tiebreak."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"].astype(np.int64),
+                "hkey": [
+                    hashlib.md5(str(int(i)).encode()).hexdigest()
+                    for i in df["doc_id"]
+                ],
+            }
+        )
+        return (
+            out.sort_values(["hkey", "doc_id"], kind="mergesort")
+            .groupby("lang", as_index=False, sort=False)
+            .head(k)
+        )
+
+    parts = docs.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if parts.empty or "lang" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.sort_values(["hkey", "doc_id"], kind="mergesort")
+        .groupby("lang", as_index=False, sort=False)
+        .head(k)
+    )
+    return (
+        out[["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
