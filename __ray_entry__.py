@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup": q.q_fuzzy_dedup,
         # round-4: deterministic k-per-group sample (reservoir-k analog)
         "grouped_sample_k": q.q_grouped_sample_k,
+        # round-4: JSON field extraction (vectorized ->> analog)
+        "json_props_stats": q.q_json_props_stats,
     }
 
 
@@ -1942,5 +1944,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ) WHERE rn <= 20
         ORDER BY lang, doc_id
+    """
+    sql["json_props_stats"] = """
+        -- JSON scalar extraction + aggregate; the engine's vectorized
+        -- extractor matches ->> semantics value-for-value
+        SELECT event_type,
+               count(props->>'k')::BIGINT AS n,
+               sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
     """
     return sql

@@ -6766,3 +6766,37 @@ def q_grouped_sample_k(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .sort_values(["lang", "doc_id"])
         .reset_index(drop=True)
     )
+
+
+def q_json_props_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON field extraction as a batch operator (the event-log shape:
+    pull a scalar out of a ``props`` JSON column, then aggregate).
+    ``functions/jsoncol.py`` extracts with ONE vectorized
+    ``pc.extract_regex`` pass over provably-flat objects (a per-row
+    ``json.loads`` only for the hard minority — nested/escaped/float),
+    semantics matching DuckDB ``->>`` value-for-value. Aggregation is
+    the house partial fold: per-batch (event_type, n, sum_k) partials →
+    tiny keyed groupby — the JSON strings never shuffle."""
+    from ..functions.jsoncol import json_get_string
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = json_get_string(t.column("props"), "k").cast(pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "k": k})
+        g = (
+            tt.group_by("event_type")
+            .aggregate([("k", "count"), ("k", "sum")])
+            .rename_columns(["event_type", "n", "sum_k"])
+        )
+        return g
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
