@@ -308,6 +308,14 @@ def run_bench() -> dict:
 
     timed("extract_pdf", extract_pdf)
 
+    from redactifai_ray.pipelines.queries import (
+        q_fuzzy_name_pairs,
+        q_json_props_stats,
+    )
+
+    timed("fuzzy_join", lambda: q_fuzzy_name_pairs(SF_DIR))
+    timed("json_props_stats", lambda: q_json_props_stats(SF_DIR))
+
     headline = timings["flagship_deidentify"]
     result = {
         "metric": "flagship deidentify wall time (extract+dedup+detect+mask+write)",

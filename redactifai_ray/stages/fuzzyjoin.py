@@ -64,6 +64,81 @@ def deletion_variants(s: str, k: int) -> set[str]:
     return out
 
 
+def _bytemat(strs: "pd.Series | np.ndarray", width: int) -> np.ndarray:
+    """Fixed-width byte matrix for a group of equal-length ASCII strings
+    (one C-speed join + frombuffer — no per-char Python)."""
+    joined = "".join(strs)
+    if width == 0:
+        return np.empty((len(strs), 0), np.uint8)
+    return np.frombuffer(joined.encode("ascii"), np.uint8).reshape(
+        -1, width
+    )
+
+
+def _prefix_suffix_cover(a_mat: np.ndarray, b_mat: np.ndarray) -> np.ndarray:
+    """For rows of a (width L+1) vs b (width L): True when deleting one
+    char from a yields b — common prefix + common suffix covers all of
+    b (the vectorized single-deletion test)."""
+    L = b_mat.shape[1]
+    if L == 0:
+        return np.ones(a_mat.shape[0], bool)
+    mis_f = a_mat[:, :L] != b_mat
+    any_f = mis_f.any(axis=1)
+    pref = np.where(any_f, mis_f.argmax(axis=1), L)
+    mis_r = a_mat[:, 1:][:, ::-1] != b_mat[:, ::-1]
+    any_r = mis_r.any(axis=1)
+    suf = np.where(any_r, mis_r.argmax(axis=1), L)
+    return pref + suf >= L
+
+
+def pair_distances(
+    ta: np.ndarray, tb: np.ndarray, max_edits: int
+) -> np.ndarray:
+    """Levenshtein distances for candidate pairs, reported as
+    ``max_edits + 1`` beyond the threshold. ``max_edits == 1`` is fully
+    vectorized over ASCII pairs (equal length ⇒ hamming; length-diff-1 ⇒
+    prefix+suffix single-deletion cover — both numpy byte-matrix passes
+    grouped by length); non-ASCII pairs and ``max_edits >= 2`` take the
+    early-exit banded DP per pair."""
+    n = len(ta)
+    out = np.full(n, max_edits + 1, np.int64)
+    if n == 0:
+        return out
+    eq = np.fromiter((a == b for a, b in zip(ta, tb)), bool, n)
+    out[eq] = 0
+    la = np.fromiter((len(x) for x in ta), np.int64, n)
+    lb = np.fromiter((len(x) for x in tb), np.int64, n)
+    todo = ~eq & (np.abs(la - lb) <= max_edits)
+    if max_edits == 1:
+        asc = np.fromiter(
+            (a.isascii() and b.isascii() for a, b in zip(ta, tb)), bool, n
+        )
+        vec = todo & asc
+        # equal length: lev<=1 ⟺ hamming<=1 (a single substitution)
+        same = vec & (la == lb)
+        for L in np.unique(la[same]):
+            idx = np.nonzero(same & (la == L))[0]
+            ham = (
+                _bytemat(ta[idx], L) != _bytemat(tb[idx], L)
+            ).sum(axis=1)
+            out[idx[ham == 1]] = 1
+        # length diff 1: lev<=1 ⟺ one deletion from the longer works
+        diff = vec & (np.abs(la - lb) == 1)
+        lng = np.where(la > lb, ta, tb)
+        sht = np.where(la > lb, tb, ta)
+        lshort = np.minimum(la, lb)
+        for L in np.unique(lshort[diff]):
+            idx = np.nonzero(diff & (lshort == L))[0]
+            ok = _prefix_suffix_cover(
+                _bytemat(lng[idx], L + 1), _bytemat(sht[idx], L)
+            )
+            out[idx[ok]] = 1
+        todo = todo & ~vec
+    for i in np.nonzero(todo)[0]:
+        out[i] = levenshtein(ta[i], tb[i], max_edits)
+    return out
+
+
 def _vhash(values: list[str]) -> np.ndarray:
     """Deterministic u64 hash of variant strings (pandas siphash,
     ``categorize=False`` — see ``analyze._term_pkey`` for why the
@@ -162,13 +237,8 @@ def fuzzy_join_pairs(
         if m.empty:
             return empty
         m = m.drop_duplicates(["id_a", "id_b"])
-        dists = np.fromiter(
-            (
-                levenshtein(a, b, max_edits)
-                for a, b in zip(m["text_a"], m["text_b"])
-            ),
-            dtype=np.int64,
-            count=len(m),
+        dists = pair_distances(
+            m["text_a"].to_numpy(), m["text_b"].to_numpy(), max_edits
         )
         m = m.assign(dist=dists)
         m = m[m["dist"] <= max_edits]

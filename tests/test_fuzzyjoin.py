@@ -55,6 +55,40 @@ class TestDeletionVariants:
                 assert deletion_variants(a, 2) & deletion_variants(b, 2)
 
 
+class TestPairDistances:
+    def test_matches_banded_dp_k1(self):
+        import numpy as np
+
+        from redactifai_ray.stages.fuzzyjoin import pair_distances
+
+        rng = random.Random(23)
+        pool = [t for _, t in _rand_rows(60, 29)] + [
+            "", "a", "café", "naïve", "naive", "caf", "北京", "北亰"
+        ]
+        ta = [rng.choice(pool) for _ in range(500)]
+        tb = [rng.choice(pool) for _ in range(500)]
+        got = pair_distances(
+            np.array(ta, object), np.array(tb, object), 1
+        )
+        want = [levenshtein(a, b, 1) for a, b in zip(ta, tb)]
+        assert got.tolist() == want
+
+    def test_matches_banded_dp_k2(self):
+        import numpy as np
+
+        from redactifai_ray.stages.fuzzyjoin import pair_distances
+
+        rows = [t for _, t in _rand_rows(40, 31)]
+        ta = rows
+        tb = rows[1:] + rows[:1]
+        got = pair_distances(
+            np.array(ta, object), np.array(tb, object), 2
+        )
+        assert got.tolist() == [
+            levenshtein(a, b, 2) for a, b in zip(ta, tb)
+        ]
+
+
 class TestFuzzyJoinSelf:
     def _run(self, rows, k, **kw):
         ds = ray.data.from_items(
