@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sample_k": q.q_grouped_sample_k,
         # round-4: JSON field extraction (vectorized ->> analog)
         "json_props_stats": q.q_json_props_stats,
+        # round-4: exact Jaccard-threshold join (prefix filtering)
+        "exact_jaccard_join": q.q_exact_jaccard_join,
     }
 
 
@@ -1952,5 +1954,34 @@ def oracle_sql() -> dict[str, str]:
                count(props->>'k')::BIGINT AS n,
                sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+    sql["exact_jaccard_join"] = """
+        -- exact Jaccard>=1/2 set-similarity self-join over 5-word
+        -- shingles, brute-forced: the engine's prefix-filter join must
+        -- find exactly these pairs with these intersection sizes.
+        -- string_split(text,' ') mirrors the engine's explicit
+        -- single-space tokenization; the threshold is cross-multiplied
+        -- (2c >= na+nb-c) so no floats appear on either side
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                          || w[i+4] || ' ' || w[i+5] AS s
+            FROM docs, unnest(range(0, greatest(len(w) - 4, 0))) AS t(i)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT ia AS id_a, ib AS id_b, c::BIGINT AS n_shared
+        FROM inter
+        JOIN sz sa ON sa.doc_id = ia
+        JOIN sz sb ON sb.doc_id = ib
+        WHERE 2 * c >= (sa.n + sb.n - c)
+        ORDER BY id_a, id_b
     """
     return sql

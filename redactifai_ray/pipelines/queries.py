@@ -6800,3 +6800,29 @@ def q_json_props_stats(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype(np.int64)
     out["sum_k"] = out["sum_k"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_exact_jaccard_join(sf_dir: str) -> pd.DataFrame:
+    """EXACT n-gram set-similarity self-join (SSJoin/PPJoin prefix
+    filtering): every doc pair whose 5-word shingle sets have Jaccard
+    >= 1/2, with the intersection size — no pair missed, unlike the
+    probabilistic MinHash recall. Candidates come from a slim
+    prefix-token exchange; verification is the house distributed pair
+    fold with an integer cross-multiplied threshold (no float compare
+    anywhere). Oracle brute-forces the same predicate over shingle
+    STRINGS in SQL — the engine's hash sets match size-for-size."""
+    from ..stages.dedup import exact_jaccard_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_jaccard_join(
+        docs, shingle_words=5, threshold=(1, 2)
+    ).to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "n_shared": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

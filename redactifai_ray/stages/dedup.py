@@ -981,6 +981,198 @@ def _verify_jaccard_distributed(
     return df.reset_index(drop=True)
 
 
+# ------------------------------------------- exact Jaccard-threshold join --
+
+
+def _word_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Sorted unique u64 hashes of the k-word shingles of ``text``.
+    Tokenization matches SQL ``string_split(text, ' ')`` exactly
+    (explicit single-space split, empties kept) so DuckDB oracles can
+    brute-force the same shingle sets; hashing is the house pandas
+    siphash (``categorize=False`` — see ``analyze._term_pkey``)."""
+    w = (text or "").split(" ")
+    if len(w) < k:
+        return np.empty(0, np.uint64)
+    sh = [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+    return np.unique(
+        pd.util.hash_array(np.asarray(sh, dtype=object), categorize=False)
+    )
+
+
+def _jaccard_pred_fold(a: bytes, b: bytes, num: int, den: int):
+    """Integer-exact Jaccard threshold predicate: keep the pair iff
+    ``inter/union >= num/den`` (cross-multiplied — no float compare);
+    returns the intersection size (an exactly-representable float)."""
+    x = np.frombuffer(a, np.uint64)
+    y = np.frombuffer(b, np.uint64)
+    inter = int(np.intersect1d(x, y, assume_unique=True).size)
+    union = x.size + y.size - inter
+    if union == 0 or den * inter < num * union:
+        return None
+    return float(inter)
+
+
+def exact_jaccard_join(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 5,
+    threshold: tuple[int, int] = (1, 2),
+    num_partitions: Optional[int] = None,
+    max_bucket: int = 1_000_000,
+) -> ray.data.Dataset:
+    """EXACT set-similarity self-join: every doc pair whose k-word
+    shingle sets have Jaccard >= num/den — no pair missed (the exact
+    counterpart of ``minhash_lsh_pairs``' probabilistic recall; the
+    SSJoin/PPJoin prefix-filtering principle, public).
+
+    Candidate generation — prefix filter: under ANY global total order
+    on tokens, two sets with ``|A∩B| >= ceil(t·max(|A|,|B|))`` must
+    share a token within each set's first ``n - ceil(t·n) + 1`` tokens,
+    so each doc emits only that prefix of its (hash-ordered) shingle
+    set as blocking keys: a slim (bucket-hash, id) exchange carrying
+    roughly ``(1-t)``·corpus-shingle rows — text never shuffles. One
+    hash-partition groupby pairs each bucket's occupants with ONE
+    vectorized self-merge per partition; a pair-keyed second partition
+    dedupes. Verification routes through the house distributed pair
+    fold (``_fold_pairs_distributed``) with an integer cross-multiplied
+    threshold predicate — exactness never depends on the blocking hash
+    (collisions only add candidates). Buckets whose pair count exceeds
+    ``max_bucket`` are dropped AND counted (degenerate boilerplate
+    shingles; raise the cap when exactness against an oracle matters).
+
+    Returns (id_a, id_b, n_shared) — intersection sizes as int64.
+    Docs with fewer than ``shingle_words`` words have empty shingle
+    sets and are excluded from the join (both sides of the convention:
+    the oracle's size table has no row for them either)."""
+    num, den = threshold
+    P = num_partitions or default_partitions()
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_h: list[np.ndarray] = []
+        out_i: list[int] = []
+        for i, s in zip(ids, texts):
+            h = _word_shingle_hashes(s, shingle_words)
+            n = int(h.size)
+            if n == 0:
+                continue
+            p = n - (-(-(num * n) // den)) + 1  # n - ceil(t*n) + 1
+            out_h.append(h[:p])
+            out_i.extend([int(i)] * p)
+        hh = (
+            np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "bkey": pa.array(hh.view(np.int64), pa.int64()),
+                "pkey": pa.array(
+                    (hh % np.uint64(P)).astype(np.int64), pa.int64()
+                ),
+                "id": pa.array(out_i, pa.int64()),
+            }
+        )
+
+    def pair_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "ppkey": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty or "bkey" not in g.columns:
+            return empty
+        g = g.drop_duplicates(["bkey", "id"])
+        sizes = g.groupby("bkey")["id"].transform("size")
+        big = sizes * sizes > max_bucket
+        if big.any():
+            print(
+                f"exact_jaccard_join: dropped "
+                f"{g.loc[big, 'bkey'].nunique()} degenerate bucket(s) "
+                f"above max_bucket={max_bucket}"
+            )
+            g = g[~big]
+        m = g.merge(g, on="bkey", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
+        if m.empty:
+            return empty
+        out = m[["id_a", "id_b"]].astype("int64").copy()
+        with np.errstate(over="ignore"):
+            out["ppkey"] = (
+                (
+                    out["id_a"].to_numpy(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    + out["id_b"].to_numpy(np.uint64)
+                )
+                % np.uint64(P)
+            ).astype(np.int64)
+        return out
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "id_a" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                }
+            )
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (
+        docs.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=min(P, 16))
+        .map_groups(pair_in_partition, batch_format="pandas")
+        .groupby("ppkey", num_partitions=min(P, 16))
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+    def shingle_payload(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: pa.array([int(i) for i in ids], pa.int64()),
+                "payload": pa.array(
+                    [
+                        _word_shingle_hashes(s, shingle_words).tobytes()
+                        for s in texts
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    import functools
+
+    scored = _fold_pairs_distributed(
+        docs.map_batches(shingle_payload, batch_format="pyarrow"),
+        cand,
+        id_col,
+        functools.partial(_jaccard_pred_fold, num=num, den=den),
+        None,
+        "n_shared",
+    )
+
+    def to_int(t: pa.Table) -> pa.Table:
+        if "n_shared" not in t.column_names:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        return t.set_column(
+            t.schema.get_field_index("n_shared"),
+            "n_shared",
+            t.column("n_shared").cast(pa.int64()),
+        )
+
+    return scored.map_batches(to_int, batch_format="pyarrow")
+
+
 # ------------------------------------------------- embedding near-dup --
 
 

@@ -3231,3 +3231,85 @@ class TestPercentRankUnpivot:
             ("tax", "l_tax"),
         ]:
             assert sel[m] == int(np.floor(row[col] * 10000 + 0.5))
+
+
+class TestExactJaccardJoin:
+    def _brute(self, rows, k, num, den):
+        from redactifai_ray.stages.dedup import _word_shingle_hashes
+
+        sets = {
+            i: frozenset(_word_shingle_hashes(t, k).tolist())
+            for i, t in rows
+        }
+        out = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and den * inter >= num * union:
+                    out[(a, b)] = inter
+        return out
+
+    def _corpus(self):
+        import random
+
+        rng = random.Random(99)
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        rows = []
+        for i in range(60):
+            base = [rng.choice(words) for _ in range(rng.randint(3, 30))]
+            rows.append((i, " ".join(base)))
+            if i % 4 == 0:  # plant a near-dup: mutate one word
+                mut = list(base)
+                if mut:
+                    mut[rng.randrange(len(mut))] = rng.choice(words)
+                rows.append((1000 + i, " ".join(mut)))
+        rows.append((2000, "tiny"))  # < k words: excluded by contract
+        rows.append((2001, ""))
+        return rows
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import exact_jaccard_join
+
+        rows = self._corpus()
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in rows]
+        ).repartition(7)
+        out = exact_jaccard_join(
+            ds, shingle_words=3, threshold=(1, 2)
+        ).to_pandas()
+        got = (
+            {}
+            if out.empty or "id_a" not in out.columns
+            else {
+                (int(r.id_a), int(r.id_b)): int(r.n_shared)
+                for r in out.itertuples()
+            }
+        )
+        assert got == self._brute(rows, 3, 1, 2)
+
+    def test_tighter_threshold_subset(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import exact_jaccard_join
+
+        rows = self._corpus()
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in rows]
+        ).repartition(5)
+        loose = exact_jaccard_join(ds, shingle_words=3, threshold=(1, 2))
+        tight = exact_jaccard_join(ds, shingle_words=3, threshold=(4, 5))
+        lp = {
+            (int(r.id_a), int(r.id_b)) for r in loose.to_pandas().itertuples()
+        }
+        tp = {
+            (int(r.id_a), int(r.id_b)) for r in tight.to_pandas().itertuples()
+        }
+        assert tp == {
+            k for k, v in self._brute(rows, 3, 4, 5).items()
+        }
+        assert tp <= lp
