@@ -309,12 +309,14 @@ def run_bench() -> dict:
     timed("extract_pdf", extract_pdf)
 
     from redactifai_ray.pipelines.queries import (
+        q_exact_jaccard_join,
         q_fuzzy_name_pairs,
         q_json_props_stats,
     )
 
     timed("fuzzy_join", lambda: q_fuzzy_name_pairs(SF_DIR))
     timed("json_props_stats", lambda: q_json_props_stats(SF_DIR))
+    timed("exact_jaccard_join", lambda: q_exact_jaccard_join(SF_DIR))
 
     headline = timings["flagship_deidentify"]
     result = {
