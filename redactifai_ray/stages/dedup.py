@@ -1046,6 +1046,10 @@ def exact_jaccard_join(
     sets and are excluded from the join (both sides of the convention:
     the oracle's size table has no row for them either)."""
     num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(
+            f"threshold must be a fraction in (0, 1]: got {num}/{den}"
+        )
     P = num_partitions or default_partitions()
 
     def prefix_rows(t: pa.Table) -> pa.Table:
