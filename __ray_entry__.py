@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": q.q_json_props_stats,
         # round-4: exact Jaccard-threshold join (prefix filtering)
         "exact_jaccard_join": q.q_exact_jaccard_join,
+        # round-4: exact triangle count (node-iterator + semi-join)
+        "triangle_count": q.q_triangle_count,
     }
 
 
@@ -1983,5 +1985,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sb ON sb.doc_id = ib
         WHERE 2 * c >= (sa.n + sb.n - c)
         ORDER BY id_a, id_b
+    """
+    sql["triangle_count"] = """
+        -- exact triangles of the deterministic 200-host graph via the
+        -- brute-force 3-way self-join over canonical (a<b) distinct
+        -- edges; each triangle {a<b<c} counted once
+        WITH e0 AS (
+            SELECT DISTINCT
+                least(doc_id % 200,
+                      (doc_id % 200 + 4 * (1 + doc_id % 47)) % 200) AS a,
+                greatest(doc_id % 200,
+                         (doc_id % 200 + 4 * (1 + doc_id % 47)) % 200) AS b
+            FROM documents
+        )
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM e0 x
+        JOIN e0 y ON y.a = x.a AND y.b > x.b
+        JOIN e0 z ON z.a = x.b AND z.b = y.b
     """
     return sql

@@ -6826,3 +6826,71 @@ def q_exact_jaccard_join(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over the deterministic 200-host link graph
+    (the ``q_host_components`` edge generator) — completing the graph
+    family next to connected components and PageRank. Shape: the
+    node-iterator-over-higher-neighbors algorithm — canonical distinct
+    edges (a<b, per-batch distinct partials → one edge-keyed groupby);
+    per-center adjacency from a second groupby (groups bounded by max
+    degree; at web scale order centers by DEGREE, not id — the
+    compact-forward refinement — so hub nodes don't own the big wedge
+    sets); each center emits its higher-neighbor pairs as packed wedge
+    keys; wedges that are themselves edges are triangles, counted by
+    the house join-free distributed semi-join. Each triangle {a<b<c}
+    is counted exactly once (center = min node). Oracle: the 3-way
+    edge self-join."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        src = ids % 200
+        dst = (src + 4 * (1 + ids % 47)) % 200
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        ekey = np.unique(a * 1000 + b)  # per-batch distinct partial
+        return pa.table({"ekey": pa.array(ekey, pa.int64())})
+
+    edge_ds = (
+        docs.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby("ekey")
+        .count()
+        .select_columns(["ekey"])
+    )
+
+    def decode_center(t: pa.Table) -> pa.Table:
+        e = t.column("ekey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "center": pa.array(e // 1000, pa.int64()),
+                "nbr": pa.array(e % 1000, pa.int64()),
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "nbr" not in g.columns:
+            return pd.DataFrame({"wkey": pd.Series(dtype="int64")})
+        nb = np.sort(g["nbr"].to_numpy(np.int64))
+        if nb.size < 2:
+            return pd.DataFrame({"wkey": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(nb.size, k=1)
+        return pd.DataFrame({"wkey": nb[i] * 1000 + nb[j]})
+
+    wedge_ds = (
+        edge_ds.map_batches(decode_center, batch_format="pyarrow")
+        .groupby("center")
+        .map_groups(wedges, batch_format="pandas")
+    )
+    n = _semijoin_on_key(
+        wedge_ds,
+        edge_ds,
+        "wkey",
+        "ekey",
+        keep_cols=["wkey"],
+        types={"wkey": pa.int64()},
+    ).count()
+    return pd.DataFrame({"n_triangles": pd.array([int(n)], dtype="int64")})

@@ -144,3 +144,35 @@ class TestPagerank:
         )
         out = pagerank(empty)
         assert len(out) == 0
+
+
+class TestTriangleCount:
+    def test_matches_brute_force(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from redactifai_ray.pipelines.queries import q_triangle_count
+
+        sf = "/root/testdata/sf0.001"
+        got = int(q_triangle_count(sf)["n_triangles"].iloc[0])
+
+        ids = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy(np.int64)
+        src = ids % 200
+        dst = (src + 4 * (1 + ids % 47)) % 200
+        edges = {
+            (min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist())
+        }
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = 0
+        for a, b in edges:
+            # count common neighbors strictly above both endpoints so
+            # each triangle {a<b<c} is counted once via its (a,b) edge
+            want += sum(
+                1 for c in (adj[a] & adj[b]) if c > max(a, b)
+            )
+        assert got == want and got > 0
