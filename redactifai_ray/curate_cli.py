@@ -5,7 +5,8 @@ table — the cleaning→dedup→carve sequence a 100 TB webtext corpus runs
 between extraction/masking (``run.py``'s output) and training:
 
     python -m redactifai_ray.curate_cli --input DOCS --output DIR
-        [--normalize] [--gopher] [--dedup exact|paragraph|near|none]
+        [--normalize] [--gopher]
+        [--dedup exact|paragraph|near|jaccard|none]
         [--dedup-store DIR --dedup-store-mode exact|near]
         [--decontaminate TEST_PARQUET [--decontaminate-bloom]]
         [--split 80,10,10]
@@ -20,8 +21,9 @@ pre-scans, never a full-corpus materialization):
 1b. dedup-lines — intra-document first-wins line dedup (zero-shuffle)
 2. gopher      — composite quality gate (drops keep=false rows)
 3. dedup       — exact (min-id per content hash), paragraph
-                 (chunk-level first-wins), MinHash near-dedup, or the
-                 incremental cross-run store (exact hash store or
+                 (chunk-level first-wins), MinHash near-dedup,
+                 exact-recall Jaccard dedup (prefix-filter join), or
+                 the incremental cross-run store (exact hash store or
                  band+signature near store)
 4. decontaminate — drop docs sharing a 13-gram with the test set
                  (--decontaminate-bloom: constant-size Bloom broadcast,
@@ -68,11 +70,16 @@ def main(argv=None) -> int:
     ap.add_argument("--gopher", action="store_true",
                     help="apply the Gopher composite quality gate")
     ap.add_argument("--dedup", default="none",
-                    choices=["none", "exact", "paragraph", "near"],
+                    choices=["none", "exact", "paragraph", "near",
+                             "jaccard"],
                     help="exact content dedup, paragraph-level first-wins, "
-                         "or MinHash-LSH near-dedup (keep one per cluster)")
+                         "MinHash-LSH near-dedup (keep one per cluster), "
+                         "or exact-recall Jaccard dedup (prefix-filter "
+                         "join — no qualifying pair missed)")
     ap.add_argument("--near-threshold", type=float, default=0.8,
-                    help="Jaccard threshold for --dedup near")
+                    help="Jaccard threshold for --dedup near/jaccard "
+                         "(jaccard mode converts the decimal to an exact "
+                         "integer fraction)")
     ap.add_argument("--dedup-store-mode", default="exact",
                     choices=["exact", "near"],
                     help="incremental store flavor: exact content hashes, "
@@ -201,6 +208,20 @@ def main(argv=None) -> int:
 
             ds = near_dedup(
                 ds, threshold=args.near_threshold,
+                text_col=args.text_col, id_col=args.id_col,
+            )
+        elif args.dedup == "jaccard":
+            from fractions import Fraction
+
+            from .stages.dedup import jaccard_dedup
+
+            # exact decimal → integer fraction so the in-fold threshold
+            # compare is cross-multiplied int math (no float anywhere)
+            fr = Fraction(str(args.near_threshold)).limit_denominator(
+                10**6
+            )
+            ds = jaccard_dedup(
+                ds, threshold=(fr.numerator, fr.denominator),
                 text_col=args.text_col, id_col=args.id_col,
             )
         if args.substr_dedup:

@@ -1606,7 +1606,19 @@ def near_dedup(
     pairs_ds = minhash_lsh_pairs(
         ds, text_col=text_col, id_col=id_col, threshold=threshold, **lsh_kwargs
     ).materialize()  # pair-scale
+    return _keep_min_per_cluster(ds, pairs_ds, id_col, max_pairs, method)
 
+
+def _keep_min_per_cluster(
+    ds: ray.data.Dataset,
+    pairs_ds: ray.data.Dataset,
+    id_col: str,
+    max_pairs: int,
+    method: str,
+) -> ray.data.Dataset:
+    """Shared keep-one tail of the pair-based dedups: connected
+    components over the (materialized, pair-scale) pair Dataset →
+    broadcast loser-id anti-filter. ``method`` as in ``near_dedup``."""
     if method == "auto":
         method = "driver" if pairs_ds.count() <= max_pairs else "distributed"
 
@@ -1624,10 +1636,36 @@ def near_dedup(
         ).take_all()
         losers = {int(r["node"]) for r in loser_rows}
     else:
-        raise ValueError(f"near_dedup: unknown method {method!r}")
+        raise ValueError(f"keep_min_per_cluster: unknown method {method!r}")
     if not losers:
         return ds
     return _drop_ids(ds, losers, id_col)
+
+
+def jaccard_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: tuple[int, int] = (1, 2),
+    shingle_words: int = 5,
+    max_pairs: int = 5_000_000,
+    method: str = "auto",
+) -> ray.data.Dataset:
+    """Drop near-duplicates by EXACT n-gram Jaccard — keep the
+    minimum-id member of each cluster of the ``exact_jaccard_join``
+    pair graph. The exact-recall sibling of ``near_dedup`` (MinHash):
+    no qualifying pair is ever missed, at the cost of the prefix-filter
+    exchange instead of the banded LSH one. Same keep-one tail
+    (union-find under ``max_pairs``, distributed min-label propagation
+    beyond — no hard failure); the corpus itself never shuffles."""
+    pairs_ds = exact_jaccard_join(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_words=shingle_words,
+        threshold=threshold,
+    ).materialize()  # pair-scale
+    return _keep_min_per_cluster(ds, pairs_ds, id_col, max_pairs, method)
 
 
 def _drop_ids(ds: ray.data.Dataset, losers, id_col: str) -> ray.data.Dataset:

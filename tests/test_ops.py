@@ -3313,3 +3313,84 @@ class TestExactJaccardJoin:
             k for k, v in self._brute(rows, 3, 4, 5).items()
         }
         assert tp <= lp
+
+
+class TestJaccardDedup:
+    def _corpus(self):
+        import random
+
+        rng = random.Random(7)
+        words = "one two three four five six seven eight nine ten".split()
+        rows = []
+        for i in range(40):
+            base = [rng.choice(words) for _ in range(12)]
+            rows.append((i, " ".join(base)))
+            if i % 3 == 0:  # plant a near-dup
+                mut = list(base)
+                mut[5] = rng.choice(words)
+                rows.append((500 + i, " ".join(mut)))
+        return rows
+
+    def _want_survivors(self, rows, k, num, den):
+        from redactifai_ray.stages.dedup import (
+            _word_shingle_hashes,
+            cluster_pairs,
+        )
+
+        sets = {
+            i: frozenset(_word_shingle_hashes(t, k).tolist())
+            for i, t in rows
+        }
+        pairs = []
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and den * inter >= num * union:
+                    pairs.append((a, b))
+        roots = cluster_pairs(pairs)
+        losers = {d for d, r in roots.items() if d != r}
+        return {i for i, _ in rows} - losers
+
+    def test_keep_one_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import jaccard_dedup
+
+        rows = self._corpus()
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in rows]
+        ).repartition(5)
+        kept = {
+            int(r["doc_id"])
+            for r in jaccard_dedup(
+                ds, shingle_words=3, threshold=(1, 2)
+            ).select_columns(["doc_id"]).take_all()
+        }
+        assert kept == self._want_survivors(rows, 3, 1, 2)
+        assert len(kept) < len(rows)  # planted dups actually dropped
+
+    def test_driver_equals_distributed(self, ray_session):
+        import ray.data
+
+        from redactifai_ray.stages.dedup import jaccard_dedup
+
+        rows = self._corpus()
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in rows]
+        ).repartition(4)
+        a = {
+            int(r["doc_id"])
+            for r in jaccard_dedup(
+                ds, shingle_words=3, threshold=(1, 2), method="driver"
+            ).select_columns(["doc_id"]).take_all()
+        }
+        b = {
+            int(r["doc_id"])
+            for r in jaccard_dedup(
+                ds, shingle_words=3, threshold=(1, 2), method="distributed"
+            ).select_columns(["doc_id"]).take_all()
+        }
+        assert a == b
