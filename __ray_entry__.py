@@ -323,6 +323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_jaccard_join": q.q_exact_jaccard_join,
         # round-4: exact triangle count (node-iterator + semi-join)
         "triangle_count": q.q_triangle_count,
+        # round-4: k-core peeling (rows-only: iterative fixpoint;
+        # pinned against a pure-python peel in tests/test_graph.py)
+        "kcore": q.q_kcore,
     }
 
 

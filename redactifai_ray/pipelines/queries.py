@@ -6894,3 +6894,46 @@ def q_triangle_count(sf_dir: str) -> pd.DataFrame:
         types={"wkey": pa.int64()},
     ).count()
     return pd.DataFrame({"n_triangles": pd.array([int(n)], dtype="int64")})
+
+
+def q_kcore(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """k-core decomposition of the deterministic 200-host graph
+    (``q_host_components``' edges) — the subgraph where every node
+    keeps >= k neighbors, by distributed iterative peeling
+    (``stages/graph.py:kcore``). Rows-only: the fixpoint is iterative
+    (not recursive-CTE-accumulative, unlike reachability), so there is
+    no SQL twin; the operator is pinned against a pure-python peel and
+    a cascade case in tests/test_graph.py. k=4 yields a proper
+    nontrivial core (135 of 200 hosts) on the test corpora."""
+    from ..stages.graph import kcore
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        src = ids % 200
+        dst = (src + 4 * (1 + ids % 47)) % 200
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        ekey = np.unique(a * 1000 + b)
+        return pa.table({"ekey": pa.array(ekey, pa.int64())})
+
+    def decode(t: pa.Table) -> pa.Table:
+        e = t.column("ekey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(e // 1000, pa.int64()),
+                "id_b": pa.array(e % 1000, pa.int64()),
+            }
+        )
+
+    edges = (
+        docs.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby("ekey")
+        .count()
+        .select_columns(["ekey"])
+        .map_batches(decode, batch_format="pyarrow")
+    )
+    return kcore(edges, k=k)

@@ -28,6 +28,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -196,4 +197,86 @@ def pagerank(
     return pd.DataFrame({"host": hosts, "rank": rank})
 
 
-__all__ = ["extract_outlinks", "pagerank"]
+def kcore(
+    edges: ray.data.Dataset,
+    k: int,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iters: int = 10_000,
+) -> pd.DataFrame:
+    """k-core decomposition by distributed iterative peeling: repeatedly
+    delete every node of degree < k until the survivor subgraph is
+    stable; return its ``(node, degree)`` table (degrees WITHIN the
+    core, all >= k).
+
+    edges: undirected simple graph as distinct canonical pairs
+    (``id_a < id_b``). Each round is (1) one keyed groupby over
+    batch-level degree partials — the exchange carries (node, n) rows,
+    node-cardinality-bounded — and (2) one broadcast removed-id
+    anti-filter over the surviving edge set (``pc.is_in`` per batch);
+    the edge set only shrinks, and is re-materialized per round so the
+    next round's two passes don't re-execute the whole chain (the
+    ``label_propagation`` round doctrine). The degree table gathers
+    driver-side — |V|-bounded, the same contract as ``pagerank``'s rank
+    vector; beyond that, shard nodes by hash and peel with cross-shard
+    degree exchange. Rounds are data-dependent but bounded by |V| (each
+    round removes at least one node or terminates)."""
+    from ray.data.aggregate import Sum
+
+    a_col, b_col = id_cols
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        if a_col not in t.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        both = np.concatenate(
+            [
+                t.column(a_col).to_numpy(zero_copy_only=False),
+                t.column(b_col).to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        uniq, counts = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    cur = edges.select_columns([a_col, b_col]).materialize()
+    for _ in range(max_iters):
+        deg = (
+            cur.map_batches(degree_partials, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("n", alias_name="degree"))
+            .to_pandas()
+        )
+        if deg.empty or "node" not in deg.columns:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="int64"),
+                    "degree": pd.Series(dtype="int64"),
+                }
+            )
+        drop = deg.loc[deg["degree"] < k, "node"]
+        if drop.empty:
+            out = deg.astype({"node": "int64", "degree": "int64"})
+            return out.sort_values("node").reset_index(drop=True)
+        drop_ref = ray.put(pa.array(drop.to_numpy(np.int64), pa.int64()))
+        state: dict = {}
+
+        def peel(t: pa.Table, _d=drop_ref) -> pa.Table:
+            if "d" not in state:
+                state["d"] = ray.get(_d)
+            bad = pc.or_(
+                pc.is_in(t[a_col], value_set=state["d"]),
+                pc.is_in(t[b_col], value_set=state["d"]),
+            )
+            return t.filter(pc.invert(pc.fill_null(bad, False)))
+
+        cur = cur.map_batches(peel, batch_format="pyarrow").materialize()
+    raise RuntimeError(f"kcore: no fixpoint within {max_iters} rounds")
+
+
+__all__ = ["extract_outlinks", "pagerank", "kcore"]

@@ -176,3 +176,66 @@ class TestTriangleCount:
                 1 for c in (adj[a] & adj[b]) if c > max(a, b)
             )
         assert got == want and got > 0
+
+
+class TestKCore:
+    @staticmethod
+    def _brute(edges, k):
+        es = set(edges)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return deg
+            es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+    def test_query_matches_brute_force(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from redactifai_ray.pipelines.queries import q_kcore
+
+        sf = "/root/testdata/sf0.001"
+        got = q_kcore(sf, k=4)
+        ids = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy(np.int64)
+        src = ids % 200
+        dst = (src + 4 * (1 + ids % 47)) % 200
+        edges = {
+            (min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist())
+        }
+        want = self._brute(edges, 4)
+        assert dict(zip(got["node"], got["degree"])) == want
+        assert 0 < len(got) < 200  # proper nontrivial core
+
+    def test_cascade_peel(self, ray_session):
+        # path graph: 2-core is empty, every removal cascades
+        import ray.data
+
+        from redactifai_ray.stages.graph import kcore
+
+        path = [{"id_a": i, "id_b": i + 1} for i in range(30)]
+        out = kcore(ray.data.from_items(path).repartition(4), k=2)
+        assert len(out) == 0
+
+    def test_clique_survives(self, ray_session):
+        import itertools
+
+        import ray.data
+
+        from redactifai_ray.stages.graph import kcore
+
+        clique = [
+            {"id_a": a, "id_b": b}
+            for a, b in itertools.combinations(range(6), 2)
+        ]
+        pendant = [{"id_a": 0, "id_b": 99}]
+        out = kcore(
+            ray.data.from_items(clique + pendant).repartition(3), k=5
+        )
+        assert set(out["node"]) == set(range(6))
+        assert (out["degree"] == 5).all()
