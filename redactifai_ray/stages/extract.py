@@ -276,14 +276,21 @@ def _parse_blocks_fast(html: str) -> list[_Block]:
             if cur is not None:
                 cur.parts.append(data)
                 if a_depth > 0:
-                    cur.link_chars += len(" ".join(data.split()))
+                    # == len(" ".join(data.split())) without the join
+                    # allocation (sum of word lengths + single spaces)
+                    w = data.split()
+                    if w:
+                        cur.link_chars += (
+                            sum(map(len, w)) + len(w) - 1
+                        )
         if m is None:
             break
         closing, tag, selfclose = m.group(1, 2, 3)
         pos = end
         if tag is None:
             continue  # comment/doctype/PI
-        tag = tag.lower()
+        if not tag.islower():  # real-corpus tags are mostly lowercase
+            tag = tag.lower()
         c = cat(tag, 0)
         if closing:
             # -- end tag ------------------------------------------------
