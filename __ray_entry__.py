@@ -326,6 +326,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: k-core peeling (rows-only: iterative fixpoint;
         # pinned against a pure-python peel in tests/test_graph.py)
         "kcore": q.q_kcore,
+        # round-4: distributed Pareto frontier (local-skyline partial fold)
+        "skyline_parts": q.q_skyline_parts,
+        # round-4: Z-order/Morton layout key (lakehouse OPTIMIZE ZORDER)
+        "zorder_layout": q.q_zorder_layout,
+        # round-4: daily resample with zero-filled calendar gaps
+        "resample_events": q.q_resample_events,
+        # round-4: SCD-2 gaps-and-islands validity intervals
+        "scd2_intervals": q.q_scd2_intervals,
+        # round-4: exact-integer grouped z-score outlier filter
+        "grouped_outliers": q.q_grouped_outliers,
+        # round-4: grouped median absolute deviation (two histogram folds)
+        "mad_chars": q.q_mad_chars,
+        # round-4: Markov transition-count matrix over user streams
+        "event_transitions": q.q_event_transitions,
     }
 
 
@@ -2005,5 +2019,108 @@ def oracle_sql() -> dict[str, str]:
         FROM e0 x
         JOIN e0 y ON y.a = x.a AND y.b > x.b
         JOIN e0 z ON z.a = x.b AND z.b = y.b
+    """
+    sql["skyline_parts"] = """
+        -- Pareto frontier (minimize price, maximize size); identical
+        -- points do not dominate each other, so exact-tie rows survive
+        SELECT p_partkey, p_size::BIGINT AS p_size, p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size))
+    """
+    zterms = " + ".join(
+        f"((((p_size::BIGINT >> {i}) & 1) << {2 * i})"
+        f" + ((((p_partkey::BIGINT & 65535) >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(16)
+    )
+    sql["zorder_layout"] = f"""
+        -- 16-bit Morton interleave of (p_size, p_partkey & 0xFFFF),
+        -- spelled out as the 32-term bit sum
+        SELECT p_partkey, ({zterms})::BIGINT AS zval
+        FROM part
+        ORDER BY zval, p_partkey
+        LIMIT 200
+    """
+    sql["resample_events"] = """
+        WITH c AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT min(date_trunc('day', ts)) AS lo,
+                     max(date_trunc('day', ts)) AS hi FROM events),
+        days AS (
+            SELECT unnest(generate_series((SELECT lo FROM b),
+                                          (SELECT hi FROM b),
+                                          INTERVAL 1 DAY)) AS day
+        ),
+        t AS (SELECT DISTINCT event_type FROM events)
+        SELECT t.event_type, epoch_us(days.day)::BIGINT AS day_us,
+               coalesce(c.n, 0)::BIGINT AS n
+        FROM t CROSS JOIN days
+        LEFT JOIN c ON c.event_type = t.event_type AND c.day = days.day
+    """
+    sql["scd2_intervals"] = """
+        -- gaps-and-islands: one row per run of consecutive identical
+        -- event_types per user; open last interval -> sentinel -1
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        ch AS (
+            SELECT user_id, event_type, ts, event_id FROM o
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type,
+               epoch_us(ts)::BIGINT AS valid_from_us,
+               coalesce(epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ))::BIGINT, -1) AS valid_to_us
+        FROM ch
+    """
+    sql["grouped_outliers"] = """
+        -- |x - mean| > 2*sigma (population), exact via the squared
+        -- integer predicate in HUGEINT — no float compare anywhere
+        WITH s AS (
+            SELECT lang, count(*)::HUGEINT AS cnt,
+                   sum(n_chars)::HUGEINT AS sm,
+                   sum(n_chars::HUGEINT * n_chars)::HUGEINT AS sq
+            FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN s USING (lang)
+        WHERE (d.n_chars::HUGEINT * cnt - sm)
+              * (d.n_chars::HUGEINT * cnt - sm)
+              > 4 * (cnt * sq - sm * sm)
+    """
+    sql["mad_chars"] = """
+        WITH m AS (
+            SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang, m.med,
+               CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT)
+                   AS mad
+        FROM documents d JOIN m USING (lang)
+        GROUP BY d.lang, m.med
+    """
+    sql["event_transitions"] = """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type, count(*)::BIGINT AS n
+        FROM o WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
     """
     return sql

@@ -6937,3 +6937,423 @@ def q_kcore(sf_dir: str, k: int = 4) -> pd.DataFrame:
         .map_batches(decode, batch_format="pyarrow")
     )
     return kcore(edges, k=k)
+
+
+# ------------------------------------------- layout / robust-stat family --
+
+
+def _skyline_fold(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D Pareto frontier of (cents minimize, size maximize).
+
+    Level scan: per price level keep only the max-size rows (ties kept —
+    identical points do not dominate each other), then keep a level iff
+    its max size strictly exceeds the running max over all cheaper
+    levels. Fully vectorized (groupby + cummax + merge); no row loop."""
+    level = (
+        df.groupby("cents", as_index=False)["size"].max().sort_values("cents")
+    )
+    prior = level["size"].cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    keep = level[level["size"].to_numpy() > prior.to_numpy()]
+    return df.merge(keep, on=["cents", "size"], how="inner")
+
+
+def q_skyline_parts(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto-frontier query (multi-objective top-k: the parts
+    no other part beats on BOTH cheaper price AND larger size). Shape:
+    the classic distributed-skyline partial fold — a globally
+    non-dominated point is non-dominated within its own block, so each
+    batch emits only its local frontier (expected O(log n) rows for
+    uncorrelated dims) and the driver folds the tiny union once. No
+    shuffle; prices quantize to exact cents so dominance is an integer
+    compare. Oracle: the NOT EXISTS anti-join form."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p_partkey": np.asarray(t["p_partkey"], np.int64),
+                "size": np.asarray(t["p_size"], np.int64),
+                "p_retailprice": np.asarray(t["p_retailprice"], np.float64),
+            }
+        )
+        df["cents"] = np.floor(
+            df["p_retailprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.Table.from_pandas(_skyline_fold(df), preserve_index=False)
+
+    partials = parts.map_batches(local, batch_format="pyarrow").to_pandas()
+    if partials.empty or "cents" not in partials.columns:
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series(dtype="int64"),
+                "p_size": pd.Series(dtype="int64"),
+                "p_retailprice": pd.Series(dtype="float64"),
+            }
+        )
+    out = _skyline_fold(partials)
+    out = out.rename(columns={"size": "p_size"})
+    return (
+        out[["p_partkey", "p_size", "p_retailprice"]]
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_zorder_layout(sf_dir: str, k: int = 200) -> pd.DataFrame:
+    """Z-order (Morton) data-layout clustering — the lakehouse OPTIMIZE
+    ZORDER BY primitive: interleave the bits of two columns so a sort by
+    the combined key co-locates rows close in BOTH dimensions (enables
+    multi-column min/max pruning at 100 TB). Here: zval over
+    (p_size, p_partkey & 0xFFFF), 16 bits each, smallest-k reported.
+    Shape: 16 vectorized numpy shift/or passes per batch (no row loop),
+    per-batch partial top-k, driver folds <= k x blocks slim rows — the
+    table never gathers or shuffles. Oracle: the same 32-term bit
+    interleave spelled out in SQL."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t["p_partkey"], np.int64)
+        x = np.asarray(t["p_size"], np.int64)
+        y = pk & 0xFFFF
+        z = np.zeros_like(pk)
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        df = (
+            pd.DataFrame({"p_partkey": pk, "zval": z})
+            .sort_values(["zval", "p_partkey"], kind="mergesort")
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = parts.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if out.empty or "zval" not in out.columns:
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series(dtype="int64"),
+                "zval": pd.Series(dtype="int64"),
+            }
+        )
+    return (
+        out.sort_values(["zval", "p_partkey"], kind="mergesort")
+        .head(k)[["p_partkey", "zval"]]
+        .reset_index(drop=True)
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_resample_events(sf_dir: str) -> pd.DataFrame:
+    """Time-series resample to a fixed daily grid with zero-filled gaps
+    (the downsample + gap-fill shape every metrics pipeline needs): per
+    event_type daily counts over the full [min_day, max_day] span, days
+    with no events emitted as 0. Shape: per-batch (type, day, n)
+    partials fold inside map_batches; the driver folds only the bounded
+    types x days x blocks grid and fills gaps there (a calendar is
+    driver-scale by definition — the fact table never gathers). Days
+    ride as exact epoch-microsecond int64 on both sides."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us // _DAY_US) * _DAY_US
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "day_us": day}
+        )
+        g = (
+            df.groupby(["event_type", "day_us"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "day_us" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "day_us": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    counts = (
+        parts.groupby(["event_type", "day_us"], as_index=False)["n"].sum()
+    )
+    days = np.arange(
+        counts["day_us"].min(), counts["day_us"].max() + _DAY_US, _DAY_US
+    )
+    grid = pd.MultiIndex.from_product(
+        [sorted(counts["event_type"].unique()), days],
+        names=["event_type", "day_us"],
+    )
+    out = (
+        counts.set_index(["event_type", "day_us"])
+        .reindex(grid, fill_value=0)
+        .reset_index()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["day_us"] = out["day_us"].astype(np.int64)
+    return out.sort_values(["event_type", "day_us"]).reset_index(drop=True)
+
+
+def q_scd2_intervals(sf_dir: str) -> pd.DataFrame:
+    """SCD-2 intervalization (gaps-and-islands change capture): collapse
+    each user's event stream into validity intervals — one row per run
+    of consecutive identical event_types in (ts, event_id) order, with
+    [valid_from, valid_to) bounds; the open last interval carries the
+    sentinel -1 so the output stays exact int64 (no NULL-hash hazards).
+    Shape: ONE hash partition on user (derived pkey — never a per-user
+    map_groups), then a single vectorized sort+shift pass per partition;
+    users are complete within a partition by construction."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    P = 32
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.int64())
+        ).rename_columns(["user_id", "ts_us", "event_id", "event_type"])
+        return t.append_column("pkey", pa.array(uid % P, pa.int64()))
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+                "valid_from_us": pd.Series(dtype="int64"),
+                "valid_to_us": pd.Series(dtype="int64"),
+            }
+        )
+        if "user_id" not in g.columns or g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        typ = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        change = new_user | np.r_[True, typ[1:] != typ[:-1]]
+        cu, ct, cts = uid[change], typ[change], ts[change]
+        same_next = np.r_[cu[1:] == cu[:-1], False]
+        nxt = np.r_[cts[1:], -1]
+        return pd.DataFrame(
+            {
+                "user_id": cu,
+                "event_type": ct,
+                "valid_from_us": cts,
+                "valid_to_us": np.where(same_next, nxt, -1),
+            }
+        )
+
+    # user-cardinality result: return the lazy Dataset
+    return (
+        ev.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(islands, batch_format="pandas")
+    )
+
+
+def q_grouped_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-group z-score outlier filter with EXACT integer arithmetic
+    (|x - mean| > 2 sigma, population sigma): pass 1 folds per-lang
+    (cnt, sum, sumsq) partials; the driver turns the squared predicate
+    (x*cnt - sum)^2 > 4*(cnt*sumsq - sum^2) into closed-form integer
+    cutoffs via math.isqrt (no float ever touches the compare); pass 2
+    is a broadcast vectorized filter. Two streaming passes, zero
+    shuffles, per-lang state is 3 ints. Oracle: the same predicate in
+    HUGEINT."""
+    import math
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["n_chars"], np.int64)
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(), "x": x})
+        df["sq"] = df["x"] * df["x"]
+        g = df.groupby("lang", as_index=False).agg(
+            cnt=("x", "size"), sm=("x", "sum"), sq=("sq", "sum")
+        )
+        for c in ("cnt", "sm", "sq"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if parts.empty or "lang" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "lang": pd.Series(dtype="object"),
+                "n_chars": pd.Series(dtype="int64"),
+            }
+        )
+    folded = parts.groupby("lang", as_index=False)[["cnt", "sm", "sq"]].sum()
+    cuts: dict[str, tuple[int, int]] = {}
+    for _, r in folded.iterrows():
+        cnt, sm, sq = int(r["cnt"]), int(r["sm"]), int(r["sq"])
+        kk = 4 * (cnt * sq - sm * sm)  # Python ints: no overflow
+        rt = math.isqrt(kk) if kk > 0 else 0
+        hi = -(-(sm + rt + 1) // cnt)  # x >= ceil((sm+r+1)/cnt)
+        lo = (sm - rt - 1) // cnt  # x <= floor((sm-r-1)/cnt)
+        cuts[str(r["lang"])] = (lo, hi)
+    cuts_ref = ray.put(cuts)
+
+    def flt(t: pa.Table) -> pa.Table:
+        cc = ray.get(cuts_ref)
+        lang = pd.Series(t["lang"].to_pylist())
+        lo = lang.map({k: v[0] for k, v in cc.items()}).to_numpy(np.int64)
+        hi = lang.map({k: v[1] for k, v in cc.items()}).to_numpy(np.int64)
+        x = np.asarray(t["n_chars"], np.int64)
+        return t.filter(pa.array((x >= hi) | (x <= lo)))
+
+    out = docs.map_batches(flt, batch_format="pyarrow").to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "lang": pd.Series(dtype="object"),
+                "n_chars": pd.Series(dtype="int64"),
+            }
+        )
+    return (
+        out[["doc_id", "lang", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _disc_quantile(values: np.ndarray, counts: np.ndarray, q: float) -> int:
+    """quantile_disc over a (value, count) histogram: the element at
+    0-based rank ceil(q*n)-1 of the sorted expansion."""
+    order = np.argsort(values, kind="mergesort")
+    v, c = values[order], counts[order]
+    n = int(c.sum())
+    rank = max(0, int(np.ceil(q * n)) - 1)
+    cum = np.cumsum(c)
+    return int(v[int(np.argmax(cum > rank))])
+
+
+def q_mad_chars(sf_dir: str) -> pd.DataFrame:
+    """Per-group median absolute deviation (the robust-scale statistic
+    outlier pipelines prefer over sigma) — exact and all-integer:
+    pass 1 folds per-lang value histograms of n_chars and selects the
+    discrete median; pass 2 folds histograms of |x - med| against the
+    broadcast medians and selects again. Histograms are value-bounded
+    (distinct lengths), so the driver fold is tiny and nothing shuffles.
+    Oracle: quantile_disc twice, identical rank rule."""
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "v": t["n_chars"].cast(pa.int64())})
+            .group_by(["lang", "v"])
+            .aggregate([("v", "count")])
+        )
+        return g.rename_columns(["lang", "v", "cnt"])
+
+    h1 = docs.map_batches(hist, batch_format="pyarrow").to_pandas()
+    if h1.empty or "lang" not in h1.columns:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype="object"),
+                "med": pd.Series(dtype="int64"),
+                "mad": pd.Series(dtype="int64"),
+            }
+        )
+    h1 = h1.groupby(["lang", "v"], as_index=False)["cnt"].sum()
+    med = {
+        lang: _disc_quantile(
+            grp["v"].to_numpy(np.int64), grp["cnt"].to_numpy(np.int64), 0.5
+        )
+        for lang, grp in h1.groupby("lang")
+    }
+    med_ref = ray.put(med)
+
+    def hist_abs(t: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        lang = pd.Series(t["lang"].to_pylist())
+        m = lang.map(mm).to_numpy(np.int64)
+        dev = np.abs(np.asarray(t["n_chars"], np.int64) - m)
+        df = pd.DataFrame({"lang": lang, "v": dev})
+        g = df.groupby(["lang", "v"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h2 = docs.map_batches(hist_abs, batch_format="pyarrow").to_pandas()
+    h2 = h2.groupby(["lang", "v"], as_index=False)["cnt"].sum()
+    rows = [
+        {
+            "lang": lang,
+            "med": np.int64(med[lang]),
+            "mad": np.int64(
+                _disc_quantile(
+                    grp["v"].to_numpy(np.int64),
+                    grp["cnt"].to_numpy(np.int64),
+                    0.5,
+                )
+            ),
+        }
+        for lang, grp in h2.groupby("lang")
+    ]
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts over per-user event streams
+    (prev_type -> type in (ts, event_id) order) — the session-model /
+    next-action-prediction aggregation. Shape: ONE hash partition on
+    user (pkey), a single vectorized sort+shift pass per partition
+    emitting (prev, type, n) partials, and a driver fold over the
+    types^2-bounded grid. The fact table shuffles once, slim."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    P = 32
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.int64())
+        ).rename_columns(["user_id", "ts_us", "event_id", "event_type"])
+        return t.append_column("pkey", pa.array(uid % P, pa.int64()))
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "prev_type": pd.Series(dtype="object"),
+                "event_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if "user_id" not in g.columns or len(g) < 2:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        typ = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame(
+            {"prev_type": typ[:-1][same], "event_type": typ[1:][same]}
+        )
+        out = df.groupby(
+            ["prev_type", "event_type"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (
+        ev.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(trans, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty or "prev_type" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series(dtype="object"),
+                "event_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby(["prev_type", "event_type"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)

@@ -50,6 +50,14 @@ FAST_ORACLED = [
     "tpch_q13r",
     "tpch_q15r",
     "tpch_q22r",
+    # round-4 layout / robust-stat family
+    "skyline_parts",
+    "zorder_layout",
+    "resample_events",
+    "scd2_intervals",
+    "grouped_outliers",
+    "mad_chars",
+    "event_transitions",
 ]
 
 
