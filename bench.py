@@ -318,6 +318,16 @@ def run_bench() -> dict:
     timed("json_props_stats", lambda: q_json_props_stats(SF_DIR))
     timed("exact_jaccard_join", lambda: q_exact_jaccard_join(SF_DIR))
 
+    from redactifai_ray.pipelines.queries import (
+        q_event_transitions,
+        q_scd2_intervals,
+        q_skyline_parts,
+    )
+
+    timed("scd2_intervals", lambda: q_scd2_intervals(SF_DIR).count())
+    timed("event_transitions", lambda: q_event_transitions(SF_DIR))
+    timed("skyline", lambda: q_skyline_parts(SF_DIR))
+
     headline = timings["flagship_deidentify"]
     result = {
         "metric": "flagship deidentify wall time (extract+dedup+detect+mask+write)",
