@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_chars": q.q_mad_chars,
         # round-4: Markov transition-count matrix over user streams
         "event_transitions": q.q_event_transitions,
+        # round-4: stream-stream interval join (all pairs in window)
+        "window_join": q.q_window_join,
     }
 
 
@@ -2122,5 +2124,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT prev_type, event_type, count(*)::BIGINT AS n
         FROM o WHERE prev_type IS NOT NULL
         GROUP BY 1, 2
+    """
+    sql["window_join"] = """
+        -- stream-stream interval join: ALL same-user (click, purchase)
+        -- pairs with 0 <= gap <= 30 min (not the as-of single match)
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     """
     return sql

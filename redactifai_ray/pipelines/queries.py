@@ -7357,3 +7357,72 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby(["prev_type", "event_type"], as_index=False)["n"].sum()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+def q_window_join(sf_dir: str, window_min: int = 30) -> pd.DataFrame:
+    """Stream-stream interval join (the Flink intervalJoin shape, distinct
+    from the as-of join's latest-single-match): ALL (click, purchase)
+    pairs of the same user with 0 <= purchase.ts - click.ts <= window.
+    Shape: ONE pass flags both sides into slim rows, ONE hash partition
+    on user (pkey), then a vectorized in-partition equi-merge on user
+    with the window filter — per-user histories are bounded (the
+    sessionize doctrine), so the in-partition cross of a user's clicks x
+    purchases is bounded too. Gap rides as exact int64 microseconds."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    P = 32
+    win_us = window_min * 60 * 1_000_000
+
+    def sides(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        t = t.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "is_purchase": pc.equal(t["event_type"], "purchase"),
+                "pkey": pa.array(uid % P, pa.int64()),
+            }
+        )
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="int64"),
+                "purchase_id": pd.Series(dtype="int64"),
+                "gap_us": pd.Series(dtype="int64"),
+            }
+        )
+        if "is_purchase" not in g.columns or g.empty:
+            return empty
+        c = g[~g["is_purchase"]][["user_id", "ts_us", "event_id"]]
+        p = g[g["is_purchase"]][["user_id", "ts_us", "event_id"]]
+        if c.empty or p.empty:
+            return empty
+        m = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+        gap = m["ts_us_p"].to_numpy(np.int64) - m["ts_us_c"].to_numpy(
+            np.int64
+        )
+        m = m[(gap >= 0) & (gap <= win_us)]
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "click_id": m["event_id_c"].astype("int64"),
+                "purchase_id": m["event_id_p"].astype("int64"),
+                "gap_us": (
+                    m["ts_us_p"].astype("int64") - m["ts_us_c"].astype("int64")
+                ),
+            }
+        )
+
+    # pair-cardinality result: return the lazy Dataset
+    return (
+        ev.map_batches(sides, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(pairs, batch_format="pandas")
+    )

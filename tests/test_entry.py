@@ -58,6 +58,7 @@ FAST_ORACLED = [
     "grouped_outliers",
     "mad_chars",
     "event_transitions",
+    "window_join",
 ]
 
 

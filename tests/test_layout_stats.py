@@ -225,3 +225,36 @@ class TestZorder:
         got = q_zorder_layout(SF)
         z = got["zval"].to_numpy()
         assert (np.diff(z) >= 0).all()
+
+
+class TestWindowJoin:
+    def test_matches_pandas_reference(self, ray_session, events_df):
+        from redactifai_ray.pipelines.queries import q_window_join
+
+        got = (
+            q_window_join(SF)
+            .to_pandas()
+            .sort_values(["user_id", "click_id", "purchase_id"])
+            .reset_index(drop=True)
+        )
+        df = events_df.copy()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+        c = df[df["event_type"] == "click"]
+        p = df[df["event_type"] == "purchase"]
+        m = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+        gap = m["ts_us_p"] - m["ts_us_c"]
+        m = m[(gap >= 0) & (gap <= 30 * 60 * 1_000_000)]
+        ref = (
+            pd.DataFrame(
+                {
+                    "user_id": m["user_id"].astype("int64"),
+                    "click_id": m["event_id_c"].astype("int64"),
+                    "purchase_id": m["event_id_p"].astype("int64"),
+                    "gap_us": (m["ts_us_p"] - m["ts_us_c"]).astype("int64"),
+                }
+            )
+            .sort_values(["user_id", "click_id", "purchase_id"])
+            .reset_index(drop=True)
+        )
+        assert len(got) > 0  # fixture actually exercises the window
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
