@@ -34,9 +34,19 @@ from ..stages.analyze import BPE_RE, PUNCT_RE, STOPWORDS, WORD_RE
 # --------------------------------------------------------------- helpers --
 
 
-def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+def _read(
+    sf_dir: str, table: str, columns=None, filter=None
+) -> ray.data.Dataset:
+    """Pruned parquet read: ``columns`` limits the scan to the query's
+    columns; ``filter`` (a ``pyarrow.dataset`` expression) pushes the
+    predicate into the fragment scanner, so at 100 TB row groups whose
+    min/max statistics exclude the range never leave storage. Callers
+    keep their in-batch predicate kernels — pushdown only reduces the
+    rows reaching them, never changes semantics."""
     return ray.data.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=list(columns) if columns else None
+        f"{sf_dir}/{table}.parquet",
+        columns=list(columns) if columns else None,
+        filter=filter,
     )
 
 
@@ -2326,8 +2336,15 @@ def q_tpch_q5(
         )
         return batch.filter(m).select(["o_orderkey", "o_custkey"])
 
+    import pyarrow.dataset as pds
+
     orders_slim = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi)
+        ),
     ).map_batches(ord_slim, batch_format="pyarrow")
 
     def cust_slim(batch: pa.Table) -> pa.Table:
@@ -2566,9 +2583,14 @@ def q_tpch_q4r(sf_dir: str) -> pd.DataFrame:
         g = t.group_by("l_orderkey").aggregate([])
         return g
 
-    dim = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
-        returned_keys, batch_format="pyarrow"
-    )
+    import pyarrow.dataset as pds
+
+    dim = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag"],
+        filter=(pds.field("l_returnflag") == "R"),
+    ).map_batches(returned_keys, batch_format="pyarrow")
     fact = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     kept = _semijoin_on_key(
         fact,
@@ -2756,8 +2778,18 @@ def q_tpch_q12r(sf_dir: str) -> pd.DataFrame:
         k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("pkey", pa.array(k % P, pa.int64()))
 
+    import pyarrow.dataset as pds
+
     stream = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_linestatus", "l_shipdate"],
+            filter=(
+                (pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)
+            ),
+        )
         .map_batches(li_rows, batch_format="pyarrow")
         .union(
             _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
@@ -2863,10 +2895,15 @@ def q_tpch_q14r(
             }
         )
 
+    import pyarrow.dataset as pds
+
     li = _read(
         sf_dir,
         "lineitem",
         ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi)
+        ),
     ).map_batches(li_slim, batch_format="pyarrow")
 
     promo = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
@@ -2963,11 +3000,20 @@ def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
         ).astype(np.int64)
         return pa.table({"revenue_c": pa.array([int(rev.sum())], pa.int64())})
 
+    import pyarrow.dataset as pds
+
     agg = (
         _read(
             sf_dir,
             "lineitem",
             ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+            filter=(
+                (pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)
+                & (pds.field("l_discount") >= 0.05)
+                & (pds.field("l_discount") <= 0.07)
+                & (pds.field("l_quantity") < 24.0)
+            ),
         )
         .map_batches(partial, batch_format="pyarrow")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
@@ -3035,16 +3081,25 @@ def q_tpch_q10r(sf_dir: str) -> pd.DataFrame:
         k = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("pkey", pa.array(k % P, pa.int64()))
 
+    import pyarrow.dataset as pds
+
     stream = (
         _read(
             sf_dir,
             "lineitem",
             ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+            filter=(pds.field("l_returnflag") == "R"),
         )
         .map_batches(li_rows, batch_format="pyarrow")
         .union(
             _read(
-                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+                sf_dir,
+                "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"],
+                filter=(
+                    (pds.field("o_orderdate") >= lo)
+                    & (pds.field("o_orderdate") < hi)
+                ),
             ).map_batches(ord_rows, batch_format="pyarrow")
         )
         .map_batches(add_pkey, batch_format="pyarrow")
@@ -3762,11 +3817,17 @@ def q_tpch_q15r(sf_dir: str) -> pd.DataFrame:
         g = slim.group_by("s_suppkey").aggregate([("rev_c", "sum")])
         return g.rename_columns(["s_suppkey", "total_revenue_c"])
 
+    import pyarrow.dataset as pds
+
     rev = (
         _read(
             sf_dir,
             "lineitem",
             ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(
+                (pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)
+            ),
         )
         .map_batches(rev_partial, batch_format="pyarrow")
         .groupby("s_suppkey")
@@ -6376,11 +6437,17 @@ def q_tpch_q20r(
         g = tt.group_by("supp").aggregate([("qty", "sum")])
         return g.rename_columns(["supp", "qty"])
 
+    import pyarrow.dataset as pds
+
     agg = (
         _read(
             sf_dir,
             "lineitem",
             ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+            filter=(
+                (pds.field("l_shipdate") >= lo)
+                & (pds.field("l_shipdate") < hi)
+            ),
         )
         .map_batches(partial, batch_format="pyarrow")
         .groupby("supp")
