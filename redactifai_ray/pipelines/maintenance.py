@@ -145,3 +145,120 @@ def snapshot_diff(
     return both.groupby(id_col, num_partitions=P).map_groups(
         resolve, batch_format="pandas"
     )
+
+
+def cluster_by(
+    input_path: str | Sequence[str],
+    output_dir: str,
+    col: str,
+    columns: Optional[Sequence[str]] = None,
+) -> dict:
+    """Range-cluster a table on ``col`` (the lakehouse ``CLUSTER BY`` /
+    ``OPTIMIZE`` primitive): one ``Dataset.sort`` — Ray's sample-based
+    range-partitioned sort (boundary sample → broadcast → one exchange →
+    per-block sort) — then a streaming write. Every output file then
+    covers a near-disjoint ``[min, max]`` range of ``col``, so a
+    zonemap-pruned scan (``pruned_read``) touches only the files whose
+    range intersects a predicate; combined with ``q_zorder_layout``-style
+    derived keys this gives multi-column skipping. The sort is the one
+    unavoidable all-to-all; everything else is footer metadata."""
+    ds = ray.data.read_parquet(
+        input_path, columns=list(columns) if columns else None
+    )
+    ds.sort(col).write_parquet(output_dir)
+    import pyarrow.dataset as pads
+
+    out = pads.dataset(output_dir, format="parquet")
+    return {"files_out": len(list(out.files))}
+
+
+def build_zonemap(
+    input_path: str | Sequence[str], col: str
+) -> "ray.data.Dataset":
+    """Per-file zone map for ``col`` — (path, n_rows, vmin, vmax) from
+    parquet FOOTER column statistics only; no data page is ever read.
+    The footer reads fan out as a Ray map over the file list (at 10^6
+    files the driver holds only paths), so manifest builds stay
+    metadata-scale. Files lacking statistics surface with null bounds
+    (callers must treat them as always-intersecting)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    dataset = pads.dataset(input_path, format="parquet")
+    files = list(dataset.files)
+
+    def footer_stats(batch: pa.Table) -> pa.Table:
+        paths, rows, vmins, vmaxs = [], [], [], []
+        for path in batch["path"].to_pylist():
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            vmin = vmax = None
+            n = md.num_rows
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    vmin = vmax = None
+                    break
+                vmin = st.min if vmin is None else min(vmin, st.min)
+                vmax = st.max if vmax is None else max(vmax, st.max)
+            paths.append(path)
+            rows.append(n)
+            vmins.append(vmin)
+            vmaxs.append(vmax)
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "n_rows": pa.array(rows, pa.int64()),
+                "vmin": pa.array(vmins),
+                "vmax": pa.array(vmaxs),
+            }
+        )
+
+    return ray.data.from_items([{"path": f} for f in files]).map_batches(
+        footer_stats, batch_format="pyarrow"
+    )
+
+
+def pruned_read(
+    input_path: str | Sequence[str],
+    col: str,
+    lo,
+    hi,
+    columns: Optional[Sequence[str]] = None,
+) -> tuple["ray.data.Dataset", dict]:
+    """Zone-map-pruned range scan: read ONLY the files whose footer
+    ``[vmin, vmax]`` for ``col`` intersects ``[lo, hi]`` (inclusive),
+    with the exact predicate additionally pushed into the fragment
+    scanner for row-group- and row-level filtering. On a
+    ``cluster_by``-laid-out table this touches O(selectivity) files
+    instead of all of them. Returns ``(dataset, stats)`` where stats
+    reports files total/read. Files without statistics are always read
+    (correctness over pruning)."""
+    import pyarrow.dataset as pads
+
+    import pandas as pd
+
+    zm = build_zonemap(input_path, col).to_pandas()
+    keep = []
+    for _, r in zm.iterrows():
+        if pd.isna(r["vmin"]) or pd.isna(r["vmax"]):
+            keep.append(r["path"])  # no stats — must read
+        elif not (r["vmax"] < lo or r["vmin"] > hi):
+            keep.append(r["path"])
+    stats = {"files_total": len(zm), "files_read": len(keep)}
+    if not keep:
+        # empty result with the right schema: scan one file, filter-all
+        first = list(pads.dataset(input_path, format="parquet").files)[:1]
+        ds = ray.data.read_parquet(
+            first,
+            columns=list(columns) if columns else None,
+            filter=(pads.field(col) > hi) & (pads.field(col) < lo),
+        )
+        return ds, stats
+    ds = ray.data.read_parquet(
+        keep,
+        columns=list(columns) if columns else None,
+        filter=(pads.field(col) >= lo) & (pads.field(col) <= hi),
+    )
+    return ds, stats

@@ -1,0 +1,100 @@
+"""Data-layout maintenance trio: cluster_by (range-sort layout),
+build_zonemap (footer-only manifests), pruned_read (zone-map skipping).
+Pins: layout disjointness, stats fidelity vs a real data read, pruned
+scan ≡ full-scan filter, and that pruning actually skips files."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from redactifai_ray.pipelines.maintenance import (
+    build_zonemap,
+    cluster_by,
+    pruned_read,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def clustered(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("clustered"))
+    summary = cluster_by(f"{SF}/documents.parquet", out, col="n_chars")
+    return out, summary
+
+
+class TestClusterBy:
+    def test_content_preserved(self, clustered):
+        out, _ = clustered
+        src = pd.read_parquet(f"{SF}/documents.parquet")
+        dst = pd.read_parquet(out)
+        assert sorted(dst["doc_id"]) == sorted(src["doc_id"])
+        assert dst["n_chars"].sum() == src["n_chars"].sum()
+
+    def test_files_cover_near_disjoint_ranges(self, clustered, ray_session):
+        out, summary = clustered
+        zm = build_zonemap(out, "n_chars").to_pandas()
+        assert len(zm) == summary["files_out"]
+        zm = zm.sort_values("vmin").reset_index(drop=True)
+        # range-partitioned layout: each file's min >= previous file's
+        # min, and overlap is at most the boundary value (sample-based
+        # boundaries put equal keys in one partition)
+        assert (zm["vmin"].to_numpy()[1:] >= zm["vmax"].to_numpy()[:-1]).all()
+
+    def test_within_file_sorted(self, clustered):
+        out, _ = clustered
+        import glob
+
+        for f in glob.glob(f"{out}/*.parquet"):
+            vals = pq.read_table(f, columns=["n_chars"])["n_chars"]
+            arr = vals.to_numpy()
+            assert (np.diff(arr) >= 0).all(), f
+
+
+class TestZonemap:
+    def test_stats_match_data(self, ray_session, clustered):
+        out, _ = clustered
+        zm = build_zonemap(out, "n_chars").to_pandas()
+        for _, r in zm.iterrows():
+            col = pq.read_table(r["path"], columns=["n_chars"])["n_chars"]
+            assert r["n_rows"] == len(col)
+            assert r["vmin"] == pa.compute.min(col).as_py()
+            assert r["vmax"] == pa.compute.max(col).as_py()
+
+    def test_footer_only_on_source_table(self, ray_session):
+        zm = build_zonemap(f"{SF}/documents.parquet", "doc_id").to_pandas()
+        assert len(zm) == 1
+        assert zm.iloc[0]["vmin"] == 0
+        assert zm.iloc[0]["n_rows"] == 500
+
+
+class TestPrunedRead:
+    def test_equals_full_scan_filter(self, ray_session, clustered):
+        out, _ = clustered
+        full = pd.read_parquet(out)
+        lo, hi = 250, 400
+        want = full[(full["n_chars"] >= lo) & (full["n_chars"] <= hi)]
+        ds, stats = pruned_read(out, "n_chars", lo, hi)
+        got = ds.to_pandas()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+        assert stats["files_read"] <= stats["files_total"]
+
+    def test_narrow_range_skips_files(self, ray_session, clustered):
+        out, summary = clustered
+        if summary["files_out"] < 2:
+            pytest.skip("single output file — nothing to skip")
+        zm = build_zonemap(out, "n_chars").to_pandas().sort_values("vmin")
+        lo = int(zm.iloc[0]["vmin"])
+        hi = int(zm.iloc[0]["vmax"])
+        ds, stats = pruned_read(out, "n_chars", lo, hi)
+        assert stats["files_read"] < stats["files_total"]
+        got = ds.to_pandas()
+        assert ((got["n_chars"] >= lo) & (got["n_chars"] <= hi)).all()
+
+    def test_empty_range(self, ray_session, clustered):
+        out, _ = clustered
+        ds, stats = pruned_read(out, "n_chars", 10**9, 2 * 10**9)
+        assert stats["files_read"] == 0
+        assert ds.count() == 0
