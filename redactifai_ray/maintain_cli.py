@@ -1,0 +1,121 @@
+"""Table-maintenance CLI: the lakehouse OPTIMIZE surface over the
+output directories the other two CLIs produce.
+
+    python -m redactifai_ray.maintain_cli compact --input DIR --output DIR
+        [--target-mb N] [--columns a,b]
+    python -m redactifai_ray.maintain_cli cluster --input DIR --output DIR
+        --by COL [--columns a,b]
+    python -m redactifai_ray.maintain_cli zonemap --input DIR --by COL
+        [--output MANIFEST_DIR]
+    python -m redactifai_ray.maintain_cli prune-count --input DIR --by COL
+        --lo V --hi V
+
+Subcommands map 1:1 onto ``pipelines/maintenance.py``: ``compact``
+rewrites small files into ≈target-MB files (footer-only planning),
+``cluster`` range-sorts so files cover disjoint key ranges, ``zonemap``
+writes/prints the per-file min/max manifest (footer statistics only —
+no data pages read), and ``prune-count`` demonstrates the zone-map scan
+path (files skipped + matching-row count). ``lo``/``hi`` parse as ints
+when possible, else floats, else stay strings (parquet stats compare in
+the column's type).
+
+Prints ONE JSON line per invocation. Owns its Ray session only when it
+creates it (same contract as run.py / curate_cli)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_bound(s: str):
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            continue
+    return s
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="redactifai_ray maintenance")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--target-mb", type=int, default=256)
+    p.add_argument("--columns", default=None)
+
+    p = sub.add_parser("cluster")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--by", required=True)
+    p.add_argument("--columns", default=None)
+
+    p = sub.add_parser("zonemap")
+    p.add_argument("--input", required=True)
+    p.add_argument("--by", required=True)
+    p.add_argument("--output", default=None,
+                   help="write the manifest parquet here instead of "
+                        "printing row counts only")
+
+    p = sub.add_parser("prune-count")
+    p.add_argument("--input", required=True)
+    p.add_argument("--by", required=True)
+    p.add_argument("--lo", required=True)
+    p.add_argument("--hi", required=True)
+
+    for sp in sub.choices.values():
+        sp.add_argument("--num-cpus", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True)
+    from .cluster import configure_data_context
+
+    configure_data_context()
+    try:
+        from .pipelines import maintenance as m
+
+        cols = args.columns.split(",") if getattr(args, "columns", None) else None
+        if args.cmd == "compact":
+            out = m.compact_parquet(
+                args.input, args.output, target_mb=args.target_mb,
+                columns=cols,
+            )
+        elif args.cmd == "cluster":
+            out = m.cluster_by(args.input, args.output, col=args.by,
+                               columns=cols)
+        elif args.cmd == "zonemap":
+            zm = m.build_zonemap(args.input, args.by)
+            if args.output:
+                zm.write_parquet(args.output)
+                out = {"files": zm.count(), "manifest": args.output}
+            else:
+                df = zm.to_pandas()
+                out = {
+                    "files": len(df),
+                    "rows": int(df["n_rows"].sum()) if len(df) else 0,
+                }
+        else:  # prune-count
+            ds, stats = m.pruned_read(
+                args.input, args.by,
+                _parse_bound(args.lo), _parse_bound(args.hi),
+            )
+            out = {**stats, "rows_matched": ds.count()}
+        print(json.dumps(out))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -98,3 +98,38 @@ class TestPrunedRead:
         ds, stats = pruned_read(out, "n_chars", 10**9, 2 * 10**9)
         assert stats["files_read"] == 0
         assert ds.count() == 0
+
+
+class TestMaintainCli:
+    def test_cluster_zonemap_prune_roundtrip(self, ray_session, tmp_path):
+        import json
+        from contextlib import redirect_stdout
+        import io
+
+        from redactifai_ray.maintain_cli import main
+
+        out = str(tmp_path / "clustered")
+
+        def run(argv):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                rc = main(argv)
+            assert rc == 0
+            return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+        r1 = run(["cluster", "--input", f"{SF}/documents.parquet",
+                  "--output", out, "--by", "n_chars"])
+        assert r1["files_out"] >= 1
+        r2 = run(["zonemap", "--input", out, "--by", "n_chars"])
+        assert r2 == {"files": r1["files_out"], "rows": 500}
+        r3 = run(["prune-count", "--input", out, "--by", "n_chars",
+                  "--lo", "250", "--hi", "400"])
+        full = pd.read_parquet(f"{SF}/documents.parquet")
+        want = int(((full["n_chars"] >= 250) & (full["n_chars"] <= 400)).sum())
+        assert r3["rows_matched"] == want
+        assert r3["files_read"] <= r3["files_total"]
+        comp = str(tmp_path / "compacted")
+        r4 = run(["compact", "--input", out, "--output", comp,
+                  "--target-mb", "64"])
+        assert r4["rows"] == 500
+        assert len(pd.read_parquet(comp)) == 500
