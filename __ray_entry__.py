@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q.q_event_transitions,
         # round-4: stream-stream interval join (all pairs in window)
         "window_join": q.q_window_join,
+        # round-4: per-dimension embedding QA scan (columnar explode)
+        "embedding_dim_stats": q.q_embedding_dim_stats,
     }
 
 
@@ -2134,5 +2136,15 @@ def oracle_sql() -> dict[str, str]:
           ON p.user_id = c.user_id
          AND c.event_type = 'click' AND p.event_type = 'purchase'
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """
+    sql["embedding_dim_stats"] = """
+        -- per-dimension min/max/count; picked values promote
+        -- float32 -> float64 exactly on both sides
+        SELECT i::BIGINT AS dim,
+               min(embedding[i + 1])::DOUBLE AS vmin,
+               max(embedding[i + 1])::DOUBLE AS vmax,
+               count(*)::BIGINT AS n
+        FROM embeddings, unnest(range(0, 64)) AS t(i)
+        GROUP BY 1
     """
     return sql

@@ -7493,3 +7493,45 @@ def q_window_join(sf_dir: str, window_min: int = 30) -> pd.DataFrame:
         .groupby("pkey", num_partitions=P)
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension statistics over the embedding ``list<float>`` column
+    (the feature-QA scan every embedding corpus needs — dead dims, range
+    drift, count integrity): min / max / count per dimension. Shape:
+    each batch stacks its lists into one (n, 64) float32 matrix — a
+    zero-copy-ish columnar explode — and folds axis-0 min/max/count
+    partials; the driver folds the tiny dims x blocks grid. min/max are
+    picked values (no accumulation), so promoting float32 -> float64 is
+    exact on both sides and the compare is bit-exact."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.vstack(
+            [np.asarray(v, np.float32) for v in t["embedding"].to_pylist()]
+        )
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "vmin": pa.array(m.min(axis=0).astype(np.float64)),
+                "vmax": pa.array(m.max(axis=0).astype(np.float64)),
+                "n": pa.array(np.full(d, m.shape[0], np.int64)),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "dim" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "dim": pd.Series(dtype="int64"),
+                "vmin": pd.Series(dtype="float64"),
+                "vmax": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby("dim", as_index=False).agg(
+        vmin=("vmin", "min"), vmax=("vmax", "max"), n=("n", "sum")
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("dim").reset_index(drop=True)

@@ -59,6 +59,7 @@ FAST_ORACLED = [
     "mad_chars",
     "event_transitions",
     "window_join",
+    "embedding_dim_stats",
 ]
 
 
