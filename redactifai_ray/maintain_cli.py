@@ -91,8 +91,13 @@ def main(argv=None) -> int:
                 columns=cols,
             )
         elif args.cmd == "cluster":
-            out = m.cluster_by(args.input, args.output, col=args.by,
-                               columns=cols)
+            by = args.by.split(",")
+            if len(by) > 1:  # multi-column -> Z-order clustering
+                out = m.cluster_by_zorder(args.input, args.output, cols=by,
+                                          columns=cols)
+            else:
+                out = m.cluster_by(args.input, args.output, col=by[0],
+                                   columns=cols)
         elif args.cmd == "zonemap":
             zm = m.build_zonemap(args.input, args.by)
             if args.output:

@@ -262,3 +262,53 @@ def pruned_read(
         filter=(pads.field(col) >= lo) & (pads.field(col) <= hi),
     )
     return ds, stats
+
+
+def cluster_by_zorder(
+    input_path: str | Sequence[str],
+    output_dir: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    columns: Optional[Sequence[str]] = None,
+) -> dict:
+    """Multi-column Z-order clustering (OPTIMIZE ZORDER BY): interleave
+    ``bits`` low bits of each integer column into one Morton key, range-
+    sort on it, drop the key, write. Unlike single-column ``cluster_by``
+    the resulting files are tight in EVERY listed dimension, so zone-map
+    pruning (``pruned_read``) skips files for predicates on any of them.
+    The interleave is the same 16-step vectorized shift/or pass as
+    ``q_zorder_layout``; the sort is the one all-to-all."""
+    import numpy as np
+    import pyarrow as pa
+
+    read_cols = None
+    if columns:
+        read_cols = list(dict.fromkeys(list(columns) + list(cols)))
+    ds = ray.data.read_parquet(input_path, columns=read_cols)
+    k = len(cols)
+    mask = (1 << bits) - 1
+
+    def add_zval(t: pa.Table) -> pa.Table:
+        vals = [
+            t[c].to_numpy(zero_copy_only=False).astype(np.int64) & mask
+            for c in cols
+        ]
+        z = np.zeros(t.num_rows, dtype=np.int64)
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * k + j)
+        return t.append_column("zval", pa.array(z, pa.int64()))
+
+    def drop_zval(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["zval"])
+
+    (
+        ds.map_batches(add_zval, batch_format="pyarrow")
+        .sort("zval")
+        .map_batches(drop_zval, batch_format="pyarrow")
+        .write_parquet(output_dir)
+    )
+    import pyarrow.dataset as pads
+
+    out = pads.dataset(output_dir, format="parquet")
+    return {"files_out": len(list(out.files)), "cols": list(cols)}

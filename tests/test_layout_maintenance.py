@@ -133,3 +133,26 @@ class TestMaintainCli:
                   "--target-mb", "64"])
         assert r4["rows"] == 500
         assert len(pd.read_parquet(comp)) == 500
+
+
+class TestZorderCluster:
+    def test_prunes_on_both_dims(self, ray_session, tmp_path):
+        from redactifai_ray.pipelines.maintenance import cluster_by_zorder
+
+        out = str(tmp_path / "zclustered")
+        summary = cluster_by_zorder(
+            f"{SF}/documents.parquet", out, cols=["n_chars", "doc_id"]
+        )
+        dst = pd.read_parquet(out)
+        src = pd.read_parquet(f"{SF}/documents.parquet")
+        assert sorted(dst["doc_id"]) == sorted(src["doc_id"])
+        assert "zval" not in dst.columns
+        if summary["files_out"] < 4:
+            pytest.skip("too few files to measure pruning")
+        # a narrow predicate on EITHER z-ordered dimension skips files
+        for col, lo, hi in (("n_chars", 250, 300), ("doc_id", 0, 60)):
+            ds, stats = pruned_read(out, col, lo, hi)
+            got = ds.to_pandas()
+            want = src[(src[col] >= lo) & (src[col] <= hi)]
+            assert sorted(got["doc_id"]) == sorted(want["doc_id"]), col
+            assert stats["files_read"] < stats["files_total"], col
