@@ -328,6 +328,17 @@ def run_bench() -> dict:
     timed("event_transitions", lambda: q_event_transitions(SF_DIR))
     timed("skyline", lambda: q_skyline_parts(SF_DIR))
 
+    from redactifai_ray.pipelines.maintenance import cluster_by_zorder
+
+    def zorder_cluster():
+        out = f"/tmp/rrx_zorder_{NUM_CPUS}"
+        shutil.rmtree(out, ignore_errors=True)
+        cluster_by_zorder(
+            f"{SF_DIR}/events.parquet", out, cols=["user_id", "event_id"]
+        )
+
+    timed("zorder_cluster", zorder_cluster)
+
     headline = timings["flagship_deidentify"]
     result = {
         "metric": "flagship deidentify wall time (extract+dedup+detect+mask+write)",
