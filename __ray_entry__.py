@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_join": q.q_window_join,
         # round-4: per-dimension embedding QA scan (columnar explode)
         "embedding_dim_stats": q.q_embedding_dim_stats,
+        # round-4: order-statistic sliding window (rolling median of 3)
+        "user_rolling_median": q.q_user_rolling_median,
     }
 
 
@@ -2146,5 +2148,15 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n
         FROM embeddings, unnest(range(0, 64)) AS t(i)
         GROUP BY 1
+    """
+    sql["user_rolling_median"] = """
+        -- full windows only: median of 3 is a picked value, bit-exact
+        SELECT user_id, event_id,
+               median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med3
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) >= 3
     """
     return sql

@@ -7535,3 +7535,56 @@ def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
     )
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def q_user_rolling_median(sf_dir: str) -> pd.DataFrame:
+    """Order-statistic sliding window (rolling MEDIAN, the robust
+    counterpart of ``q_user_rolling_mean``): per user in (ts, event_id)
+    order, the median of the current + 2 preceding event values — full
+    windows only, so every output is a PICKED value (median of 3) and
+    the float compare is bit-exact with no accumulation anywhere.
+    Shape: ONE user-hash ``pkey`` partition; per partition a single
+    pandas groupby-rolling pass (C-implemented) — users are complete
+    within a partition, histories bounded (sessionize doctrine)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    P = 32
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t["ts"].cast(pa.int64())
+        ).rename_columns(["user_id", "ts_us", "event_id", "value"])
+        return t.append_column("pkey", pa.array(uid % P, pa.int64()))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "med3": pd.Series(dtype="float64"),
+            }
+        )
+        if "user_id" not in g.columns or g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        med = (
+            g.groupby("user_id")["value"]
+            .rolling(3)
+            .median()
+            .reset_index(level=0, drop=True)
+        )
+        out = g.assign(med3=med).dropna(subset=["med3"])
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "event_id": out["event_id"].astype("int64"),
+                "med3": out["med3"].astype("float64"),
+            }
+        )
+
+    # event-cardinality result: return the lazy Dataset
+    return (
+        ev.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey", num_partitions=P)
+        .map_groups(roll, batch_format="pandas")
+    )

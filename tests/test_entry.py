@@ -60,6 +60,7 @@ FAST_ORACLED = [
     "event_transitions",
     "window_join",
     "embedding_dim_stats",
+    "user_rolling_median",
 ]
 
 
