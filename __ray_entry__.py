@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q.q_embedding_dim_stats,
         # round-4: order-statistic sliding window (rolling median of 3)
         "user_rolling_median": q.q_user_rolling_median,
+        # round-4: ratio-to-report in exact integer basis points
+        "lang_share_bp": q.q_lang_share_bp,
     }
 
 
@@ -2158,5 +2160,13 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         QUALIFY row_number() OVER (
             PARTITION BY user_id ORDER BY ts, event_id) >= 3
+    """
+    sql["lang_share_bp"] = """
+        -- share-of-total as floor basis points in HUGEINT — no floats
+        SELECT lang, sum(n_chars)::BIGINT AS chars,
+               ((10000 * sum(n_chars)::HUGEINT)
+                // (SELECT sum(n_chars)::HUGEINT FROM documents))::BIGINT
+                   AS share_bp
+        FROM documents GROUP BY lang
     """
     return sql

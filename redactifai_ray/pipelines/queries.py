@@ -7588,3 +7588,37 @@ def q_user_rolling_median(sf_dir: str) -> pd.DataFrame:
         .groupby("pkey", num_partitions=P)
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def q_lang_share_bp(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report (share-of-total) in EXACT integer basis points:
+    each lang's share of total corpus characters as floor(10000 * part /
+    total) — the reporting window shape (``sum(x) OVER () `` division)
+    without a float anywhere. Shape: one per-batch (lang, chars) partial
+    fold; the driver divides Python ints over the langs-bounded grid."""
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "c": t["n_chars"].cast(pa.int64())})
+            .group_by("lang")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["lang", "chars"])
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "lang" not in parts.columns:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype="object"),
+                "chars": pd.Series(dtype="int64"),
+                "share_bp": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby("lang", as_index=False)["chars"].sum()
+    total = int(out["chars"].sum())
+    out["share_bp"] = [
+        np.int64((10000 * int(c)) // total) for c in out["chars"]
+    ]
+    out["chars"] = out["chars"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)

@@ -61,6 +61,7 @@ FAST_ORACLED = [
     "window_join",
     "embedding_dim_stats",
     "user_rolling_median",
+    "lang_share_bp",
 ]
 
 
