@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_median": q.q_user_rolling_median,
         # round-4: ratio-to-report in exact integer basis points
         "lang_share_bp": q.q_lang_share_bp,
+        # round-4: RFM user segmentation (one-pass fold + band + rollup)
+        "rfm_segments": q.q_rfm_segments,
     }
 
 
@@ -2168,5 +2170,33 @@ def oracle_sql() -> dict[str, str]:
                 // (SELECT sum(n_chars)::HUGEINT FROM documents))::BIGINT
                    AS share_bp
         FROM documents GROUP BY lang
+    """
+    sql["rfm_segments"] = """
+        -- exact-integer RFM: recency in µs vs the global max event
+        -- time, monetary as floor-cents before summation
+        WITH per_user AS (
+            SELECT user_id,
+                   epoch_us(max(ts))::BIGINT AS last_us,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS cents
+            FROM events GROUP BY user_id
+        ),
+        banded AS (
+            SELECT CASE
+                     WHEN (SELECT max(last_us) FROM per_user) - last_us
+                          <= 43200000000::BIGINT THEN 2
+                     WHEN (SELECT max(last_us) FROM per_user) - last_us
+                          <= 86400000000::BIGINT THEN 1
+                     ELSE 0 END AS r_band,
+                   CASE WHEN n >= 70 THEN 2
+                        WHEN n >= 60 THEN 1 ELSE 0 END AS f_band,
+                   CASE WHEN cents >= 350000 THEN 2
+                        WHEN cents >= 300000 THEN 1 ELSE 0 END AS m_band
+            FROM per_user
+        )
+        SELECT r_band::BIGINT AS r_band, f_band::BIGINT AS f_band,
+               m_band::BIGINT AS m_band, count(*)::BIGINT AS n_users
+        FROM banded GROUP BY 1, 2, 3
     """
     return sql

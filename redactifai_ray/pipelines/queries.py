@@ -7622,3 +7622,79 @@ def q_lang_share_bp(sf_dir: str) -> pd.DataFrame:
     ]
     out["chars"] = out["chars"].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation (the canonical user-analytics composition):
+    per-user Recency / Frequency / Monetary metrics folded in ONE pass,
+    banded against fixed thresholds, re-aggregated to segment counts —
+    everything exact-integer (recency in µs against the global max
+    event time; monetary as floor-cents before summation). Shape:
+    per-batch (user, last_us, n, cents) partials pre-fold inside
+    map_batches, ONE user-keyed groupby finishes the per-user fold
+    (max/sum of partials), banding is a vectorized map, and the final
+    groupby is 27-row bounded. The fact table shuffles once, slim."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    H12 = 12 * 3600 * 1_000_000
+    H24 = 24 * 3600 * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": t["ts"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                "cents": np.floor(
+                    np.asarray(t["value"], np.float64) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            last_us=("ts_us", "max"), n=("ts_us", "size"),
+            cents=("cents", "sum"),
+        )
+        for c in ("last_us", "n", "cents"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("n", alias_name="n"),
+            Sum("cents", alias_name="cents"),
+        )
+        .to_pandas()
+    )
+    if per_user.empty or "user_id" not in per_user.columns:
+        return pd.DataFrame(
+            {
+                "r_band": pd.Series(dtype="int64"),
+                "f_band": pd.Series(dtype="int64"),
+                "m_band": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64"),
+            }
+        )
+    now_us = int(per_user["last_us"].max())
+    age = now_us - per_user["last_us"].to_numpy(np.int64)
+    n = per_user["n"].to_numpy(np.int64)
+    cents = per_user["cents"].to_numpy(np.int64)
+    seg = pd.DataFrame(
+        {
+            "r_band": np.where(age <= H12, 2, np.where(age <= H24, 1, 0)),
+            "f_band": np.where(n >= 70, 2, np.where(n >= 60, 1, 0)),
+            "m_band": np.where(
+                cents >= 350_000, 2, np.where(cents >= 300_000, 1, 0)
+            ),
+        }
+    )
+    out = seg.groupby(
+        ["r_band", "f_band", "m_band"], as_index=False
+    ).size().rename(columns={"size": "n_users"})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(
+        ["r_band", "f_band", "m_band"]
+    ).reset_index(drop=True)

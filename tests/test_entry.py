@@ -62,6 +62,7 @@ FAST_ORACLED = [
     "embedding_dim_stats",
     "user_rolling_median",
     "lang_share_bp",
+    "rfm_segments",
 ]
 
 
