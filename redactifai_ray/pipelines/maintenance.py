@@ -312,3 +312,92 @@ def cluster_by_zorder(
 
     out = pads.dataset(output_dir, format="parquet")
     return {"files_out": len(list(out.files)), "cols": list(cols)}
+
+
+def bucketize_write(
+    input_path: str | Sequence[str],
+    output_dir: str,
+    key: str,
+    n_buckets: int,
+    columns: Optional[Sequence[str]] = None,
+) -> dict:
+    """Hash-bucketed storage layout (the Hive/Iceberg bucket transform):
+    write the table hive-partitioned by ``bucket = key % n_buckets``.
+    Two tables bucketed the SAME way (same key domain, same n_buckets)
+    join bucket-pairwise with ZERO exchange (``bucket_join``) — the
+    storage-level form of the "pick ONE partitioning key and reuse it
+    across stages" doctrine: pay the layout once at write time, skip
+    the shuffle on every subsequent join."""
+    import numpy as np
+    import pyarrow as pa
+
+    read_cols = None
+    if columns:
+        read_cols = list(dict.fromkeys(list(columns) + [key]))
+    ds = ray.data.read_parquet(input_path, columns=read_cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(k % n_buckets, pa.int64())
+        )
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        output_dir, partition_cols=["bucket"]
+    )
+    return {"n_buckets": n_buckets, "key": key}
+
+
+def bucket_join(
+    dir_a: str,
+    dir_b: str,
+    key: str,
+    n_buckets: int,
+    how: str = "inner",
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> "ray.data.Dataset":
+    """Co-located join over two ``bucketize_write`` layouts sharing key
+    and n_buckets: one Ray task per bucket reads BOTH sides' matching
+    ``bucket=i`` subtree locally and merges in-task — embarrassingly
+    parallel, NO all-to-all anywhere (the join was pre-shuffled at
+    write time). Equal keys land in equal buckets by construction, so
+    the bucket-pairwise union of joins IS the full join. Missing bucket
+    subtrees are empty sides."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _schema_cols(d: str) -> list[str]:
+        files = sorted(
+            _glob.glob(os.path.join(d, "bucket=*", "*.parquet"))
+        )
+        if not files:
+            raise ValueError(f"no bucketed parquet under {d}")
+        names = pq.read_schema(files[0]).names
+        return [c for c in names if c != "bucket"]
+
+    cols_a, cols_b = _schema_cols(dir_a), _schema_cols(dir_b)
+
+    def _read_bucket(d: str, i: int, cols: list[str]) -> pd.DataFrame:
+        files = _glob.glob(os.path.join(d, f"bucket={i}", "*.parquet"))
+        if not files:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+        t = pa.concat_tables(
+            [pq.read_table(f, columns=cols) for f in files]
+        )
+        return t.to_pandas()
+
+    def join_one(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i in batch["bucket_id"]:
+            a = _read_bucket(dir_a, int(i), cols_a)
+            b = _read_bucket(dir_b, int(i), cols_b)
+            outs.append(a.merge(b, on=key, how=how, suffixes=suffixes))
+        return pd.concat(outs, ignore_index=True)
+
+    return ray.data.from_items(
+        [{"bucket_id": i} for i in range(n_buckets)]
+    ).map_batches(join_one, batch_format="pandas", batch_size=1)

@@ -156,3 +156,76 @@ class TestZorderCluster:
             want = src[(src[col] >= lo) & (src[col] <= hi)]
             assert sorted(got["doc_id"]) == sorted(want["doc_id"]), col
             assert stats["files_read"] < stats["files_total"], col
+
+
+class TestBucketedJoin:
+    @pytest.fixture(scope="class")
+    def bucketed(self, ray_session, tmp_path_factory):
+        from redactifai_ray.pipelines.maintenance import bucketize_write
+
+        root = tmp_path_factory.mktemp("buckets")
+        da, db = str(root / "orders"), str(root / "customer")
+        bucketize_write(
+            f"{SF}/orders.parquet", da, key="o_custkey", n_buckets=8,
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        import shutil, pyarrow.parquet as pq, pyarrow as pa
+
+        # customer side: rename key to match (bucket_join joins on one key)
+        cust = pq.read_table(
+            f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+        ).rename_columns(["o_custkey", "c_name"])
+        src = str(root / "cust_src.parquet")
+        pq.write_table(cust, src)
+        bucketize_write(src, db, key="o_custkey", n_buckets=8)
+        return da, db
+
+    def test_equals_reference_merge(self, ray_session, bucketed):
+        from redactifai_ray.pipelines.maintenance import bucket_join
+
+        da, db = bucketed
+        got = (
+            bucket_join(da, db, key="o_custkey", n_buckets=8)
+            .to_pandas()
+            .sort_values(["o_orderkey"])
+            .reset_index(drop=True)
+        )
+        orders = pd.read_parquet(
+            f"{SF}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice", "o_custkey"],
+        )
+        cust = pd.read_parquet(
+            f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+        ).rename(columns={"c_custkey": "o_custkey"})
+        ref = orders.merge(cust, on="o_custkey", how="inner").sort_values(
+            ["o_orderkey"]
+        ).reset_index(drop=True)
+        assert len(got) == len(ref)
+        assert (got["o_orderkey"].to_numpy() == ref["o_orderkey"].to_numpy()).all()
+        assert (got["c_name"].to_numpy() == ref["c_name"].to_numpy()).all()
+
+    def test_left_join_and_empty_buckets(self, ray_session, tmp_path):
+        from redactifai_ray.pipelines.maintenance import (
+            bucket_join, bucketize_write,
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        a = str(tmp_path / "a.parquet")
+        b = str(tmp_path / "b.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2, 33], pa.int64()),
+                      "x": pa.array([10, 20, 30], pa.int64())}), a)
+        pq.write_table(
+            pa.table({"k": pa.array([2], pa.int64()),
+                      "y": pa.array([200], pa.int64())}), b)
+        da, db = str(tmp_path / "da"), str(tmp_path / "db")
+        bucketize_write(a, da, key="k", n_buckets=16)
+        bucketize_write(b, db, key="k", n_buckets=16)
+        out = (
+            bucket_join(da, db, key="k", n_buckets=16, how="left")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(out["k"]) == [1, 2, 33]
+        assert out.loc[out["k"] == 2, "y"].iloc[0] == 200
+        assert out.loc[out["k"] == 1, "y"].isna().all()
