@@ -67,6 +67,13 @@ def main(argv=None) -> int:
     p.add_argument("--lo", required=True)
     p.add_argument("--hi", required=True)
 
+    p = sub.add_parser("bucketize")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--key", required=True)
+    p.add_argument("--buckets", type=int, required=True)
+    p.add_argument("--columns", default=None)
+
     for sp in sub.choices.values():
         sp.add_argument("--num-cpus", type=int, default=None)
 
@@ -109,6 +116,11 @@ def main(argv=None) -> int:
                     "files": len(df),
                     "rows": int(df["n_rows"].sum()) if len(df) else 0,
                 }
+        elif args.cmd == "bucketize":
+            out = m.bucketize_write(
+                args.input, args.output, key=args.key,
+                n_buckets=args.buckets, columns=cols,
+            )
         else:  # prune-count
             ds, stats = m.pruned_read(
                 args.input, args.by,
