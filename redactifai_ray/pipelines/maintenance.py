@@ -270,6 +270,7 @@ def cluster_by_zorder(
     cols: Sequence[str],
     bits: int = 16,
     columns: Optional[Sequence[str]] = None,
+    n_partitions: Optional[int] = None,
 ) -> dict:
     """Multi-column Z-order clustering (OPTIMIZE ZORDER BY): interleave
     ``bits`` low bits of each integer column into one Morton key, range-
@@ -277,7 +278,9 @@ def cluster_by_zorder(
     the resulting files are tight in EVERY listed dimension, so zone-map
     pruning (``pruned_read``) skips files for predicates on any of them.
     The interleave is the same 16-step vectorized shift/or pass as
-    ``q_zorder_layout``; the sort is the one all-to-all."""
+    ``q_zorder_layout``; the sort is the one all-to-all.
+    ``n_partitions`` pins the output file count (file granularity drives
+    pruning resolution — more, smaller files skip more)."""
     import numpy as np
     import pyarrow as pa
 
@@ -285,6 +288,8 @@ def cluster_by_zorder(
     if columns:
         read_cols = list(dict.fromkeys(list(columns) + list(cols)))
     ds = ray.data.read_parquet(input_path, columns=read_cols)
+    if n_partitions:
+        ds = ds.repartition(n_partitions)
     k = len(cols)
     mask = (1 << bits) - 1
 

@@ -140,15 +140,17 @@ class TestZorderCluster:
         from redactifai_ray.pipelines.maintenance import cluster_by_zorder
 
         out = str(tmp_path / "zclustered")
+        # pin the file count: pruning resolution is file granularity,
+        # and the default block count varies with session parallelism
         summary = cluster_by_zorder(
-            f"{SF}/documents.parquet", out, cols=["n_chars", "doc_id"]
+            f"{SF}/documents.parquet", out, cols=["n_chars", "doc_id"],
+            n_partitions=32,
         )
         dst = pd.read_parquet(out)
         src = pd.read_parquet(f"{SF}/documents.parquet")
         assert sorted(dst["doc_id"]) == sorted(src["doc_id"])
         assert "zval" not in dst.columns
-        if summary["files_out"] < 4:
-            pytest.skip("too few files to measure pruning")
+        assert summary["files_out"] >= 16  # n_partitions pinned it
         # a narrow predicate on EITHER z-ordered dimension skips files
         for col, lo, hi in (("n_chars", 250, 300), ("doc_id", 0, 60)):
             ds, stats = pruned_read(out, col, lo, hi)
