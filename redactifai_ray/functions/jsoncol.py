@@ -27,8 +27,24 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# a flat JSON object: one brace pair, no nested containers, no escapes
-_FLAT_RE = r"^\s*\{[^{}\[\]\\]*\}\s*$"
+# a flat JSON object, proven by a STRICT grammar: zero or more
+# `"key": value` pairs where keys are escape-free strings and values
+# are escape-free strings or bare scalar tokens — not merely "no
+# braces/escapes anywhere" (round-4 ADVICE: '{"k": 1, junk}' passed
+# the loose test and the fast path returned '1' where ->> yields
+# NULL). Rows failing the grammar re-parse exactly via json.loads.
+_STR = r'"[^"\\{}\[\]]*"'
+_VAL = _STR + r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null"
+_PAIR = _STR + r"\s*:\s*(?:" + _VAL + r")"
+# DuckDB's yyjson parser accepts a trailing comma after the last pair
+# ('{"k": 4,}' ->> 'k' yields '4'), so the flat grammar does too
+_FLAT_RE = (
+    r"^\s*\{\s*(?:"
+    + _PAIR
+    + r"(?:\s*,\s*"
+    + _PAIR
+    + r")*\s*,?\s*)?\}\s*$"
+)
 
 
 def _quoted_re(key: str) -> str:

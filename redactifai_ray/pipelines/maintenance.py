@@ -234,10 +234,27 @@ def pruned_read(
     ``cluster_by``-laid-out table this touches O(selectivity) files
     instead of all of them. Returns ``(dataset, stats)`` where stats
     reports files total/read. Files without statistics are always read
-    (correctness over pruning)."""
+    (correctness over pruning). Degenerate inputs are guarded up front
+    (round-4 ADVICE): an inverted range (``lo > hi``) returns an empty
+    dataset with the table's schema, and an empty input directory
+    raises rather than feeding ``read_parquet([])``."""
     import pyarrow.dataset as pads
 
     import pandas as pd
+
+    all_files = list(pads.dataset(input_path, format="parquet").files)
+    if not all_files:
+        raise ValueError(f"pruned_read: no parquet files under {input_path!r}")
+    if lo > hi:
+        # inverted range selects nothing; scan one file with an
+        # always-false predicate (x < lo AND x > lo) so the empty
+        # result still carries the real schema
+        ds = ray.data.read_parquet(
+            all_files[:1],
+            columns=list(columns) if columns else None,
+            filter=(pads.field(col) < lo) & (pads.field(col) > lo),
+        )
+        return ds, {"files_total": len(all_files), "files_read": 0}
 
     zm = build_zonemap(input_path, col).to_pandas()
     keep = []
@@ -248,12 +265,12 @@ def pruned_read(
             keep.append(r["path"])
     stats = {"files_total": len(zm), "files_read": len(keep)}
     if not keep:
-        # empty result with the right schema: scan one file, filter-all
-        first = list(pads.dataset(input_path, format="parquet").files)[:1]
+        # empty result with the right schema: scan one file with an
+        # always-false predicate (x < lo AND x > lo)
         ds = ray.data.read_parquet(
-            first,
+            all_files[:1],
             columns=list(columns) if columns else None,
-            filter=(pads.field(col) > hi) & (pads.field(col) < lo),
+            filter=(pads.field(col) < lo) & (pads.field(col) > lo),
         )
         return ds, stats
     ds = ray.data.read_parquet(

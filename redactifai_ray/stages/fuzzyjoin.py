@@ -30,9 +30,13 @@ Scale design (SURVEY §2.6 join family):
     pair-scale, orders of magnitude below candidate scale;
   * skew contract: a variant shared by ``g`` rows generates ``O(g²)``
     candidates. For near-unique keys (names, titles, URLs) ``g`` is
-    single-digit; degenerate blocks are capped at ``max_block`` pairs and
-    COUNTED (``dropped_blocks`` in the returned stats), never silently
-    quadratic — same doctrine as the LSH bucket cap.
+    single-digit; degenerate blocks are capped at ``max_block`` pairs,
+    logged per partition, and — when the caller passes a
+    ``drop_counter`` actor (``make_drop_counter()``) — accumulated so
+    the caller can DETECT a silently-incomplete result after
+    materializing (round-4 ADVICE: print-only drops were invisible to
+    callers). Never silently quadratic — same doctrine as the LSH
+    bucket cap.
 """
 
 from __future__ import annotations
@@ -46,6 +50,30 @@ import ray
 import ray.data
 
 from ..functions.textdist import levenshtein
+
+
+@ray.remote(num_cpus=0)
+class _DropCounter:
+    """Zero-CPU accumulator for capped-block drops: worker partitions
+    fire-and-forget ``add``; the caller reads ``value`` after the pair
+    Dataset is consumed (the count is only complete once every
+    partition has run)."""
+
+    def __init__(self) -> None:
+        self._n = 0
+
+    def add(self, n: int) -> None:
+        self._n += int(n)
+
+    def value(self) -> int:
+        return self._n
+
+
+def make_drop_counter():
+    """Create a drop-counter actor to pass as ``fuzzy_join_pairs``'s
+    ``drop_counter``; read it with
+    ``ray.get(counter.value.remote())`` AFTER consuming the result."""
+    return _DropCounter.remote()
 
 
 def deletion_variants(s: str, k: int) -> set[str]:
@@ -156,6 +184,7 @@ def fuzzy_join_pairs(
     max_edits: int = 1,
     num_partitions: Optional[int] = None,
     max_block: int = 100_000,
+    drop_counter=None,
 ) -> ray.data.Dataset:
     """All pairs within ``max_edits`` Levenshtein distance — exact.
 
@@ -165,8 +194,12 @@ def fuzzy_join_pairs(
 
     Returns a Dataset with columns ``id_a, id_b, dist`` (one row per
     distinct pair). ``max_block``: per-variant-block candidate-pair cap;
-    blocks beyond it are dropped (counted in logs), keeping degenerate
-    keys (e.g. empty strings under ``k >= len``) from going quadratic.
+    blocks beyond it are dropped (logged per partition), keeping
+    degenerate keys (e.g. empty strings under ``k >= len``) from going
+    quadratic. Pass ``drop_counter=make_drop_counter()`` to ACCUMULATE
+    dropped-block counts; ``ray.get(counter.value.remote())`` after
+    consuming the result tells the caller whether the pair set is
+    complete (0) or capped (>0).
     """
     from ..cluster import default_partitions
 
@@ -228,6 +261,8 @@ def fuzzy_join_pairs(
                 f"fuzzy_join_pairs: dropped {n_drop} degenerate variant "
                 f"block(s) above max_block={max_block}"
             )
+            if drop_counter is not None:
+                drop_counter.add.remote(int(n_drop))
             g = g[~big]
         m = g.merge(g, on="vhash", suffixes=("_a", "_b"))
         if two_sided:

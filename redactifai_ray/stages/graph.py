@@ -201,7 +201,7 @@ def kcore(
     edges: ray.data.Dataset,
     k: int,
     id_cols: tuple[str, str] = ("id_a", "id_b"),
-    max_iters: int = 10_000,
+    max_iters: "int | None" = None,
 ) -> pd.DataFrame:
     """k-core decomposition by distributed iterative peeling: repeatedly
     delete every node of degree < k until the survivor subgraph is
@@ -219,7 +219,10 @@ def kcore(
     driver-side — |V|-bounded, the same contract as ``pagerank``'s rank
     vector; beyond that, shard nodes by hash and peel with cross-shard
     degree exchange. Rounds are data-dependent but bounded by |V| (each
-    round removes at least one node or terminates)."""
+    round removes at least one node or terminates) — so ``max_iters``
+    defaults to the node count observed in the FIRST degree pass (the
+    documented bound; round-4 ADVICE — a fixed constant wrongly raised
+    on graphs whose peel cascade outlasts it)."""
     from ray.data.aggregate import Sum
 
     a_col, b_col = id_cols
@@ -245,13 +248,20 @@ def kcore(
         )
 
     cur = edges.select_columns([a_col, b_col]).materialize()
-    for _ in range(max_iters):
+    bound = max_iters
+    rounds = 0
+    while bound is None or rounds < bound:
+        rounds += 1
         deg = (
             cur.map_batches(degree_partials, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Sum("n", alias_name="degree"))
             .to_pandas()
         )
+        if bound is None:
+            # |V| from the first degree pass: each later round removes
+            # >= 1 node or terminates, so |V| rounds always suffice
+            bound = len(deg) + 1
         if deg.empty or "node" not in deg.columns:
             return pd.DataFrame(
                 {
@@ -276,7 +286,7 @@ def kcore(
             return t.filter(pc.invert(pc.fill_null(bad, False)))
 
         cur = cur.map_batches(peel, batch_format="pyarrow").materialize()
-    raise RuntimeError(f"kcore: no fixpoint within {max_iters} rounds")
+    raise RuntimeError(f"kcore: no fixpoint within {bound} rounds")
 
 
 __all__ = ["extract_outlinks", "pagerank", "kcore"]

@@ -187,7 +187,7 @@ def knn_topk_lsh(
             for b1 in range(n_planes):
                 for b2 in range(b1 + 1, n_planes):
                     probed.add(int(s) ^ (1 << b1) ^ (1 << b2))
-    probed_ref = ray.put(probed)
+    probed_ref = ray.put(np.array(sorted(probed), dtype=np.int64))
     queries_ref = ray.put({"ids": list(query_ids), "vectors": q_mat.tolist()})
 
     def filter_probed(batch: pa.Table) -> pa.Table:
@@ -196,7 +196,7 @@ def knn_topk_lsh(
         if mat.size == 0:
             return batch
         sk = sketch_of(_normalize(mat))
-        mask = [int(s) in keep for s in sk]
+        mask = np.isin(sk, keep)
         return batch.filter(pa.array(mask, pa.bool_()))
 
     candidates = emb.map_batches(filter_probed, batch_format="pyarrow")

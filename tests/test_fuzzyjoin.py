@@ -158,3 +158,39 @@ class TestFuzzyJoinTwoSided:
         # ids overlap between sides by construction; sides must be kept
         # apart (id_a always from ds_a, id_b from ds_b)
         assert got == want
+
+
+class TestDropCounter:
+    def test_degenerate_block_counted(self, ray_session):
+        # many identical short strings share every deletion variant —
+        # with a tiny max_block the block is capped, and the counter
+        # makes the incompleteness visible to the caller (round-4
+        # ADVICE: drops were print-only)
+        from redactifai_ray.stages.fuzzyjoin import make_drop_counter
+
+        rows = [{"id": i, "text": "aa"} for i in range(60)]
+        counter = make_drop_counter()
+        out = fuzzy_join_pairs(
+            ray.data.from_items(rows).repartition(3),
+            id_col="id",
+            text_col="text",
+            max_edits=1,
+            max_block=100,
+            drop_counter=counter,
+        ).to_pandas()
+        assert out.empty or len(out) < 60 * 59 // 2
+        assert ray.get(counter.value.remote()) > 0
+
+    def test_zero_when_uncapped(self, ray_session):
+        from redactifai_ray.stages.fuzzyjoin import make_drop_counter
+
+        rows = [{"id": i, "text": f"word{i:03d}"} for i in range(30)]
+        counter = make_drop_counter()
+        fuzzy_join_pairs(
+            ray.data.from_items(rows).repartition(2),
+            id_col="id",
+            text_col="text",
+            max_edits=1,
+            drop_counter=counter,
+        ).materialize()
+        assert ray.get(counter.value.remote()) == 0

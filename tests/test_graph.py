@@ -239,3 +239,19 @@ class TestKCore:
         )
         assert set(out["node"]) == set(range(6))
         assert (out["degree"] == 5).all()
+
+
+class TestKcoreIterationBound:
+    def test_long_peel_cascade_completes_without_fixed_cap(self, ray_session):
+        # a path graph peels one end pair per round — the cascade length
+        # grows with |V|, which is exactly what broke a fixed max_iters
+        # (round-4 ADVICE); the default bound is now the observed node
+        # count, so this terminates (with an empty 2-core) regardless
+        import ray.data
+
+        from redactifai_ray.stages.graph import kcore
+
+        n = 30
+        path = [{"id_a": i, "id_b": i + 1} for i in range(n - 1)]
+        out = kcore(ray.data.from_items(path).repartition(3), k=2)
+        assert out.empty

@@ -51,6 +51,13 @@ EDGE_ROWS = [
     "",
     "[1,2,3]",
     '"just a string"',
+    # invalid-but-brace-flat rows (round-4 ADVICE): must route to the
+    # loads fallback and come back NULL, never a regex-extracted token
+    '{"k": 1, junk}',
+    '{junk, "k": 2}',
+    '{"k" 3}',
+    '{"k": 4,}',
+    '{,}',
 ]
 
 

@@ -99,6 +99,19 @@ class TestPrunedRead:
         assert stats["files_read"] == 0
         assert ds.count() == 0
 
+    def test_inverted_range_is_empty(self, ray_session, clustered):
+        # lo > hi selects nothing (round-4 ADVICE: the old filter-all
+        # expression inverted into a BETWEEN and returned rows)
+        out, _ = clustered
+        ds, stats = pruned_read(out, "n_chars", 400, 250)
+        assert stats["files_read"] == 0
+        df = ds.to_pandas()
+        assert len(df) == 0
+
+    def test_empty_dir_raises(self, ray_session, tmp_path):
+        with pytest.raises((ValueError, FileNotFoundError, OSError)):
+            pruned_read(str(tmp_path), "n_chars", 0, 10)
+
 
 class TestMaintainCli:
     def test_cluster_zonemap_prune_roundtrip(self, ray_session, tmp_path):
