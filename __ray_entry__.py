@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_share_bp": q.q_lang_share_bp,
         # round-4: RFM user segmentation (one-pass fold + band + rollup)
         "rfm_segments": q.q_rfm_segments,
+        # round-5: zero-exchange co-located join over hash-bucketed
+        # layouts, oracled against the plain DuckDB join
+        "bucket_join_counts": q.q_bucket_join_counts,
     }
 
 
@@ -2198,5 +2201,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT r_band::BIGINT AS r_band, f_band::BIGINT AS f_band,
                m_band::BIGINT AS m_band, count(*)::BIGINT AS n_users
         FROM banded GROUP BY 1, 2, 3
+    """
+    sql["bucket_join_counts"] = """
+        -- witness that the bucket-pairwise union of joins IS the join
+        SELECT o_orderpriority,
+               count(*)::BIGINT AS n_items,
+               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+                   AS sum_qty_c
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """
     return sql

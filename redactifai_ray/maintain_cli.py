@@ -9,6 +9,11 @@ output directories the other two CLIs produce.
         [--output MANIFEST_DIR]
     python -m redactifai_ray.maintain_cli prune-count --input DIR --by COL
         --lo V --hi V
+    python -m redactifai_ray.maintain_cli bucketize --input DIR --output DIR
+        --key COL --buckets N [--columns a,b]
+    python -m redactifai_ray.maintain_cli bucket-join --left DIR --right DIR
+        --key COL --buckets N --output DIR [--how inner] [--columns-left a,b]
+        [--columns-right c,d] [--max-task-mb M]
 
 Subcommands map 1:1 onto ``pipelines/maintenance.py``: ``compact``
 rewrites small files into ≈target-MB files (footer-only planning),
@@ -74,6 +79,17 @@ def main(argv=None) -> int:
     p.add_argument("--buckets", type=int, required=True)
     p.add_argument("--columns", default=None)
 
+    p = sub.add_parser("bucket-join")
+    p.add_argument("--left", required=True)
+    p.add_argument("--right", required=True)
+    p.add_argument("--key", required=True)
+    p.add_argument("--buckets", type=int, required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--how", default="inner")
+    p.add_argument("--columns-left", default=None)
+    p.add_argument("--columns-right", default=None)
+    p.add_argument("--max-task-mb", type=int, default=1024)
+
     for sp in sub.choices.values():
         sp.add_argument("--num-cpus", type=int, default=None)
 
@@ -121,6 +137,26 @@ def main(argv=None) -> int:
                 args.input, args.output, key=args.key,
                 n_buckets=args.buckets, columns=cols,
             )
+        elif args.cmd == "bucket-join":
+            joined = m.bucket_join(
+                args.left, args.right, key=args.key,
+                n_buckets=args.buckets, how=args.how,
+                columns_a=(args.columns_left.split(",")
+                           if args.columns_left else None),
+                columns_b=(args.columns_right.split(",")
+                           if args.columns_right else None),
+                max_task_bytes=args.max_task_mb << 20,
+            )
+            joined.write_parquet(args.output)
+            import pyarrow.dataset as pads
+
+            outds = pads.dataset(args.output, format="parquet")
+            out = {
+                "files_out": len(list(outds.files)),
+                "rows_out": sum(
+                    f.metadata.num_rows for f in outds.get_fragments()
+                ),
+            }
         else:  # prune-count
             ds, stats = m.pruned_read(
                 args.input, args.by,

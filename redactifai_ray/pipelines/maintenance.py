@@ -370,6 +370,80 @@ def bucketize_write(
     return {"n_buckets": n_buckets, "key": key}
 
 
+def _split_by_bytes(
+    files: list[str], sizes: dict[str, int], cap: int
+) -> list[list[str]]:
+    """Greedy partition of ``files`` into groups of <= ``cap`` total
+    bytes (a single file larger than the cap becomes its own group —
+    file granularity is the floor of what task planning can split)."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in sorted(files):
+        s = sizes[f]
+        if cur and cur_bytes + s > cap:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += s
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _plan_bucket_tasks(
+    dir_a: str,
+    dir_b: str,
+    n_buckets: int,
+    how: str,
+    max_task_bytes: int,
+) -> list[dict]:
+    """Driver-side task plan for ``bucket_join`` — metadata only (file
+    lists + on-disk sizes, no data read). One task per bucket in the
+    normal regime; a bucket whose combined file bytes exceed
+    ``max_task_bytes`` (hot-key skew — one host owning a large slice of
+    the corpus) is split at file granularity on the side that the join
+    semantics allow: for ``inner`` the larger side, for ``left`` the
+    left side (each of its rows lands in exactly one sub-task, the
+    other side re-reads per sub-task — exact by construction). Other
+    join types cannot split without duplicating unmatched rows, so an
+    oversized bucket raises naming the remedies (more buckets via
+    ``bucketize_write``, or a smaller probe side via ``columns=``)."""
+    import glob as _glob
+    import os
+
+    tasks: list[dict] = []
+    for i in range(n_buckets):
+        fa = sorted(_glob.glob(os.path.join(dir_a, f"bucket={i}", "*.parquet")))
+        fb = sorted(_glob.glob(os.path.join(dir_b, f"bucket={i}", "*.parquet")))
+        sa = {f: os.path.getsize(f) for f in fa}
+        sb = {f: os.path.getsize(f) for f in fb}
+        total = sum(sa.values()) + sum(sb.values())
+        if total <= max_task_bytes or not fa or not fb:
+            tasks.append({"bucket_id": i, "files_a": fa, "files_b": fb})
+            continue
+        if how == "inner":
+            split_a = sum(sa.values()) >= sum(sb.values())
+        elif how == "left":
+            split_a = True
+        else:
+            raise ValueError(
+                f"bucket_join: bucket {i} holds {total >> 20} MiB, above "
+                f"max_task_bytes={max_task_bytes >> 20} MiB, and how="
+                f"{how!r} joins cannot split a bucket without duplicating "
+                f"unmatched rows. Remedies: rewrite both layouts with more "
+                f"buckets (bucketize_write n_buckets), prune payload "
+                f"columns (columns_a/columns_b), or raise max_task_bytes."
+            )
+        if split_a:
+            for grp in _split_by_bytes(fa, sa, max_task_bytes):
+                tasks.append({"bucket_id": i, "files_a": grp, "files_b": fb})
+        else:
+            for grp in _split_by_bytes(fb, sb, max_task_bytes):
+                tasks.append({"bucket_id": i, "files_a": fa, "files_b": grp})
+    return tasks
+
+
 def bucket_join(
     dir_a: str,
     dir_b: str,
@@ -377,6 +451,9 @@ def bucket_join(
     n_buckets: int,
     how: str = "inner",
     suffixes: tuple[str, str] = ("_a", "_b"),
+    columns_a: Optional[Sequence[str]] = None,
+    columns_b: Optional[Sequence[str]] = None,
+    max_task_bytes: int = 1 << 30,
 ) -> "ray.data.Dataset":
     """Co-located join over two ``bucketize_write`` layouts sharing key
     and n_buckets: one Ray task per bucket reads BOTH sides' matching
@@ -384,27 +461,41 @@ def bucket_join(
     parallel, NO all-to-all anywhere (the join was pre-shuffled at
     write time). Equal keys land in equal buckets by construction, so
     the bucket-pairwise union of joins IS the full join. Missing bucket
-    subtrees are empty sides."""
-    import glob as _glob
-    import os
+    subtrees are empty sides.
 
+    Scale guards (round-4 VERDICT #1): ``columns_a``/``columns_b``
+    prune each side's read to the named columns (+ ``key``), and a
+    bucket whose on-disk bytes exceed ``max_task_bytes`` is split into
+    file-granularity sub-tasks (see ``_plan_bucket_tasks``) so one hot
+    key cannot OOM a worker."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    def _schema_cols(d: str) -> list[str]:
+    def _schema_cols(d: str, want: Optional[Sequence[str]]) -> list[str]:
+        import glob as _glob
+        import os
+
         files = sorted(
             _glob.glob(os.path.join(d, "bucket=*", "*.parquet"))
         )
         if not files:
             raise ValueError(f"no bucketed parquet under {d}")
         names = pq.read_schema(files[0]).names
+        if want is not None:
+            want_k = list(dict.fromkeys(list(want) + [key]))
+            missing = [c for c in want_k if c not in names]
+            if missing:
+                raise ValueError(f"columns {missing} not in {d}")
+            # preserve file column order for deterministic output
+            return [c for c in names if c in want_k]
         return [c for c in names if c != "bucket"]
 
-    cols_a, cols_b = _schema_cols(dir_a), _schema_cols(dir_b)
+    cols_a = _schema_cols(dir_a, columns_a)
+    cols_b = _schema_cols(dir_b, columns_b)
+    tasks = _plan_bucket_tasks(dir_a, dir_b, n_buckets, how, max_task_bytes)
 
-    def _read_bucket(d: str, i: int, cols: list[str]) -> pd.DataFrame:
-        files = _glob.glob(os.path.join(d, f"bucket={i}", "*.parquet"))
+    def _read_files(files: list[str], cols: list[str]) -> pd.DataFrame:
         if not files:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
         t = pa.concat_tables(
@@ -414,12 +505,12 @@ def bucket_join(
 
     def join_one(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for i in batch["bucket_id"]:
-            a = _read_bucket(dir_a, int(i), cols_a)
-            b = _read_bucket(dir_b, int(i), cols_b)
+        for _, row in batch.iterrows():
+            a = _read_files(list(row["files_a"]), cols_a)
+            b = _read_files(list(row["files_b"]), cols_b)
             outs.append(a.merge(b, on=key, how=how, suffixes=suffixes))
         return pd.concat(outs, ignore_index=True)
 
-    return ray.data.from_items(
-        [{"bucket_id": i} for i in range(n_buckets)]
-    ).map_batches(join_one, batch_format="pandas", batch_size=1)
+    return ray.data.from_items(tasks).map_batches(
+        join_one, batch_format="pandas", batch_size=1
+    )

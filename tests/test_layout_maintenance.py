@@ -244,3 +244,92 @@ class TestBucketedJoin:
         assert list(out["k"]) == [1, 2, 33]
         assert out.loc[out["k"] == 2, "y"].iloc[0] == 200
         assert out.loc[out["k"] == 1, "y"].isna().all()
+
+
+class TestBucketJoinScaleGuards:
+    def _write_skewed(self, tmp_path, n=4000):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from redactifai_ray.pipelines.maintenance import bucketize_write
+
+        # every row carries the SAME key -> one hot bucket
+        a = str(tmp_path / "a.parquet")
+        b = str(tmp_path / "b.parquet")
+        import hashlib
+
+        pads = [
+            hashlib.sha256(str(i).encode()).hexdigest() * 4
+            for i in range(n)
+        ]  # incompressible ~256 B/row so on-disk bytes exceed the cap
+        pq.write_table(
+            pa.table({"k": pa.array([7] * n, pa.int64()),
+                      "x": pa.array(range(n), pa.int64()),
+                      "pad": pa.array(pads, pa.string())}), a)
+        pq.write_table(
+            pa.table({"k": pa.array([7, 8], pa.int64()),
+                      "y": pa.array([70, 80], pa.int64())}), b)
+        da, db = str(tmp_path / "da"), str(tmp_path / "db")
+        # many small files on the hot side so the planner CAN split
+        import ray.data
+        ray.data.read_parquet(a).repartition(8).map_batches(
+            lambda t: t.append_column(
+                "bucket", pa.array([7 % 4] * t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        ).write_parquet(da, partition_cols=["bucket"])
+        bucketize_write(b, db, key="k", n_buckets=4)
+        return da, db, n
+
+    def test_hot_bucket_splits_and_stays_exact(self, ray_session, tmp_path):
+        from redactifai_ray.pipelines.maintenance import (
+            _plan_bucket_tasks, bucket_join,
+        )
+
+        da, db, n = self._write_skewed(tmp_path)
+        tasks = _plan_bucket_tasks(da, db, 4, "inner", max_task_bytes=40_000)
+        hot = [t for t in tasks if t["bucket_id"] == 3]
+        assert len(hot) > 1  # the hot bucket split into sub-tasks
+        out = bucket_join(
+            da, db, key="k", n_buckets=4, max_task_bytes=40_000
+        ).to_pandas()
+        assert len(out) == n
+        assert (out["y"] == 70).all()
+        assert sorted(out["x"]) == list(range(n))
+
+    def test_outer_join_raises_above_cap_with_remedy(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from redactifai_ray.pipelines.maintenance import bucket_join
+
+        da, db, _ = self._write_skewed(tmp_path)
+        with _pytest.raises(ValueError, match="bucketize_write"):
+            bucket_join(
+                da, db, key="k", n_buckets=4, how="outer",
+                max_task_bytes=40_000,
+            ).materialize()
+
+    def test_column_pruning(self, ray_session, tmp_path):
+        from redactifai_ray.pipelines.maintenance import (
+            bucket_join, bucketize_write,
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        a = str(tmp_path / "pa.parquet")
+        b = str(tmp_path / "pb.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "x": pa.array([10, 20], pa.int64()),
+                      "junk_a": pa.array(["a", "b"], pa.string())}), a)
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "y": pa.array([100, 200], pa.int64()),
+                      "junk_b": pa.array(["c", "d"], pa.string())}), b)
+        da, db = str(tmp_path / "pda"), str(tmp_path / "pdb")
+        bucketize_write(a, da, key="k", n_buckets=2)
+        bucketize_write(b, db, key="k", n_buckets=2)
+        out = bucket_join(
+            da, db, key="k", n_buckets=2,
+            columns_a=["x"], columns_b=["y"],
+        ).to_pandas()
+        assert sorted(out.columns) == ["k", "x", "y"]
+        assert sorted(out["x"]) == [10, 20]
