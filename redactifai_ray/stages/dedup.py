@@ -545,6 +545,7 @@ def _fold_pairs_distributed(
     fold,
     threshold: Optional[float],
     score_col: str,
+    dedupe_sides: bool = False,
 ) -> ray.data.Dataset:
     """Fully distributed pair verification over any per-doc binary payload
     — the shared fallback when a candidate set exceeds the driver
@@ -562,7 +563,18 @@ def _fold_pairs_distributed(
     ``threshold`` (when set) or folding to None are dropped. (Join-free
     for the same reasons as ``label_propagation`` — no join-aggregator
     actor pools, and Ray 2.49's hash join trips an Acero schema error on
-    join-derived lineages.)"""
+    join-derived lineages.)
+
+    ``dedupe_sides=False`` (default) requires globally pre-deduped pairs
+    — exactly two side rows reach the fold per pair. With
+    ``dedupe_sides=True`` the caller may stream pairs with
+    cross-partition duplicates (at most one occurrence per upstream
+    partition): every duplicate of a pair's (key, id_a, id_b) side row
+    lands in the SAME attach partition (keyed by doc id), so a
+    vectorized in-partition drop_duplicates restores the exactly-two
+    contract BEFORE payloads attach — fusing the standalone pair-dedup
+    exchange into the attach pass (round-4 VERDICT #4: duplicates ride
+    the slim 3-int side rows, never the payload exchange)."""
     P = default_partitions()
 
     EMPTY_SIDE = pa.table(
@@ -632,6 +644,11 @@ def _fold_pairs_distributed(
             )
         )
         side = g[g["is_payload"] == 0]
+        if dedupe_sides:
+            # cross-partition duplicates of a pair's side row all hash to
+            # THIS partition (keyed by the side's doc id) — one vectorized
+            # drop restores the exactly-two-rows-per-pair fold contract
+            side = side.drop_duplicates(subset=["key", "id_a", "id_b"])
         return pd.DataFrame(
             {
                 "id_a": side["id_a"].to_numpy(np.int64),
@@ -1039,10 +1056,14 @@ def exact_jaccard_join(
     set as blocking keys: a slim (bucket-hash, id) exchange carrying
     roughly ``(1-t)``·corpus-shingle rows — text never shuffles. One
     hash-partition groupby pairs each bucket's occupants with ONE
-    vectorized self-merge per partition; a pair-keyed second partition
-    dedupes. Verification routes through the house distributed pair
-    fold (``_fold_pairs_distributed``) with an integer cross-multiplied
-    threshold predicate — exactness never depends on the blocking hash
+    vectorized self-merge per partition (per-partition deduped); global
+    pair dedup is FUSED into the verification fold's payload-attach
+    partition (``dedupe_sides=True`` — round-4 VERDICT #4: the former
+    standalone pair-keyed exchange is gone; cross-partition duplicate
+    pairs ride the slim 3-int side rows and are dropped vectorized
+    before payloads attach). Verification routes through the house
+    distributed pair fold (``_fold_pairs_distributed``) with an integer
+    cross-multiplied threshold predicate — exactness never depends on the blocking hash
     (collisions only add candidates). Buckets whose pair count exceeds
     ``max_bucket`` are dropped AND counted (degenerate boilerplate
     shingles; raise the cap when exactness against an oracle matters).
@@ -1089,7 +1110,6 @@ def exact_jaccard_join(
             {
                 "id_a": pd.Series(dtype="int64"),
                 "id_b": pd.Series(dtype="int64"),
-                "ppkey": pd.Series(dtype="int64"),
             }
         )
         if g.empty or "bkey" not in g.columns:
@@ -1105,37 +1125,18 @@ def exact_jaccard_join(
             )
             g = g[~big]
         m = g.merge(g, on="bkey", suffixes=("_a", "_b"))
+        # per-partition dedup only — at most ONE occurrence of a pair per
+        # partition (the dedupe_sides=True attach-pass contract); global
+        # dedup happens inside the fold's payload-attach partition
         m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
         if m.empty:
             return empty
-        out = m[["id_a", "id_b"]].astype("int64").copy()
-        with np.errstate(over="ignore"):
-            out["ppkey"] = (
-                (
-                    out["id_a"].to_numpy(np.uint64)
-                    * np.uint64(0x9E3779B97F4A7C15)
-                    + out["id_b"].to_numpy(np.uint64)
-                )
-                % np.uint64(P)
-            ).astype(np.int64)
-        return out
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty or "id_a" not in g.columns:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
-                }
-            )
-        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+        return m[["id_a", "id_b"]].astype("int64")
 
     cand = (
         docs.map_batches(prefix_rows, batch_format="pyarrow")
         .groupby("pkey", num_partitions=min(P, 16))
         .map_groups(pair_in_partition, batch_format="pandas")
-        .groupby("ppkey", num_partitions=min(P, 16))
-        .map_groups(dedup_pairs, batch_format="pandas")
     )
 
     def shingle_payload(t: pa.Table) -> pa.Table:
@@ -1163,6 +1164,7 @@ def exact_jaccard_join(
         functools.partial(_jaccard_pred_fold, num=num, den=den),
         None,
         "n_shared",
+        dedupe_sides=True,
     )
 
     def to_int(t: pa.Table) -> pa.Table:
