@@ -71,6 +71,28 @@ def run_bench() -> dict:
 
     configure_data_context()
 
+    # Two cosmetic Ray-internal warnings used to pollute the bench tail
+    # (round-4 VERDICT #3); both are schema-dedup bookkeeping, not errors.
+    # (1) "Failed to hash the schemas ... unhashable type: 'dict'": a
+    # pyarrow.Schema WITH key-value metadata is unhashable. We strip the
+    # `pandas` metadata blob that pandas-written parquet carries right
+    # after every read (sources.strip_schema_metadata), but Ray's OWN
+    # pandas→arrow block conversion inside sort/aggregate boundaries uses
+    # pa.Table.from_pandas, which re-attaches a fresh `pandas` blob — a
+    # Ray-internal artifact we can't reach from UDFs, so the logger that
+    # emits it (driver-side schema unify) is pinned to ERROR. (2) the
+    # "Operator produced a RefBundle with a different schema ...
+    # PandasBlockSchema(names=[], types=[])" line: an EMPTY groupby
+    # partition emits a schema-less block Ray builds itself (our UDFs
+    # always return typed empties) — same treatment.
+    import logging
+
+    for _name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(_name).setLevel(logging.ERROR)
+
     sf = _sf_of(SF_DIR)
     n_pages = _pages_count(sf)
     pages_dir = _ensure_pages(n_pages)  # untimed (cached corpus)
@@ -167,6 +189,7 @@ def run_bench() -> dict:
 
     import ray.data
 
+    from redactifai_ray.pipelines.queries import _strip_schema_metadata
     from redactifai_ray.stages.analyze import add_text_stats
     from redactifai_ray.stages.dedup import exact_dedup, minhash_lsh_pairs
     from redactifai_ray.stages.similarity import knn_topk_from_dataset
@@ -174,16 +197,25 @@ def run_bench() -> dict:
     docs_path = f"{SF_DIR}/documents.parquet"
     emb_path = f"{SF_DIR}/embeddings.parquet"
 
+    def read_clean(path: str, columns=None):
+        # the driver's testdata parquet carries a `pandas` schema-metadata
+        # blob; a pyarrow.Schema WITH metadata is unhashable, so reduce
+        # tasks' schema-dedup logs "Failed to hash the schemas" spam
+        # (round-4 VERDICT #3). Strip it in a fused zero-copy map.
+        return ray.data.read_parquet(path, columns=columns).map_batches(
+            _strip_schema_metadata, batch_format="pyarrow"
+        )
+
     timed(
         "dedup_exact",
         lambda: exact_dedup(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+            read_clean(docs_path, columns=["doc_id", "text"])
         ).count(),
     )
     timed(
         "minhash_pairs",
         lambda: minhash_lsh_pairs(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+            read_clean(docs_path, columns=["doc_id", "text"]),
             threshold=0.5,
         ).count(),
     )
@@ -192,20 +224,20 @@ def run_bench() -> dict:
     timed(
         "substr_dedup",
         lambda: repeated_window_counts(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+            read_clean(docs_path, columns=["doc_id", "text"]),
             k=8,
         ).count(),
     )
     timed(
         "text_stats",
         lambda: add_text_stats(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+            read_clean(docs_path, columns=["doc_id", "text"])
         ).sum("n_tokens"),
     )
     timed(
         "knn",
         lambda: knn_topk_from_dataset(
-            ray.data.read_parquet(emb_path), n_queries=10, k=5
+            read_clean(emb_path), n_queries=10, k=5
         ).count(),
     )
 
@@ -251,7 +283,7 @@ def run_bench() -> dict:
     timed(
         "para_dedup",
         lambda: chunk_dedup(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+            read_clean(docs_path, columns=["doc_id", "text"]),
             mode="words",
             chunk_words=10,
         ).count(),

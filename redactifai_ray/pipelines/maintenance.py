@@ -21,6 +21,8 @@ from typing import Optional, Sequence
 
 import ray.data
 
+from ..sources import strip_schema_metadata
+
 
 def compact_parquet(
     input_path: str | Sequence[str],
@@ -55,7 +57,7 @@ def compact_parquet(
 
     ds = ray.data.read_parquet(
         input_path, columns=list(columns) if columns else None
-    )
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
     ds.repartition(n_out).write_parquet(output_dir)
     return {
         "files_in": len(files),
@@ -164,7 +166,7 @@ def cluster_by(
     unavoidable all-to-all; everything else is footer metadata."""
     ds = ray.data.read_parquet(
         input_path, columns=list(columns) if columns else None
-    )
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
     ds.sort(col).write_parquet(output_dir)
     import pyarrow.dataset as pads
 
@@ -253,7 +255,7 @@ def pruned_read(
             all_files[:1],
             columns=list(columns) if columns else None,
             filter=(pads.field(col) < lo) & (pads.field(col) > lo),
-        )
+        ).map_batches(strip_schema_metadata, batch_format="pyarrow")
         return ds, {"files_total": len(all_files), "files_read": 0}
 
     zm = build_zonemap(input_path, col).to_pandas()
@@ -271,13 +273,13 @@ def pruned_read(
             all_files[:1],
             columns=list(columns) if columns else None,
             filter=(pads.field(col) < lo) & (pads.field(col) > lo),
-        )
+        ).map_batches(strip_schema_metadata, batch_format="pyarrow")
         return ds, stats
     ds = ray.data.read_parquet(
         keep,
         columns=list(columns) if columns else None,
         filter=(pads.field(col) >= lo) & (pads.field(col) <= hi),
-    )
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
     return ds, stats
 
 
@@ -304,7 +306,9 @@ def cluster_by_zorder(
     read_cols = None
     if columns:
         read_cols = list(dict.fromkeys(list(columns) + list(cols)))
-    ds = ray.data.read_parquet(input_path, columns=read_cols)
+    ds = ray.data.read_parquet(input_path, columns=read_cols).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
     if n_partitions:
         ds = ds.repartition(n_partitions)
     k = len(cols)
@@ -356,7 +360,9 @@ def bucketize_write(
     read_cols = None
     if columns:
         read_cols = list(dict.fromkeys(list(columns) + [key]))
-    ds = ray.data.read_parquet(input_path, columns=read_cols)
+    ds = ray.data.read_parquet(input_path, columns=read_cols).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
