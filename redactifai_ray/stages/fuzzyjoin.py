@@ -262,7 +262,12 @@ def fuzzy_join_pairs(
                 f"block(s) above max_block={max_block}"
             )
             if drop_counter is not None:
-                drop_counter.add.remote(int(n_drop))
+                # block until the actor has recorded the drop: a
+                # fire-and-forget add can still be in flight when the
+                # caller consumes the Dataset and reads value()
+                # (observed as an order-dependent test flake on a busy
+                # box). Drops are rare, so the sync cost is nil.
+                ray.get(drop_counter.add.remote(int(n_drop)))
             g = g[~big]
         m = g.merge(g, on="vhash", suffixes=("_a", "_b"))
         if two_sided:
