@@ -64,6 +64,29 @@ def add_content_hash(
     return ds.map_batches(hash_batch, batch_format="pyarrow")
 
 
+def _require_int_ids(ds: ray.data.Dataset, id_col: str, op: str) -> None:
+    """Fail fast (driver-side, no execution) when ``id_col`` is not an
+    integer type. The near-dup family's slim exchanges and pair tables
+    are int64-keyed by design (2 ints/row is the scale contract); a
+    string key would otherwise surface as an opaque per-task
+    ``int(...)`` ValueError. Callers with string keys (e.g. urls)
+    should derive one: ``functions.hashing.stable_hash64(url)``."""
+    schema = ds.schema(fetch_if_missing=False)
+    if schema is None:  # lazy plan without cheap metadata — skip
+        return
+    try:
+        typ = schema.base_schema.field(id_col).type
+    except (AttributeError, KeyError):
+        return
+    if not pa.types.is_integer(typ):
+        raise TypeError(
+            f"{op}: id_col {id_col!r} must be an integer column "
+            f"(got {typ}); the slim pair exchanges are int64-keyed. "
+            "Derive one from a string key, e.g. "
+            "stable_hash64(url) (functions/hashing.py)."
+        )
+
+
 def exact_dedup(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -449,6 +472,7 @@ def minhash_lsh_pairs(
          pairs ≪ corpus is the LSH contract; the pair table (2 ints/row)
          is the only thing materialized.
     """
+    _require_int_ids(ds, id_col, "minhash_lsh_pairs")
     sig_kwargs = dict(
         text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, shingle_k=shingle_k, seed=seed,
@@ -817,6 +841,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: 4×16-bit band blocking (any pair within
     Hamming distance 3 of 63 bits shares at least one of 4 bands by
     pigeonhole), verified with full Hamming distance."""
+    _require_int_ids(ds, id_col, "simhash_pairs")
     sim = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, seed=seed),
@@ -1214,6 +1239,7 @@ def embedding_near_dup_pairs(
     For cos ≥ 0.95 (θ ≈ 18°), p ≈ 0.28 → recall ≈ 0.96 at the default
     T = 10 (the single-table ≈ 0.29 recall of round 1 was the gap
     VERDICT r1 #5 flagged; the union now lives inside the function)."""
+    _require_int_ids(emb, id_col, "embedding_near_dup_pairs")
     P = default_partitions()
 
     class Sketch:

@@ -81,28 +81,40 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         finalize_output(build_deidentify_pipeline(pages_dir)).write_parquet(out)
 
+    import pyarrow as pa
     import pyarrow.compute as pc
+
+    from redactifai_ray.functions.hashing import stable_hash64
 
     def _texts(pages_dir: str) -> ray.data.Dataset:
         # pages carry the fixture's gold `text` column; ~14% are NULL
         # (empty/boilerplate pages) — drop them so the op matches the
         # documents-table semantics bench.py compares against instead
-        # of measuring one artificial 560k-member hash group
+        # of measuring one artificial 560k-member hash group. The
+        # near-dup family is int64-keyed (slim pair exchanges), so
+        # derive doc_id = stable_hash64(url), exactly as a CC-scale
+        # user of these ops would.
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["text"]))
+            ids = [
+                stable_hash64(u) >> 1  # int64-positive
+                for u in t["url"].to_pylist()
+            ]
+            return t.append_column("doc_id", pa.array(ids, pa.int64()))
+
         return ray.data.read_parquet(
             pages_dir, columns=["url", "text"]
-        ).map_batches(
-            lambda t: t.filter(pc.is_valid(t["text"])),
-            batch_format="pyarrow",
-        )
+        ).map_batches(prep, batch_format="pyarrow")
 
     def dedup(pages_dir: str) -> int:
         return exact_dedup(
-            _texts(pages_dir), text_col="text", id_col="url"
+            _texts(pages_dir), text_col="text", id_col="doc_id"
         ).count()
 
     def minhash(pages_dir: str) -> int:
         return minhash_lsh_pairs(
-            _texts(pages_dir), text_col="text", id_col="url", threshold=0.5
+            _texts(pages_dir), text_col="text", id_col="doc_id",
+            threshold=0.5,
         ).count()
 
     # warm worker processes + detector caches so sf0.1 (first) is not

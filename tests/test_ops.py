@@ -120,6 +120,22 @@ class TestMinHash:
         assert (1, 2) in got
         assert (1, 3) not in got and (2, 3) not in got
 
+    def test_string_ids_fail_fast(self, ray_session):
+        # the near-dup family's slim pair exchanges are int64-keyed; a
+        # string id must raise a clear driver-side TypeError (naming the
+        # stable_hash64 remedy), not an opaque per-task int() ValueError
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from redactifai_ray.stages.dedup import minhash_lsh_pairs
+
+        tbl = pa.table(
+            {"doc_id": ["u1", "u2"], "text": ["a b c", "a b d"]}
+        )
+        with pytest.raises(TypeError, match="stable_hash64"):
+            minhash_lsh_pairs(ray.data.from_arrow(tbl))
+
     def test_verify_exact_jaccard(self, ray_session):
         import ray.data
 
