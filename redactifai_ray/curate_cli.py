@@ -296,8 +296,16 @@ def main(argv=None) -> int:
             out_ds = ray.data.read_parquet(docs_dir)
             rows_out = out_ds.count()
             if partition_cols:
-                for r in out_ds.groupby("split").count().take_all():
-                    split_counts[r["split"]] = r["count()"]
+                from .collect import collect_table
+
+                sct = collect_table(out_ds.groupby("split").count())
+                if "split" in sct.column_names:
+                    split_counts = dict(
+                        zip(
+                            sct.column("split").to_pylist(),
+                            sct.column("count()").to_pylist(),
+                        )
+                    )
 
         n_shards = 0
         if wrote_any and args.shard_tokens > 0:

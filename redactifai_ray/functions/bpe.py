@@ -49,9 +49,15 @@ def word_frequencies(ds, text_col: str = "text", sample_rows: int | None = 50_00
         partials = partials.groupby(
             "word", num_partitions=default_partitions()
         ).aggregate(Sum("n", alias_name="n"))
+    from ..collect import collect_table
+
     total = Counter()
-    for row in partials.take_all():
-        total[row["word"]] += row["n"]
+    tbl = collect_table(partials)
+    if "word" in tbl.column_names:
+        for w, n in zip(
+            tbl.column("word").to_pylist(), tbl.column("n").to_pylist()
+        ):
+            total[w] += n
     return total
 
 

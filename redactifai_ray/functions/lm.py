@@ -95,10 +95,18 @@ def ngram_counts(
         partials = partials.groupby(
             ["gram", "kind"], num_partitions=default_partitions()
         ).aggregate(Sum("n", alias_name="n"))
+    from ..collect import collect_table
+
     uni: Counter = Counter()
     big: Counter = Counter()
-    for row in partials.take_all():
-        (uni if row["kind"] == 0 else big)[row["gram"]] += row["n"]
+    tbl = collect_table(partials)
+    if "gram" in tbl.column_names:
+        for g, kd, n in zip(
+            tbl.column("gram").to_pylist(),
+            tbl.column("kind").to_pylist(),
+            tbl.column("n").to_pylist(),
+        ):
+            (uni if kd == 0 else big)[g] += n
     return uni, big
 
 

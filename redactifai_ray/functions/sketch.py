@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..collect import collect_table
 from .hashing import stable_hash64
 
 
@@ -112,14 +113,14 @@ def hll_distinct(ds, col: str, p: int = 12, merge_fanin: int = 256) -> float:
             {"registers": pa.array([regs.max(axis=0).tobytes()], pa.binary())}
         )
 
-    rows = (
+    tbl = collect_table(
         ds.map_batches(sketch_block, batch_format="pyarrow")
         .map_batches(merge_batch, batch_format="pyarrow", batch_size=merge_fanin)
-        .take_all()
     )
     acc = HyperLogLog(p)
-    for r in rows:
-        acc.merge(HyperLogLog.from_bytes(r["registers"], p))
+    if "registers" in tbl.column_names:
+        for raw in tbl.column("registers").to_pylist():
+            acc.merge(HyperLogLog.from_bytes(raw, p))
     return acc.count()
 
 
@@ -193,14 +194,15 @@ def mg_top_tokens(ds, col: str, k: int = 10, capacity: int = 200):
 
     from ray.data.aggregate import Sum
 
-    rows = (
+    tbl = collect_table(
         ds.map_batches(block_summary, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
     )
     final = MisraGries(capacity).add_counts(
-        {r["token"]: r["n"] for r in rows}
+        dict(zip(tbl.column("token").to_pylist(), tbl.column("n").to_pylist()))
+        if "token" in tbl.column_names
+        else {}
     )
     top = sorted(final.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return pd.DataFrame(top, columns=["token", "est"])
@@ -322,13 +324,15 @@ def kll_quantiles(
             )
         )
 
-    rows = (
+    tbl = collect_table(
         ds.map_batches(block_sketch, batch_format="pyarrow")
         .map_batches(merge_batch, batch_format="pyarrow", batch_size=merge_fanin)
-        .take_all()
     )
+    has = "level" in tbl.column_names
     final = from_rows(
-        [r["level"] for r in rows], [r["values"] for r in rows], k
+        tbl.column("level").to_pylist() if has else [],
+        tbl.column("values").to_pylist() if has else [],
+        k,
     )
     return {q: final.quantile(q) for q in qs}
 
@@ -703,16 +707,16 @@ def cms_token_counts(
             {"cms": pa.array([mats.sum(axis=0).tobytes()], pa.binary())}
         )
 
-    rows = (
+    tbl = collect_table(
         ds.map_batches(sketch_block, batch_format="pyarrow")
         .map_batches(
             merge_batch, batch_format="pyarrow", batch_size=merge_fanin
         )
-        .take_all()
     )
     acc = CountMinSketch(width, depth)
-    for r in rows:
-        acc.merge(CountMinSketch.from_bytes(r["cms"], width, depth))
+    if "cms" in tbl.column_names:
+        for raw in tbl.column("cms").to_pylist():
+            acc.merge(CountMinSketch.from_bytes(raw, width, depth))
     ests = acc.estimate(query_values)
     return pd.DataFrame(
         {
@@ -763,15 +767,19 @@ def mg_top_tokens_by(
             }
         )
 
-    rows = (
+    tbl = collect_table(
         ds.map_batches(block_summary, batch_format="pyarrow")
         .groupby([key_col, "token"])
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
     )
     per_key: dict = defaultdict(dict)
-    for r in rows:
-        per_key[r[key_col]][r["token"]] = r["n"]
+    if key_col in tbl.column_names:
+        for kv, tok, n in zip(
+            tbl.column(key_col).to_pylist(),
+            tbl.column("token").to_pylist(),
+            tbl.column("n").to_pylist(),
+        ):
+            per_key[kv][tok] = n
     frames = []
     for ky in sorted(per_key):
         final = MisraGries(capacity).add_counts(per_key[ky])
@@ -826,18 +834,19 @@ def hll_set_algebra(
             }
         )
 
-    rows = ds.map_batches(sketch_block, batch_format="pyarrow").take_all()
+    tbl = collect_table(ds.map_batches(sketch_block, batch_format="pyarrow"))
     sketches = {
         "a": HyperLogLog(p),
         "b": HyperLogLog(p),
         "u": HyperLogLog(p),
     }
-    for r in rows:
-        other = HyperLogLog(
-            p, registers=np.frombuffer(r["registers"], dtype=np.uint8)
-        )
-        sketches[r["side"]] = sketches[r["side"]].merge(other)
-        sketches["u"] = sketches["u"].merge(other)
+    if "side" in tbl.column_names:
+        for side, raw in zip(
+            tbl.column("side").to_pylist(), tbl.column("registers").to_pylist()
+        ):
+            other = HyperLogLog(p, registers=np.frombuffer(raw, dtype=np.uint8))
+            sketches[side] = sketches[side].merge(other)
+            sketches["u"] = sketches["u"].merge(other)
     n_a = float(sketches["a"].count())
     n_b = float(sketches["b"].count())
     n_union = float(sketches["u"].count())

@@ -168,10 +168,16 @@ def compute_dup_winners(
         dups = agg.map_batches(
             lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
         )
-    rows = dups.take(max_dup_keys + 1)
-    if len(rows) > max_dup_keys:
+    from ..collect import collect_capped
+
+    tbl = collect_capped(dups, max_dup_keys)
+    if tbl is None:
         return None
-    return {r[key]: r["max_order"] for r in rows}
+    if key not in tbl.column_names or tbl.num_rows == 0:
+        return {}
+    return dict(
+        zip(tbl.column(key).to_pylist(), tbl.column("max_order").to_pylist())
+    )
 
 
 def make_winner_filter(winners_ref, key: str = "url", order_col: str = "warc_ts",

@@ -29,6 +29,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..collect import collect_capped, collect_table, int_col, sorted_kv
 from ..sources import strip_schema_metadata as _strip_schema_metadata
 from ..stages.analyze import BPE_RE, PUNCT_RE, STOPWORDS, WORD_RE
 
@@ -689,12 +690,10 @@ def q_tpch_q3(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(date_filter, batch_format="pyarrow")
 
-    seg_rows = bkeys.take(max_broadcast_keys + 1)
-    broadcast = len(seg_rows) <= max_broadcast_keys
+    seg_tbl = collect_capped(bkeys, max_broadcast_keys)
+    broadcast = seg_tbl is not None
     if broadcast:
-        seg_ref = ray.put(
-            pa.array([r["c_custkey"] for r in seg_rows], pa.int64())
-        )
+        seg_ref = ray.put(pa.array(int_col(seg_tbl, "c_custkey"), pa.int64()))
         state: dict = {}
 
         def filter_orders(batch: pa.Table) -> pa.Table:
@@ -1719,12 +1718,11 @@ def q_customers_no_orders(
         .groupby("o_custkey")
         .count()
     )
-    key_rows = with_orders.select_columns(["o_custkey"]).take(
-        max_broadcast_keys + 1
+    key_tbl = collect_capped(
+        with_orders.select_columns(["o_custkey"]), max_broadcast_keys
     )
-    if len(key_rows) <= max_broadcast_keys:
-        keys = pa.array([r["o_custkey"] for r in key_rows])
-        ref = ray.put(keys)
+    if key_tbl is not None:
+        ref = ray.put(pa.array(int_col(key_tbl, "o_custkey"), pa.int64()))
         state: dict = {}
 
         def anti(batch: pa.Table) -> pa.Table:
@@ -1976,10 +1974,9 @@ def q_incremental_near_dedup(sf_dir: str) -> pd.DataFrame:
         out_ds = incremental_minhash_dedup(
             shard2, store, run_id="r2", threshold=0.8
         )
-        ids = sorted(
-            int(r["doc_id"])
-            for r in out_ds.select_columns(["doc_id"]).take_all()
-        )
+        ids = np.sort(
+            int_col(collect_table(out_ds.select_columns(["doc_id"])), "doc_id")
+        ).tolist()
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
@@ -2212,8 +2209,8 @@ def q_tpch_q5(
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
         supp_slim, batch_format="pyarrow"
     )
-    supp_rows = supp.take(max_broadcast_keys + 1)
-    broadcast = len(supp_rows) <= max_broadcast_keys
+    supp_tbl = collect_capped(supp, max_broadcast_keys)
+    broadcast = supp_tbl is not None
 
     lo = pd.Timestamp("1996-01-01")
     hi = pd.Timestamp("1997-01-01")
@@ -2235,11 +2232,7 @@ def q_tpch_q5(
     li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
 
     if broadcast:
-        s_pk = np.sort(
-            np.array([r["s_suppkey"] for r in supp_rows], dtype=np.int64)
-        )
-        by_key = {int(r["s_suppkey"]): int(r["s_nationkey"]) for r in supp_rows}
-        s_nk = np.array([by_key[int(k)] for k in s_pk], dtype=np.int64)
+        s_pk, s_nk = sorted_kv(supp_tbl, "s_suppkey", "s_nationkey")
         supp_ref = ray.put((s_pk, s_nk))
         sstate: dict = {}
 
@@ -2363,17 +2356,11 @@ def q_tpch_q5(
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         cust_slim, batch_format="pyarrow"
     )
-    cust_rows = cust.take(max_broadcast_keys + 1)
-    cust_broadcast = len(cust_rows) <= max_broadcast_keys
+    cust_tbl = collect_capped(cust, max_broadcast_keys)
+    cust_broadcast = cust_tbl is not None
 
     if cust_broadcast:
-        c_pk = np.sort(
-            np.array([r["c_custkey"] for r in cust_rows], dtype=np.int64)
-        )
-        c_by_key = {
-            int(r["c_custkey"]): int(r["c_nationkey"]) for r in cust_rows
-        }
-        c_nk = np.array([c_by_key[int(k)] for k in c_pk], dtype=np.int64)
+        c_pk, c_nk = sorted_kv(cust_tbl, "c_custkey", "c_nationkey")
         cust_ref = ray.put((c_pk, c_nk))
         cstate: dict = {}
 
@@ -2919,11 +2906,9 @@ def q_tpch_q14r(
         batch_format="pyarrow",
     )
 
-    promo_rows = promo.take(max_broadcast_keys + 1)
-    if len(promo_rows) <= max_broadcast_keys:
-        keys_ref = ray.put(
-            pa.array([r["p_partkey"] for r in promo_rows], pa.int64())
-        )
+    promo_tbl = collect_capped(promo, max_broadcast_keys)
+    if promo_tbl is not None:
+        keys_ref = ray.put(pa.array(int_col(promo_tbl, "p_partkey"), pa.int64()))
         state: dict = {}
 
         def partial(batch: pa.Table) -> pa.Table:
@@ -3248,11 +3233,12 @@ def q_tpch_q18r(
         )
     )
 
-    hot_rows = totals.take(max_broadcast_keys + 1)
+    hot_tbl = collect_capped(totals, max_broadcast_keys)
     ocols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
-    if len(hot_rows) <= max_broadcast_keys:
-        qty_by_key = {int(r["o_orderkey"]): int(r["sum_qty"]) for r in hot_rows}
-        keys_ref = ray.put(pa.array(sorted(qty_by_key), pa.int64()))
+    if hot_tbl is not None:
+        hk, hq = sorted_kv(hot_tbl, "o_orderkey", "sum_qty")
+        qty_by_key = dict(zip(hk.tolist(), hq.tolist()))
+        keys_ref = ray.put(pa.array(hk, pa.int64()))
         state: dict = {}
 
         def keep_hot(t: pa.Table) -> pa.Table:
@@ -4004,13 +3990,14 @@ def q_cms_lang_counts(sf_dir: str) -> pd.DataFrame:
     overestimate-only/ε·N contract is test-pinned separately."""
     from ..functions.sketch import cms_token_counts
 
-    langs = [
-        r["lang"]
-        for r in _read(sf_dir, "documents", ["lang"])
-        .groupby("lang")
-        .count()
-        .take_all()
-    ]
+    lang_tbl = collect_table(
+        _read(sf_dir, "documents", ["lang"]).groupby("lang").count()
+    )
+    langs = (
+        lang_tbl.column("lang").to_pylist()
+        if "lang" in lang_tbl.column_names
+        else []
+    )
     out = cms_token_counts(
         _read(sf_dir, "documents", ["lang"]),
         "lang",
@@ -4450,13 +4437,9 @@ def q_tpch_q7r(
         )
 
     # --- supplier lookup: broadcast under the cap, join-free above ---
-    supp_rows = supp.take(max_broadcast_keys + 1)
-    if len(supp_rows) <= max_broadcast_keys:
-        spk = np.sort(
-            np.array([r["s_suppkey"] for r in supp_rows], dtype=np.int64)
-        )
-        by = {int(r["s_suppkey"]): int(r["s_nationkey"]) for r in supp_rows}
-        snk = np.array([by[int(k)] for k in spk], dtype=np.int64)
+    supp_tbl = collect_capped(supp, max_broadcast_keys)
+    if supp_tbl is not None:
+        spk, snk = sorted_kv(supp_tbl, "s_suppkey", "s_nationkey")
         sref = ray.put((spk, snk))
         sstate: dict = {}
 
@@ -4493,13 +4476,9 @@ def q_tpch_q7r(
 
     # --- customer lookup for orders: same two-path doctrine ---
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust_rows = cust.take(max_broadcast_keys + 1)
-    if len(cust_rows) <= max_broadcast_keys:
-        cpk = np.sort(
-            np.array([r["c_custkey"] for r in cust_rows], dtype=np.int64)
-        )
-        by_c = {int(r["c_custkey"]): int(r["c_nationkey"]) for r in cust_rows}
-        cnk = np.array([by_c[int(k)] for k in cpk], dtype=np.int64)
+    cust_tbl = collect_capped(cust, max_broadcast_keys)
+    if cust_tbl is not None:
+        cpk, cnk = sorted_kv(cust_tbl, "c_custkey", "c_nationkey")
         cref = ray.put((cpk, cnk))
         cstate: dict = {}
 
@@ -4814,11 +4793,9 @@ def q_tpch_q8r(
             ["l_orderkey", "l_year", "rev_c", "nation_rev_c"]
         )
 
-    supp_rows = supp.take(max_broadcast_keys + 1)
-    if len(supp_rows) <= max_broadcast_keys:
-        spk = np.sort(
-            np.array([r["s_suppkey"] for r in supp_rows], dtype=np.int64)
-        )
+    supp_tbl = collect_capped(supp, max_broadcast_keys)
+    if supp_tbl is not None:
+        spk = np.sort(int_col(supp_tbl, "s_suppkey"))
         sref = ray.put(spk)
         sstate: dict = {}
 
@@ -4895,11 +4872,9 @@ def q_tpch_q8r(
         cust_slim, batch_format="pyarrow"
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust_rows = cust.take(max_broadcast_keys + 1)
-    if len(cust_rows) <= max_broadcast_keys:
-        cpk = np.sort(
-            np.array([r["c_custkey"] for r in cust_rows], dtype=np.int64)
-        )
+    cust_tbl = collect_capped(cust, max_broadcast_keys)
+    if cust_tbl is not None:
+        cpk = np.sort(int_col(cust_tbl, "c_custkey"))
         cref = ray.put(cpk)
         cstate: dict = {}
 
@@ -5470,11 +5445,9 @@ def q_tpch_q19r(
             hit |= ((mask >> bit) & 1).astype(bool) & (qty >= qlo) & (qty <= qhi)
         return int(rev[hit].sum())
 
-    part_rows = parts.take(max_broadcast_keys + 1)
-    if len(part_rows) <= max_broadcast_keys:
-        pk = np.sort(np.array([r["p_partkey"] for r in part_rows], dtype=np.int64))
-        by = {int(r["p_partkey"]): int(r["mask"]) for r in part_rows}
-        pm = np.array([by[int(k)] for k in pk], dtype=np.int64)
+    part_tbl = collect_capped(parts, max_broadcast_keys)
+    if part_tbl is not None:
+        pk, pm = sorted_kv(part_tbl, "p_partkey", "mask")
         ref = ray.put((pk, pm))
         state: dict = {}
 
@@ -5745,7 +5718,7 @@ def q_tpch_q16r(sf_dir: str) -> pd.DataFrame:
     )
     gx = np.array([by[int(k)] for k in pk], dtype=np.int64)
 
-    bad_rows = (
+    bad_tbl = collect_table(
         _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
         .map_batches(
             lambda t: t.filter(pc.less(t["s_acctbal"], 0.0)).select(
@@ -5753,11 +5726,8 @@ def q_tpch_q16r(sf_dir: str) -> pd.DataFrame:
             ),
             batch_format="pyarrow",
         )
-        .take_all()  # dimension-scale; empty result loses schema via to_pandas
-    )
-    bad_keys = pa.array(
-        [int(r["s_suppkey"]) for r in bad_rows], pa.int64()
-    )
+    )  # dimension-scale; collect_table keeps schema on empty results
+    bad_keys = pa.array(int_col(bad_tbl, "s_suppkey"), pa.int64())
 
     ref = ray.put((pk, gx, bad_keys))
     state: dict = {}
@@ -5893,17 +5863,12 @@ def q_tpch_q9r(
         ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_slim, batch_format="pyarrow")
 
-    part_rows = good_parts.take(max_broadcast_keys + 1)
-    supp_rows = supp.take(max_broadcast_keys + 1)
-    broadcast_ok = (
-        len(part_rows) <= max_broadcast_keys
-        and len(supp_rows) <= max_broadcast_keys
-    )
+    part_tbl = collect_capped(good_parts, max_broadcast_keys)
+    supp_tbl = collect_capped(supp, max_broadcast_keys)
+    broadcast_ok = part_tbl is not None and supp_tbl is not None
     if broadcast_ok:
-        gp = np.sort(np.array([r["p_partkey"] for r in part_rows], np.int64))
-        spk = np.sort(np.array([r["s_suppkey"] for r in supp_rows], np.int64))
-        by = {int(r["s_suppkey"]): int(r["s_nationkey"]) for r in supp_rows}
-        snk = np.array([by[int(k)] for k in spk], dtype=np.int64)
+        gp = np.sort(int_col(part_tbl, "p_partkey"))
+        spk, snk = sorted_kv(supp_tbl, "s_suppkey", "s_nationkey")
         ref = ray.put((gp, spk, snk))
         state: dict = {}
 
@@ -6122,7 +6087,7 @@ def _region_supplier_map(sf_dir: str, region: str):
     if not nk_name:
         return np.array([], np.int64), np.array([], np.int64), np.array([], np.int64), {}
     nk_arr = pa.array(sorted(nk_name), pa.int64())
-    rows = (
+    tbl = collect_table(
         _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
         .map_batches(
             lambda t: t.filter(
@@ -6130,18 +6095,18 @@ def _region_supplier_map(sf_dir: str, region: str):
             ),
             batch_format="pyarrow",
         )
-        .take_all()
     )
-    if not rows:
+    if tbl.num_rows == 0 or "s_suppkey" not in tbl.column_names:
         return np.array([], np.int64), np.array([], np.int64), np.array([], np.int64), nk_name
-    sk = np.array([int(r["s_suppkey"]) for r in rows], np.int64)
-    order = np.argsort(sk)
+    sk = int_col(tbl, "s_suppkey")
+    order = np.argsort(sk, kind="stable")
     sk = sk[order]
-    bal = np.array(
-        [int(np.floor(float(r["s_acctbal"]) * 100.0 + 0.5)) for r in rows],
-        np.int64,
-    )[order]
-    nk = np.array([int(r["s_nationkey"]) for r in rows], np.int64)[order]
+    bal_f = (
+        tbl.column("s_acctbal").combine_chunks().cast(pa.float64())
+        .to_numpy(zero_copy_only=False)
+    )
+    bal = np.floor(bal_f * 100.0 + 0.5).astype(np.int64)[order]
+    nk = int_col(tbl, "s_nationkey")[order]
     return sk, bal, nk, nk_name
 
 
@@ -6166,7 +6131,7 @@ def q_tpch_q2r(sf_dir: str, region: str = "EUROPE") -> pd.DataFrame:
     P = default_partitions()
     sk, bal, nk, nk_name = _region_supplier_map(sf_dir, region)
 
-    good = (
+    good = collect_table(
         _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
         .map_batches(
             lambda t: t.filter(
@@ -6180,7 +6145,6 @@ def q_tpch_q2r(sf_dir: str, region: str = "EUROPE") -> pd.DataFrame:
             ).select(["p_partkey"]),
             batch_format="pyarrow",
         )
-        .take_all()
     )
     empty_out = pd.DataFrame(
         {
@@ -6190,9 +6154,9 @@ def q_tpch_q2r(sf_dir: str, region: str = "EUROPE") -> pd.DataFrame:
             "p_partkey": pd.Series(dtype="int64"),
         }
     )
-    if not good or len(sk) == 0:
+    if good.num_rows == 0 or len(sk) == 0:
         return empty_out
-    gp = np.sort(np.array([int(r["p_partkey"]) for r in good], np.int64))
+    gp = np.sort(int_col(good, "p_partkey"))
     ref = ray.put((gp, sk, bal, nk))
     state: dict = {}
 
@@ -6414,7 +6378,7 @@ def q_tpch_q20r(
     )
     if len(sk) == 0:
         return empty_out
-    red = (
+    red = collect_table(
         _read(sf_dir, "part", ["p_partkey", "p_name"])
         .map_batches(
             lambda t: t.filter(
@@ -6422,11 +6386,10 @@ def q_tpch_q20r(
             ).select(["p_partkey"]),
             batch_format="pyarrow",
         )
-        .take_all()
     )
-    if not red:
+    if red.num_rows == 0:
         return empty_out
-    rp = pa.array(sorted(int(r["p_partkey"]) for r in red), pa.int64())
+    rp = pa.array(np.sort(int_col(red, "p_partkey")), pa.int64())
     skeys = pa.array(sk.tolist(), pa.int64())
     ref = ray.put((rp, skeys))
     state: dict = {}

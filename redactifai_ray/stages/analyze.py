@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..collect import collect_capped, collect_table
 from ..functions.hashing import rolling_fingerprint
 
 # ASCII-explicit classes so DuckDB's RE2 oracle regexes match Python exactly
@@ -281,9 +282,16 @@ def top_tokens(ds, text_col: str = "text", k: int = 50, n: int = 1):
         )
         return t.select(["token", "n"]).take(idx[:k])
 
-    cands = totals.map_batches(block_topk, batch_format="pyarrow").take_all()
-    cands.sort(key=lambda r: (-r["n"], r["token"]))
-    return pd.DataFrame(cands[:k], columns=["token", "n"])
+    ct = collect_table(totals.map_batches(block_topk, batch_format="pyarrow"))
+    if "token" not in ct.column_names or ct.num_rows == 0:
+        return pd.DataFrame([], columns=["token", "n"])
+    out = (
+        ct.to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["token", "n"]]
 
 
 def tfidf_top_terms(
@@ -338,10 +346,16 @@ def tfidf_top_terms(
         .aggregate(Sum("df", alias_name="df"))
         .materialize()  # vocab-scale
     )
-    df_rows = df_ds.take(max_broadcast_vocab + 1)
-    if len(df_rows) > max_broadcast_vocab:
+    df_tbl = collect_capped(df_ds, max_broadcast_vocab)
+    if df_tbl is None:
         return _tfidf_sharded(ds, df_ds, n_docs, k, text_col, id_col)
-    df_ref = ray.put({r["term"]: r["df"] for r in df_rows})
+    df_ref = ray.put(
+        dict(
+            zip(df_tbl.column("term").to_pylist(), df_tbl.column("df").to_pylist())
+        )
+        if "term" in df_tbl.column_names
+        else {}
+    )
     state: dict = {}
 
     def score(batch: pa.Table) -> pa.Table:
@@ -779,11 +793,17 @@ def pmi_bigrams(
     bi = _count_fold(ds, text_col, 2).materialize()
     n_bi = int(bi.sum("n") or 0)
 
-    uni_rows = uni.take(max_broadcast_vocab + 1)
-    if len(uni_rows) > max_broadcast_vocab:
+    uni_tbl = collect_capped(uni, max_broadcast_vocab)
+    if uni_tbl is None:
         n_uni_total = int(uni.sum("n") or 0)
         return _pmi_sharded(uni, bi, min_count, n_uni_total, n_bi)
-    counts = {r["term"]: r["n"] for r in uni_rows}
+    counts = (
+        dict(
+            zip(uni_tbl.column("term").to_pylist(), uni_tbl.column("n").to_pylist())
+        )
+        if "term" in uni_tbl.column_names
+        else {}
+    )
     n_uni = sum(counts.values())
     ref = ray.put((counts, n_uni))
     state: dict = {}

@@ -45,6 +45,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..collect import collect_capped, collect_table
 from ..cluster import default_partitions
 from ..functions.hashing import stable_hash64
 
@@ -165,10 +166,17 @@ def temperature_mixture(
     ``mixture_sample`` — no RNG, stable under repartition/rerun, and
     the corpus streams through exactly one counting pass plus one
     filter pass."""
-    counts = {
-        r[key_col]: r["count()"]
-        for r in ds.groupby(key_col).count().take_all()
-    }
+    ctbl = collect_table(ds.groupby(key_col).count())
+    counts = (
+        dict(
+            zip(
+                ctbl.column(key_col).to_pylist(),
+                ctbl.column("count()").to_pylist(),
+            )
+        )
+        if key_col in ctbl.column_names
+        else {}
+    )
     return mixture_sample(
         ds,
         temperature_rates(counts, alpha),
@@ -227,12 +235,21 @@ def find_contaminated(
             {"gram": pa.array(np.fromiter(seen, dtype=np.uint64, count=len(seen)))}
         )
 
-    gram_rows = (
-        test.map_batches(test_grams, batch_format="pyarrow")
-        .take(max_broadcast_ngrams + 1)
+    gram_tbl = collect_capped(
+        test.map_batches(test_grams, batch_format="pyarrow"),
+        max_broadcast_ngrams,
     )
-    if len(gram_rows) <= max_broadcast_ngrams:
-        gram_set = {r["gram"] for r in gram_rows}
+    if gram_tbl is not None:
+        gram_set = (
+            set(
+                gram_tbl.column("gram")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .tolist()
+            )
+            if "gram" in gram_tbl.column_names
+            else set()
+        )
         gram_ref = ray.put(gram_set)
         state: dict = {}  # per-worker cache
 
@@ -411,15 +428,15 @@ def find_contaminated_bloom(
             acc.merge(BloomFilter.from_bytes(raw, n_bits, k))
         return pa.table({"words": pa.array([acc.to_bytes()], pa.binary())})
 
-    rows = (
+    wt = collect_table(
         test.map_batches(sketch_block, batch_format="pyarrow")
         .map_batches(merge_batch, batch_format="pyarrow",
                      batch_size=merge_fanin)
-        .take_all()
     )
     acc = BloomFilter(n_bits, k)
-    for r in rows:
-        acc.merge(BloomFilter.from_bytes(r["words"], n_bits, k))
+    if "words" in wt.column_names:
+        for raw in wt.column("words").to_pylist():
+            acc.merge(BloomFilter.from_bytes(raw, n_bits, k))
     bloom_ref = ray.put(acc.to_bytes())
     state: dict = {}  # per-worker cache
 
@@ -456,15 +473,20 @@ def decontaminate_bloom(
     guaranteed superset of the exactly-contaminated docs (excess bounded
     by the filter's FPR — tolerable over-removal in exchange for a
     test-side broadcast that never scales with gram count)."""
-    flagged_rows = find_contaminated_bloom(
-        train, test, text_col, id_col, n, fpr
-    ).take(max_broadcast_flagged + 1)
-    if len(flagged_rows) > max_broadcast_flagged:
+    flagged_tbl = collect_capped(
+        find_contaminated_bloom(train, test, text_col, id_col, n, fpr),
+        max_broadcast_flagged,
+    )
+    if flagged_tbl is None:
         raise ValueError(
             "flagged set exceeds broadcast cap — the corpus is mostly "
             "contaminated; inspect before dropping"
         )
-    flagged_ref = ray.put(sorted(r[id_col] for r in flagged_rows))
+    flagged_ref = ray.put(
+        sorted(flagged_tbl.column(id_col).to_pylist())
+        if id_col in flagged_tbl.column_names
+        else []
+    )
     state: dict = {}
 
     def drop(batch: pa.Table) -> pa.Table:
@@ -1494,22 +1516,40 @@ def remove_repeated_substrings(
             return empty
         return pd.DataFrame({id_col: out_d, "start": out_s})
 
-    loser_rows = (
+    loser_tbl = collect_capped(
         rows.groupby("pkey", num_partitions=P)
-        .map_groups(loser_occurrences, batch_format="pandas")
-        .take(max_broadcast_losers + 1)
+        .map_groups(loser_occurrences, batch_format="pandas"),
+        max_broadcast_losers,
     )
-    if len(loser_rows) > max_broadcast_losers:
+    if loser_tbl is None:
         raise ValueError(
             f"remove_repeated_substrings found >{max_broadcast_losers} "
             "duplicated window occurrences; raise the cap or pre-dedup "
             "with chunk_dedup/near_dedup first (duplication volume must "
             "stay ≪ corpus — the ExactSubstr contract)"
         )
-    by_doc: dict[int, list[int]] = {}
-    for r in loser_rows:
-        by_doc.setdefault(int(r[id_col]), []).append(int(r["start"]))
-    ref = ray.put({d: np.asarray(sorted(s), np.int64) for d, s in by_doc.items()})
+    if id_col in loser_tbl.column_names and loser_tbl.num_rows:
+        ld = (
+            loser_tbl.column(id_col).combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ls = (
+            loser_tbl.column("start").combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ls, ld))
+        ld, ls = ld[order], ls[order]
+        bounds = np.flatnonzero(np.r_[True, ld[1:] != ld[:-1]])
+        ref = ray.put(
+            {
+                int(d): arr
+                for d, arr in zip(
+                    ld[bounds].tolist(), np.split(ls, bounds[1:])
+                )
+            }
+        )
+    else:
+        ref = ray.put({})
     dst = out_col or text_col
     state: dict = {}
 

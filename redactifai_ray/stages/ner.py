@@ -124,12 +124,21 @@ def collect_token_stats(
             Sum("cap_any", alias_name="cap_any"),
             Sum("lower", alias_name="lower"),
         )
+    from ..collect import collect_table
+
     total: dict[str, list[int]] = {}
-    for row in partials.take_all():
-        e = total.setdefault(row["tok"], [0, 0, 0])
-        e[0] += row["cap_mid"]
-        e[1] += row["cap_any"]
-        e[2] += row["lower"]
+    tbl = collect_table(partials)
+    if "tok" in tbl.column_names:
+        for tok, cm, ca, lo in zip(
+            tbl.column("tok").to_pylist(),
+            tbl.column("cap_mid").to_pylist(),
+            tbl.column("cap_any").to_pylist(),
+            tbl.column("lower").to_pylist(),
+        ):
+            e = total.setdefault(tok, [0, 0, 0])
+            e[0] += cm
+            e[1] += ca
+            e[2] += lo
     return {k: tuple(v) for k, v in total.items()}
 
 
