@@ -780,6 +780,15 @@ def _minhash_fold(a: bytes, b: bytes) -> Optional[float]:
     return float((x == y).mean())
 
 
+def _minhash_fold32(a: bytes, b: bytes) -> Optional[float]:
+    # uint32-truncated payloads (see _estimate_pairs_distributed)
+    x = np.frombuffer(a, np.uint32)
+    y = np.frombuffer(b, np.uint32)
+    if len(x) == 0 or len(x) != len(y):
+        return None
+    return float((x == y).mean())
+
+
 def _cosine_fold(a: bytes, b: bytes) -> Optional[float]:
     x = np.frombuffer(a, np.float64)
     y = np.frombuffer(b, np.float64)
@@ -806,8 +815,21 @@ def _estimate_pairs_distributed(
 ) -> ray.data.Dataset:
     """Fully distributed MinHash Jaccard estimation — the fallback when
     the candidate pair set exceeds the driver. Signatures recompute
-    lazily over the corpus (num_perm×8 B/doc, streamed, never pinned)
-    and fold through the generic join-free pair semi-join."""
+    lazily over the corpus (streamed, never pinned) and fold through the
+    generic join-free pair semi-join.
+
+    Payloads travel as uint32-TRUNCATED minhash values (num_perm×4 B/doc,
+    half the wire size of the native uint64 sigs). The estimate compares
+    per-perm values for EQUALITY only, so truncation can only alias two
+    genuinely different values with probability 2^-32 per perm —
+    statistically invisible next to the estimator's own 1/sqrt(num_perm)
+    error. This matters because the attach exchange in
+    ``_fold_pairs_distributed`` replicates a doc's payload once per pair
+    side that references it: on skewed corpora (boilerplate/template
+    near-dup clusters) pair counts grow ~quadratically inside capped
+    buckets, and the payload exchange — not the slim pair table — is
+    what dominates the shuffle (observed: sf1 witness, 4M pages, ~40M
+    candidate pairs → tens of GB at 8 B/perm; halved here)."""
     sig_all = ds.map_batches(
         make_minhash_batch(**sig_kwargs, emit="sig"),
         batch_format="pyarrow",
@@ -819,15 +841,33 @@ def _estimate_pairs_distributed(
                 {id_col: pa.array([], pa.int64()),
                  "payload": pa.array([], pa.binary())}
             )
-        return pa.table(
-            {id_col: t.column(id_col), "payload": t.column("sig")}
+        sig = t.column("sig").combine_chunks()
+        n = len(sig)
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "payload": pa.array([], pa.binary())}
+            )
+        w = (
+            np.frombuffer(b"".join(sig.to_pylist()), np.uint64)
+            .reshape(n, -1)
+            .astype(np.uint32)
         )
+        # vectorized binary column: one flat buffer + arithmetic offsets
+        width = w.shape[1] * 4
+        offsets = pa.py_buffer(
+            (np.arange(n + 1, dtype=np.int32) * width).tobytes()
+        )
+        payload = pa.Array.from_buffers(
+            pa.binary(), n, [None, offsets, pa.py_buffer(w.tobytes())]
+        )
+        return pa.table({id_col: t.column(id_col), "payload": payload})
 
     return _fold_pairs_distributed(
         sig_all.map_batches(to_payload, batch_format="pyarrow"),
         pairs,
         id_col,
-        _minhash_fold,
+        _minhash_fold32,
         threshold,
         "est_jaccard",
     )

@@ -81,6 +81,10 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         finalize_output(build_deidentify_pipeline(pages_dir)).write_parquet(out)
 
+    def _df_free_gb() -> float:
+        du = shutil.disk_usage("/tmp")
+        return round(du.free / 2**30, 1)
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -134,9 +138,13 @@ def main() -> None:
             per[f"{label}_pages_per_sec"] = round(n / dt, 1)
             if isinstance(out, int):
                 per[f"{label}_rows"] = out
-            print(f"[{name}] {label}: {dt:.1f}s", file=sys.stderr)
+            print(f"[{name}] {label}: {dt:.1f}s (disk free {_df_free_gb()}G)",
+                  file=sys.stderr)
         per["wall_ratio_10x_data"] = round(per["sf1"] / per["sf0.1"], 2)
         results[name] = per
+        # the flagship's 10 GB witness output is dead weight for the
+        # remaining legs — free it so object-store spill has headroom
+        shutil.rmtree("/tmp/rrx_sf1_witness_out", ignore_errors=True)
 
     ray.shutdown()
     print(json.dumps({"witness": "sf1_data_scale", "num_cpus": 32,
