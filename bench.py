@@ -60,14 +60,32 @@ def _ensure_pages(n: int) -> str:
 def run_bench() -> dict:
     import ray
 
+    from redactifai_ray.cluster import configure_data_context
+
+    def _quiet_worker_logs():
+        # nested (pickled BY VALUE): the setup hook loads in workers
+        # before the job's cwd is on sys.path, so a module-level
+        # redactifai_ray function would fail to unpickle there. Body
+        # mirrors cluster.quiet_ray_data_worker_logs (see its docstring
+        # for the root cause of the schema-dedup spam).
+        import logging
+
+        for _name in (
+            "ray.data._internal.execution.streaming_executor_state",
+            "ray.data._internal.arrow_ops.transform_pyarrow",
+        ):
+            logging.getLogger(_name).setLevel(logging.ERROR)
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # pin the two cosmetic schema-dedup loggers inside WORKER
+        # processes too — driver-side pinning cannot reach them
+        runtime_env={"worker_process_setup_hook": _quiet_worker_logs},
     )
-    from redactifai_ray.cluster import configure_data_context
 
     configure_data_context()
 

@@ -39,3 +39,31 @@ def configure_data_context(
     ctx.target_max_block_size = target_max_block_size_mb * 1024 * 1024
     ctx.execution_options.preserve_order = preserve_order
     ctx.enable_progress_bars = progress_bars
+
+
+def quiet_ray_data_worker_logs() -> None:
+    """Worker-process setup hook: pin Ray Data's cosmetic schema-dedup
+    warnings to ERROR inside every worker.
+
+    `transform_pyarrow.unify_schemas` tries `set(schemas)` as a fast path
+    and WARNs ("Failed to hash the schemas (for deduplication)") whenever
+    a schema carries key-value metadata — pyarrow Schemas with metadata
+    are unhashable. Pandas-written parquet carries a `pandas` blob, and
+    Ray's own pandas→arrow block conversion at sort/aggregate boundaries
+    re-attaches one, so reduce WORKERS emit this spam no matter what UDFs
+    strip (driver-side logger pinning cannot reach worker processes).
+    Pass this as `runtime_env={"worker_process_setup_hook": ...}` from
+    entry points that own the Ray session. CAVEAT: a module-level
+    function is pickled BY REFERENCE, and the setup hook loads in
+    workers before the job's cwd is on sys.path — so this exact function
+    only works when `redactifai_ray` is installed as a package on the
+    workers. Scripts run from a checkout should ship a nested copy of
+    the body instead (bench.py does; see its `_quiet_worker_logs`).
+    """
+    import logging
+
+    for _name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(_name).setLevel(logging.ERROR)
