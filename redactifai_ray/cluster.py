@@ -41,29 +41,32 @@ def configure_data_context(
     ctx.enable_progress_bars = progress_bars
 
 
-def quiet_ray_data_worker_logs() -> None:
-    """Worker-process setup hook: pin Ray Data's cosmetic schema-dedup
-    warnings to ERROR inside every worker.
+def quiet_ray_data_logging_env() -> dict:
+    """Return (and export on the driver) the env that pins Ray Data's two
+    cosmetic schema-dedup loggers to ERROR in EVERY process.
 
-    `transform_pyarrow.unify_schemas` tries `set(schemas)` as a fast path
-    and WARNs ("Failed to hash the schemas (for deduplication)") whenever
-    a schema carries key-value metadata — pyarrow Schemas with metadata
-    are unhashable. Pandas-written parquet carries a `pandas` blob, and
-    Ray's own pandas→arrow block conversion at sort/aggregate boundaries
-    re-attaches one, so reduce WORKERS emit this spam no matter what UDFs
-    strip (driver-side logger pinning cannot reach worker processes).
-    Pass this as `runtime_env={"worker_process_setup_hook": ...}` from
-    entry points that own the Ray session. CAVEAT: a module-level
-    function is pickled BY REFERENCE, and the setup hook loads in
-    workers before the job's cwd is on sys.path — so this exact function
-    only works when `redactifai_ray` is installed as a package on the
-    workers. Scripts run from a checkout should ship a nested copy of
-    the body instead (bench.py does; see its `_quiet_worker_logs`).
+    Why env and not setLevel()/a worker_process_setup_hook: each worker
+    re-runs ``logging.config.dictConfig`` the moment it imports
+    ``ray.data``, which resets any level set earlier — including by a
+    setup hook that ran before the import (measured: level 40 → 0 across
+    the import). ``RAY_DATA_LOGGING_CONFIG`` names the dictConfig payload
+    itself, so the pins in the packaged ``ray_data_logging.yaml`` are
+    what that reset resets TO. See the yaml header for what the two
+    warnings are and why they are cosmetic.
+
+    Usage from a session-owning entry point, BEFORE ``ray.init``::
+
+        env = quiet_ray_data_logging_env()
+        ray.init(..., runtime_env={"env_vars": env})
+
+    The function also sets ``os.environ`` so the driver process (and, in
+    local mode, the raylet-forked workers) inherit it even without the
+    runtime_env. On a real multi-node cluster the yaml path must exist on
+    every node (it ships inside the package, so a normal install does).
     """
-    import logging
+    import os
 
-    for _name in (
-        "ray.data._internal.execution.streaming_executor_state",
-        "ray.data._internal.arrow_ops.transform_pyarrow",
-    ):
-        logging.getLogger(_name).setLevel(logging.ERROR)
+    path = os.path.join(os.path.dirname(__file__), "ray_data_logging.yaml")
+    env = {"RAY_DATA_LOGGING_CONFIG": path}
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+    return env

@@ -124,11 +124,14 @@ def main(argv=None) -> int:
     # notebooks — keep theirs; the `ray job submit` path always creates)
     owns_session = not ray.is_initialized()
     if owns_session:
+        from .cluster import quiet_ray_data_logging_env
+
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
+            runtime_env={"env_vars": quiet_ray_data_logging_env()},
         )
     from .cluster import configure_data_context
 

@@ -10,12 +10,15 @@ def ray_session():
     """One Ray session for the whole pytest run (per build instructions)."""
     import ray
 
+    from redactifai_ray.cluster import quiet_ray_data_logging_env
+
     ray.init(
         address="local",
         num_cpus=4,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"env_vars": quiet_ray_data_logging_env()},
     )
     from ray.data import DataContext
 
